@@ -1,0 +1,86 @@
+"""Pipeline configuration.
+
+The reference hard-codes its blocking/scoring knobs (geohash precision 6/7,
+likely>=0.9 / review>=0.7 thresholds — /root/reference/lib/lieu/dedupe.py:69,
+lib/lieu/api.py:61-64). We keep the same two-tier thresholds and make every
+knob explicit so the pytest oracle and the Spark path provably share one
+config (BASELINE.md: "same shingle/signature config").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+
+MASK64 = (1 << 64) - 1
+XXHASH_DEFAULT_SEED = 42  # Spark's F.xxhash64 seed (fixed in Spark source)
+
+
+@dataclass(frozen=True)
+class DedupeConfig:
+    """Knobs for the transcript dedupe pipeline.
+
+    MinHash permutations use multiply-add hashing mod 2**64 with odd
+    multipliers: sig[j] = min_x((a[j]*x + b[j]) mod 2**64). Both the
+    numpy pandas-UDF path and the pure-python oracle use identical
+    uint64 wrap-around semantics, so signatures are byte-identical.
+    """
+
+    # --- shingling ---
+    shingle_k: int = 5          # words per shingle
+    # --- MinHash / LSH ---
+    num_perm: int = 128
+    lsh_bands: int = 32         # b
+    lsh_rows: int = 4           # r ; b*r == num_perm
+    minhash_seed: int = 42
+    # --- verification thresholds (lieu: api.py:61-64) ---
+    threshold_likely: float = 0.9
+    threshold_review: float = 0.7
+    # --- SimHash near-exact path ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3
+    simhash_chunks: int = 4     # pigeonhole blocks for hamming<=3
+    # --- skew handling ---
+    hot_band_cap: int = 2000    # members per band group before sub-splitting
+    # --- copied-span stage ---
+    span_min_len: int = 60      # chars; minimum reported common substring
+    span_max_chars: int = 20000  # cap per-text length fed to the suffix array
+    span_low: float = 0.3       # also scan verified pairs with jaccard >= low
+    # winnowing-style span blocking: inverted index over sampled shingles
+    span_sample_mod: int = 8    # keep shingle hashes where pmod(h, mod)==0
+    span_min_shared: int = 2    # sampled shingles shared to become a candidate
+    span_stop_docfreq: int = 50  # drop sampled shingles in > this many docs
+    # --- verification mode ---
+    # "shingles": exact Jaccard on distinct shingle-hash sets (matches oracle
+    #             bit-for-bit; default, used for the recall gate)
+    # "signatures": estimated Jaccard = fraction of agreeing MinHash
+    #             components (cheaper at 100 TB: 1 KB/row instead of the
+    #             full shingle set)
+    verify_mode: str = "shingles"
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError("lsh_bands * lsh_rows must equal num_perm")
+        if self.simhash_bits % self.simhash_chunks != 0:
+            raise ValueError("simhash_bits must divide into simhash_chunks")
+
+    def minhash_params(self) -> tuple[np.ndarray, np.ndarray]:
+        """(a, b) uint64 arrays, deterministic in (minhash_seed, num_perm)."""
+        rng = np.random.default_rng(self.minhash_seed)
+        a = rng.integers(1, MASK64, size=self.num_perm, dtype=np.uint64)
+        a |= np.uint64(1)  # odd multipliers -> bijective mod 2**64
+        b = rng.integers(0, MASK64, size=self.num_perm, dtype=np.uint64)
+        return a, b
+
+    def fingerprint(self) -> str:
+        """Content-address of the config — stamped into checkpoint stage
+        metadata so a resume with a different config recomputes instead of
+        silently reusing stale stage tables (SURVEY.md §7.3 hard part e)."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupeConfig()

@@ -1,0 +1,83 @@
+"""SimHash (64-bit) as an Arrow-batched pandas UDF.
+
+The near-exact text path — capability parity with the reference's
+expansion-equality "exact dupe" checks (libpostal ``is_name_duplicate`` et
+al., /root/reference/lib/lieu/dedupe.py:7,41) which catch records whose
+normalized forms are identical-or-trivially-different. SimHash hamming
+distance <= k generalizes that to near-identical token distributions.
+
+Token hashes are computed JVM-side (``F.xxhash64`` per token, duplicates
+kept so term frequency weights the bits); the UDF only does the bit
+accumulation, vectorized with ``np.add.reduceat`` over the whole batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..config import DedupeConfig
+
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_batch(arrays: pd.Series) -> pd.Series:
+    n = len(arrays)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter((len(v) for v in arrays), dtype=np.int64, count=n)
+    idx = np.nonzero(lens > 0)[0]
+    if idx.size:
+        flat = np.concatenate(
+            [np.asarray(arrays.iat[i], dtype=np.int64).view(np.uint64) for i in idx]
+        )
+        # (total_tokens, 64) in {-1,+1}, int8 to bound memory
+        bits = (((flat[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1)
+        starts = np.zeros(idx.size, dtype=np.intp)
+        np.cumsum(lens[idx][:-1], out=starts[1:])
+        sums = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+        packed = ((sums > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[idx] = packed.view(np.int64)
+    return pd.Series(out)
+
+
+def make_simhash_udf():
+    @F.pandas_udf(LongType())
+    def simhash_udf(token_hashes: pd.Series) -> pd.Series:
+        return _simhash_batch(token_hashes)
+
+    return simhash_udf
+
+
+def token_hashes(tokens_col) -> "F.Column":
+    """JVM-side per-token xxhash64 (duplicates kept => tf weighting)."""
+    return F.transform(tokens_col, lambda t: F.xxhash64(t))
+
+
+def with_simhash(df, cfg: DedupeConfig, tokens_col: str = "tokens"):
+    return df.withColumn(
+        "simhash", make_simhash_udf()(token_hashes(F.col(tokens_col)))
+    )
+
+
+def simhash_chunk_cols(simhash_col, cfg: DedupeConfig):
+    """JVM-side pigeonhole chunk keys: ``simhash_chunks`` columns of
+    (chunk_idx, chunk_bits). Two 64-bit hashes with hamming <= chunks-1
+    agree on at least one chunk."""
+    width = cfg.simhash_bits // cfg.simhash_chunks
+    mask = (1 << width) - 1
+    return [
+        (
+            F.lit(i).cast("long"),
+            F.shiftrightunsigned(simhash_col, i * width).bitwiseAND(F.lit(mask)),
+        )
+        for i in range(cfg.simhash_chunks)
+    ]
+
+
+def hamming64(col_a, col_b):
+    """JVM-side hamming distance: bit_count(a XOR b)."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))

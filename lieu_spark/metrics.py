@@ -1,0 +1,59 @@
+"""Per-partition lineage + per-stage metrics (north_rule requirement).
+
+Each completed stage appends rows to a metrics table:
+  (run_id, stage, partition_id, rows, wall_sec, fingerprint, created_unix)
+
+partition_id/rows come from one cheap pass over the *materialized* stage
+output (groupBy spark_partition_id), so recording lineage never recomputes
+the stage. In production this is an Iceberg metrics table partitioned by
+(stage, run_id); here it is an append-mode parquet directory.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "run_id string, stage string, partition_id int, rows long, "
+    "wall_sec double, fingerprint string, created_unix double"
+)
+
+
+def partition_lineage(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("rows")
+    )
+
+
+def record_stage(
+    spark: SparkSession,
+    metrics_dir: str | None,
+    run_id: str,
+    stage: str,
+    df: DataFrame,
+    wall_sec: float,
+    fingerprint: str,
+) -> None:
+    if metrics_dir is None:
+        return
+    lineage = (
+        partition_lineage(df)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("wall_sec", F.lit(wall_sec))
+        .withColumn("fingerprint", F.lit(fingerprint))
+        .withColumn("created_unix", F.lit(time.time()))
+        .select(
+            "run_id", "stage", "partition_id", "rows",
+            "wall_sec", "fingerprint", "created_unix",
+        )
+    )
+    lineage.write.mode("append").parquet(os.path.join(metrics_dir, "stage_metrics"))
+
+
+def read_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(metrics_dir, "stage_metrics"))

@@ -1,0 +1,109 @@
+"""Connected components over the verified-pair edge set.
+
+The reference never transitively closes its same_as graph — canonical
+assignment is per-pair (scripts/jobs/dedupe_geojson.py:156-170), which can
+leave A~B, B~C with A and C in different "clusters". Clustering via
+connected components is the strict generalization (SURVEY.md §3.4):
+cluster_id = min(conv_id) over the component.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame groupBy/join rounds. Converges in O(log n) rounds even on
+path-shaped components; each round is localCheckpoint()ed to truncate
+lineage (SURVEY.md §7.3 hard part b).
+
+large-star: for each node u, connect every neighbor v > u to
+            m = min(N(u) ∪ {u}).
+small-star: for each node u, connect every neighbor v <= u (and u) to
+            m = min of that set, dropping self-loops.
+Fixpoint: edge multiset stable (checked via count + sum-of-pair-hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    grouped = sym.groupBy("u").agg(
+        F.min("v").alias("minv"), F.collect_set("v").alias("nbrs")
+    )
+    out = grouped.select(
+        F.least(F.col("minv"), F.col("u")).alias("m"),
+        F.explode(F.filter(F.col("nbrs"), lambda v: v > F.col("u"))).alias("w"),
+    ).select(F.col("w").alias("u"), F.col("m").alias("v"))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient edges high -> low, group by the high endpoint
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    grouped = oriented.groupBy("u").agg(
+        F.min("v").alias("m"), F.collect_set("v").alias("nbrs")
+    )
+    exploded = grouped.select(
+        "u",
+        "m",
+        F.explode(F.array_union(F.col("nbrs"), F.array(F.col("u")))).alias("w"),
+    )
+    return (
+        exploded.filter(F.col("w") != F.col("m"))
+        .select(F.col("w").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count("*").alias("c"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["c"], row["h"]
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """pairs(id_a, id_b) -> (conv_id, cluster_id) for every node that
+    appears in an edge; cluster_id = component minimum."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = _signature(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = _signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star graph: every edge is (member -> root)
+    members = edges.select(F.col("u").alias("conv_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("conv_id")).distinct().withColumn(
+        "cluster_id", F.col("conv_id")
+    )
+    return members.unionByName(roots).dropDuplicates(["conv_id"])
+
+
+def clusters_with_singletons(all_ids: DataFrame, components: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Every conv gets a cluster; non-duplicated convs are their own
+    cluster (unique() parity, lib/lieu/spark/dedupe.py:109-115)."""
+    return (
+        all_ids.select(F.col(id_col).alias("conv_id"))
+        .join(components, "conv_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("conv_id")))
+    )
+
+
+def canonical_flags(components: DataFrame) -> DataFrame:
+    """is_canonical = conv is its component's representative — parity with
+    lieu's canonical flag (scripts/jobs/dedupe_geojson.py:163-166)."""
+    return components.withColumn(
+        "is_canonical", F.col("conv_id") == F.col("cluster_id")
+    )

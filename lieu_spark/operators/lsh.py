@@ -1,0 +1,117 @@
+"""LSH banding + within-band candidate pair generation with explicit
+skew handling.
+
+Reference parity:
+  - blocking-key emission      -> band keys (lib/lieu/dedupe.py:250-325)
+  - block self-pairing         -> band self-join (lib/lieu/spark/dedupe.py:57-88)
+  - cross-dataset match()      -> band equi-join (lib/lieu/spark/dedupe.py:24-48)
+  - sparse-geo-bucket merging  -> hot-band splitting (the skew-handling
+    analog of lib/lieu/spark/geo_word_index.py:18-26, but for *hot* keys:
+    bands whose member count exceeds ``hot_band_cap`` are sub-split by a
+    salt hash so no single task materializes an O(n^2) pair blow-up).
+
+The reference's two-pass "star pairing" inside blocks
+(lib/lieu/spark/dedupe.py:63-88) existed to cut comparisons in huge
+blocks; LSH bands are naturally small, and clustering correctness is
+delegated to connected components, so a full a.id < b.id self-join per
+band is both simpler and correct.
+
+Scale notes (100 TB): the self-join shuffles on (band, band_hash, sub) —
+the salt bounds the largest partition; AQE skew-join splits anything
+moderate that remains. ``dropDuplicates(id_a, id_b)`` is the one extra
+shuffle, same as the reference's ``distinct()``
+(lib/lieu/spark/dedupe.py:78).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupeConfig
+
+
+def band_table(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") -> DataFrame:
+    """(id, sig) -> (id, band, band_hash); band cast to long so the
+    xxhash64 chain matches the pure-python oracle bit-for-bit."""
+    r = cfg.lsh_rows
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("band"),
+            F.xxhash64(i.cast("long"), F.slice(F.col("sig"), i * r + 1, r)).alias(
+                "band_hash"
+            ),
+        ),
+    )
+    return (
+        features.select(F.col(id_col).alias("id"), F.explode(bands).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    )
+
+
+def _salted(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Attach band-group size + sub-split salt for hot bands.
+
+    Groups larger than ``hot_band_cap`` (boilerplate-text signatures) are
+    split into ceil(size/cap) salted sub-groups; pairs are generated only
+    within a sub-group. Cross-sub-group pairs of a hot band are recovered
+    by the other b-1 bands (and flagged in metrics — see band_stats).
+    """
+    sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("bsize"))
+    withsz = bands.join(sizes, ["band", "band_hash"])
+    nsplit = F.greatest(
+        F.lit(1), F.ceil(F.col("bsize") / F.lit(cfg.hot_band_cap))
+    ).cast("long")
+    return withsz.withColumn(
+        "sub",
+        F.when(
+            F.col("bsize") > cfg.hot_band_cap,
+            F.pmod(F.xxhash64(F.col("id")), nsplit),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def band_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Per-band-group metrics: size + hot flag (lineage/metrics table)."""
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bsize"))
+        .withColumn("is_hot", F.col("bsize") > cfg.hot_band_cap)
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Within-band self-pairing -> distinct (id_a < id_b) candidates.
+
+    Reference analog: lib/lieu/spark/dedupe.py:57-88 (block self-pairing
+    with >1-member filter at :59-61 — groups of size 1 produce no pairs
+    from the join naturally).
+    """
+    salted = _salted(bands, cfg).filter(F.col("bsize") > 1)
+    left = salted.select(
+        F.col("band"), F.col("band_hash"), F.col("sub"), F.col("id").alias("id_a")
+    )
+    right = salted.select(
+        F.col("band"), F.col("band_hash"), F.col("sub"), F.col("id").alias("id_b")
+    )
+    pairs = left.join(right, ["band", "band_hash", "sub"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+
+
+def match_pairs(
+    canonical_bands: DataFrame, incoming_bands: DataFrame, cfg: DedupeConfig
+) -> DataFrame:
+    """Cross-dataset candidate generation — parity with
+    ``AddressDeduperSpark.match`` (lib/lieu/spark/dedupe.py:24-48): an
+    equi-join of the two band tables, no self-pairing, pair =
+    (canonical_id, incoming_id)."""
+    c = canonical_bands.select("band", "band_hash", F.col("id").alias("canonical_id"))
+    i = incoming_bands.select("band", "band_hash", F.col("id").alias("incoming_id"))
+    return (
+        c.join(i, ["band", "band_hash"])
+        .select("canonical_id", "incoming_id")
+        .dropDuplicates(["canonical_id", "incoming_id"])
+    )

@@ -1,0 +1,147 @@
+"""Pairwise verification — the second tier of lieu's two-tier verdict.
+
+Reference parity: blocking keys only generate candidates; classification
+happens in pairwise comparison with thresholds likely>=0.9 / review>=0.7
+(/root/reference/README.md:23, lib/lieu/api.py:61-64, similarity scoring
+lib/lieu/similarity.py:14-79). Our verifier is exact Jaccard over distinct
+shingle-hash sets, computed entirely JVM-side:
+
+    j = |A ∩ B| / (|A| + |B| - |A ∩ B|)   via array_intersect + sizes
+
+``verify_mode="signatures"`` swaps in the MinHash-agreement estimator
+(zip_with equality fraction) — 1 KB/row instead of full shingle sets, the
+knob to flip at 100 TB when shingle arrays dominate shuffle volume.
+
+The pair enrichment join is the reference's ``IDPairRDD.join_pairs``
+double-join (lib/lieu/spark/utils.py:5-24) re-expressed as two DataFrame
+joins against the features table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupeConfig
+
+STATUS_EXACT = "exact_duplicate"
+STATUS_LIKELY = "likely_duplicate"
+STATUS_REVIEW = "needs_review"
+STATUS_NON = "non_duplicate"
+
+
+def join_pair_features(
+    pairs: DataFrame, features: DataFrame, cols: list[str], id_col: str = "conv_id"
+) -> DataFrame:
+    """pairs(id_a, id_b, ...) ⋈ features twice -> suffixed feature cols.
+
+    J2 parity (lib/lieu/spark/utils.py:5-24). Catalyst broadcast-joins the
+    features side when small; at scale both joins shuffle on id once each.
+    """
+    fa = features.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols]
+    )
+    fb = features.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols]
+    )
+    return pairs.join(fa, "id_a").join(fb, "id_b")
+
+
+def jaccard_on_shingles(col_a, col_b):
+    inter = F.size(F.array_intersect(col_a, col_b))
+    union = F.size(col_a) + F.size(col_b) - inter
+    # J(∅,∅) := 0 — content-empty docs are not "similar", they are only
+    # ever duplicates via the exact byte-hash path (operators/exact.py)
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def signature_agreement(col_a, col_b, num_perm: int):
+    eq = F.size(
+        F.filter(F.zip_with(col_a, col_b, lambda x, y: x == y), lambda b: b)
+    )
+    return eq.cast("double") / F.lit(float(num_perm))
+
+
+def classify(jaccard_col, exact_col, cfg: DedupeConfig):
+    """Two-tier status column (lieu api.py:61-64 semantics)."""
+    return (
+        F.when(exact_col, F.lit(STATUS_EXACT))
+        .when(jaccard_col >= cfg.threshold_likely, F.lit(STATUS_LIKELY))
+        .when(jaccard_col >= cfg.threshold_review, F.lit(STATUS_REVIEW))
+        .otherwise(F.lit(STATUS_NON))
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame, features: DataFrame, cfg: DedupeConfig, method: str = "minhash_lsh"
+) -> DataFrame:
+    """Candidate pairs -> verified pairs with (jaccard, status, method).
+
+    Keeps every candidate's verdict; downstream filters select
+    EXACT/LIKELY for clustering (P5 parity, lib/lieu/spark/dedupe.py:45).
+    """
+    passthrough = [c for c in pairs.columns if c not in ("id_a", "id_b")]
+    if cfg.verify_mode == "signatures":
+        cols = ["sig", "text_sha"]
+        enriched = join_pair_features(pairs, features, cols)
+        j = signature_agreement(F.col("sig_a"), F.col("sig_b"), cfg.num_perm)
+    else:
+        cols = ["shingle_hashes", "text_sha"]
+        enriched = join_pair_features(pairs, features, cols)
+        j = jaccard_on_shingles(F.col("shingle_hashes_a"), F.col("shingle_hashes_b"))
+    exact = F.col("text_sha_a") == F.col("text_sha_b")
+    out = enriched.withColumn("jaccard", j).withColumn("is_exact", exact)
+    out = out.withColumn("status", classify(F.col("jaccard"), F.col("is_exact"), cfg))
+    out = out.withColumn("method", F.lit(method))
+    return out.select(
+        "id_a", "id_b", "jaccard", "is_exact", "status", "method", *passthrough
+    )
+
+
+def dupe_pairs(verified: DataFrame) -> DataFrame:
+    """EXACT + LIKELY pairs — the clustering edge set (P5 parity)."""
+    return verified.filter(F.col("status").isin(STATUS_EXACT, STATUS_LIKELY))
+
+
+def review_pairs(verified: DataFrame) -> DataFrame:
+    return verified.filter(F.col("status") == STATUS_REVIEW)
+
+
+def reconcile(minhash_verified: DataFrame, simhash_verified: DataFrame) -> DataFrame:
+    """Merge verdicts from the MinHash and SimHash paths on the same pair,
+    keeping the stronger verdict — the structural analog of the
+    reference's phone-number verdict revision (lib/lieu/dedupe.py:356-372)
+    where a second signal upgrades/downgrades the primary verdict.
+
+    Pair key is normalized (id_a < id_b) on both inputs; strength order:
+    exact > likely > review > non, ties broken by higher jaccard then
+    method name for determinism.
+    """
+    both = minhash_verified.unionByName(simhash_verified)
+    rank = (
+        F.when(F.col("status") == STATUS_EXACT, 3)
+        .when(F.col("status") == STATUS_LIKELY, 2)
+        .when(F.col("status") == STATUS_REVIEW, 1)
+        .otherwise(0)
+    )
+    ranked = both.withColumn("_rank", rank)
+    best = F.max(
+        F.struct(
+            F.col("_rank"), F.col("jaccard"), F.col("method"),
+            F.col("status"), F.col("is_exact"),
+        )
+    ).alias("best")
+    out = ranked.groupBy("id_a", "id_b").agg(
+        best, F.array_sort(F.collect_set("method")).alias("methods")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("best.jaccard").alias("jaccard"),
+        F.col("best.is_exact").alias("is_exact"),
+        F.col("best.status").alias("status"),
+        F.col("best.method").alias("method"),
+        "methods",
+    )

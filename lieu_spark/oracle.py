@@ -1,0 +1,263 @@
+"""Pure-Python/numpy oracle for every pipeline stage.
+
+Shares only *configuration* (DedupeConfig, minhash params) with the Spark
+path — no Spark imports, no shared transform code — so pytest can compare
+the two implementations stage by stage (SURVEY.md §5). Plays the role the
+reference's in-memory CLI plays for its Spark job: an independent
+single-node execution of the same semantics
+(/root/reference/scripts/dedupe_geojson:145-470).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from .config import MASK64, DedupeConfig
+from .hashing import to_unsigned64, xxh64_chain, xxh64_string
+
+# ---------------------------------------------------------------------------
+# text canonicalization / shingling
+# (Spark twin: lieu_spark/functions/text.py — lower + \p{L}\p{N} regex)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize(text: str | None) -> str:
+    """Lowercase; every non-alphanumeric char → space; collapse; trim.
+
+    Python's str.isalnum() covers exactly {L*, Nd, Nl, No} — the same set
+    as Java/RE2 ``[\\p{L}\\p{N}]`` — so this matches the Spark/DuckDB
+    ``regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ')`` twin.
+    Analog of libpostal ``normalized_tokens``
+    (/root/reference/lib/lieu/dedupe.py:328-331).
+    """
+    if not text:
+        return ""
+    lowered = text.lower()
+    out = "".join(c if c.isalnum() else " " for c in lowered)
+    return " ".join(out.split())
+
+
+def tokens(text: str | None) -> list[str]:
+    c = canonicalize(text)
+    return c.split(" ") if c else []
+
+
+def shingles(toks: list[str], k: int) -> list[str]:
+    """Ordered k-word shingles (with duplicates). <k tokens → one shingle
+    of everything; 0 tokens → []."""
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def shingle_set(text: str | None, k: int) -> set[str]:
+    return set(shingles(tokens(text), k))
+
+
+def shingle_hashes(text: str | None, k: int) -> list[int]:
+    """Distinct xxhash64 (signed, Spark-equal) of each distinct shingle,
+    sorted — the canonical per-doc shingle-hash set."""
+    return sorted({xxh64_string(s) for s in shingle_set(text, k)})
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(hashes: list[int], cfg: DedupeConfig) -> list[int]:
+    """sig[j] = min_x((a[j]*x + b[j]) mod 2**64) over unsigned shingle
+    hashes; empty set → all MASK64. Returned as signed int64 (Spark long).
+    """
+    a, b = cfg.minhash_params()
+    if not hashes:
+        return [np.int64(np.uint64(MASK64)).item()] * cfg.num_perm
+    x = np.array([to_unsigned64(h) for h in hashes], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        vals = x[:, None] * a[None, :] + b[None, :]  # uint64 wrap-around
+    sig = vals.min(axis=0)
+    return sig.view(np.int64).tolist()
+
+
+def band_keys(sig: list[int], cfg: DedupeConfig) -> list[tuple[int, int]]:
+    """[(band_idx, band_hash)] with band_hash = xxhash64(band_idx::long,
+    sig[band*r : band*r+r]) — Spark-equal chained hashing."""
+    r = cfg.lsh_rows
+    out = []
+    for band in range(cfg.lsh_bands):
+        chunk = sig[band * r : (band + 1) * r]
+        out.append((band, xxh64_chain([band, chunk])))
+    return out
+
+
+def jaccard(set_a: set, set_b: set) -> float:
+    """J(∅,∅) := 0 by policy — see operators/verify.py."""
+    inter = len(set_a & set_b)
+    union = len(set_a) + len(set_b) - inter
+    return inter / union if union else 0.0
+
+
+def multiset_jaccard(toks_a: list[str], toks_b: list[str]) -> float:
+    """Term-frequency-weighted Jaccard — parity with the reference's
+    ``jaccard_similarity`` (/root/reference/lib/lieu/similarity.py:63-79):
+    sum(min(c1,c2)) / (sum(c1)+sum(c2)-sum(min))."""
+    c1, c2 = Counter(toks_a), Counter(toks_b)
+    inter = sum((c1 & c2).values())
+    denom = sum(c1.values()) + sum(c2.values()) - inter
+    return inter / denom if denom else 1.0
+
+
+def signature_agreement(sig_a: list[int], sig_b: list[int]) -> float:
+    assert len(sig_a) == len(sig_b)
+    eq = sum(1 for x, y in zip(sig_a, sig_b) if x == y)
+    return eq / len(sig_a)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(toks: list[str], cfg: DedupeConfig) -> int:
+    """64-bit SimHash over token unigrams weighted by term frequency,
+    token hash = Spark-equal xxhash64(token). Signed int64."""
+    if not toks:
+        return 0
+    counts = Counter(toks)
+    acc = np.zeros(cfg.simhash_bits, dtype=np.int64)
+    for tok, cnt in counts.items():
+        h = to_unsigned64(xxh64_string(tok))
+        bits = (h >> np.arange(cfg.simhash_bits, dtype=np.uint64)) & np.uint64(1)
+        acc += (bits.astype(np.int64) * 2 - 1) * cnt
+    out = np.uint64(0)
+    for i in range(cfg.simhash_bits):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return np.uint64(out).astype(np.int64).item()
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & MASK64).count("1")
+
+
+def simhash_chunk_keys(sh: int, cfg: DedupeConfig) -> list[tuple[int, int]]:
+    """Pigeonhole blocking: split the 64-bit simhash into ``simhash_chunks``
+    equal chunks; two hashes within hamming<=chunks-1 share >=1 chunk."""
+    width = cfg.simhash_bits // cfg.simhash_chunks
+    u = to_unsigned64(sh)
+    mask = (1 << width) - 1
+    return [(i, (u >> (i * width)) & mask) for i in range(cfg.simhash_chunks)]
+
+
+# ---------------------------------------------------------------------------
+# clustering oracle: union-find
+# ---------------------------------------------------------------------------
+
+
+class UnionFind:
+    def __init__(self) -> None:
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = self.find(p)
+        return self.parent[x]
+
+    def union(self, a, b) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id wins as root
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            self.parent[hi] = lo
+
+    def components(self) -> dict:
+        return {x: self.find(x) for x in list(self.parent)}
+
+
+def cluster_pairs(pairs: list[tuple]) -> dict:
+    """id -> cluster_id (= min member) for every id appearing in pairs."""
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    return uf.components()
+
+
+# ---------------------------------------------------------------------------
+# suffix-array longest common substring (copied-span oracle)
+# ---------------------------------------------------------------------------
+
+
+def suffix_array(s: list[int]) -> list[int]:
+    """O(n log^2 n) doubling suffix array over an int sequence."""
+    n = len(s)
+    sa = list(range(n))
+    rank = list(s)
+    tmp = [0] * n
+    k = 1
+    while True:
+        def key(i: int) -> tuple[int, int]:
+            return (rank[i], rank[i + k] if i + k < n else -1)
+
+        sa.sort(key=key)
+        tmp[sa[0]] = 0
+        for i in range(1, n):
+            tmp[sa[i]] = tmp[sa[i - 1]] + (1 if key(sa[i]) != key(sa[i - 1]) else 0)
+        rank = tmp[:]
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa
+
+
+def lcp_array(s: list[int], sa: list[int]) -> list[int]:
+    """Kasai: lcp[i] = LCP(sa[i-1], sa[i])."""
+    n = len(s)
+    rank = [0] * n
+    for i, p in enumerate(sa):
+        rank[p] = i
+    lcp = [0] * n
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and s[i + h] == s[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring(a: str, b: str) -> tuple[int, int, int]:
+    """(start_a, start_b, length) of the longest common substring, via
+    suffix array + Kasai over a+SEP+b. Ties: smallest (start_a, start_b).
+    """
+    if not a or not b:
+        return (0, 0, 0)
+    sep = -1  # sentinel below any code point
+    seq = [ord(c) for c in a] + [sep] + [ord(c) for c in b]
+    na = len(a)
+    sa = suffix_array(seq)
+    lcp = lcp_array(seq, sa)
+    best = (0, 0, 0)
+    for i in range(1, len(seq)):
+        p, q = sa[i - 1], sa[i]
+        in_a_p, in_a_q = p < na, q < na
+        if in_a_p == in_a_q:
+            continue
+        length = lcp[i]
+        if length == 0:
+            continue
+        pa = p if in_a_p else q
+        pb = (q if in_a_p else p) - na - 1
+        cand = (pa, pb, length)
+        if length > best[2] or (length == best[2] and (pa, pb) < (best[0], best[1])):
+            best = cand
+    return best

@@ -1,0 +1,170 @@
+"""End-to-end dedupe pipeline orchestration.
+
+Stage DAG (each checkpointable, each recorded in the metrics table):
+
+  transcripts
+    -> assemble   (conv_id, turns, doc, text_sha)            [1 shuffle]
+    -> features   (+tokens, shingle_hashes, sig, simhash)    [narrow]
+    -> bands      (id, band, band_hash)                      [narrow]
+    -> candidates (LSH pairs ∪ SimHash pairs, tagged)        [2-3 shuffles]
+    -> verified   (jaccard, status, method)                  [2 join shuffles]
+    -> clusters   (connected components + singletons)        [iterative]
+    -> spans      (copied-span stage on mid-similarity pairs)[mapInPandas]
+
+Lifecycle parity with the reference's DedupeGeoJSONJob.spark()
+(/root/reference/scripts/jobs/dedupe_geojson.py:117-201) — see
+SURVEY.md §3.1 for the stage-by-stage mapping.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .checkpoint import StageStore
+from .config import DEFAULT_CONFIG, DedupeConfig
+from .functions.minhash import with_minhash
+from .functions.simhash import with_simhash
+from .functions.text import shingle_hash_set, tokenize
+from .metrics import record_stage
+from .operators.assemble import assemble_conversations
+from .operators.cluster import clusters_with_singletons, connected_components
+from .operators.exact import exact_star_pairs
+from .operators.lsh import band_stats, band_table, candidate_pairs
+from .operators.simhash_path import simhash_candidate_pairs
+from .operators.spans import copied_spans, span_candidates, winnow_span_candidates
+from .operators.verify import dupe_pairs, reconcile, verify_pairs
+
+
+@dataclass
+class PipelineResult:
+    conversations: DataFrame
+    features: DataFrame
+    candidates: DataFrame
+    verified: DataFrame
+    clusters: DataFrame
+    spans: DataFrame
+    band_stats: DataFrame
+    stage_wall: dict = field(default_factory=dict)
+    run_id: str = ""
+
+
+def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """doc -> tokens, shingle_hashes (JVM), sig + simhash (pandas UDFs)."""
+    df = conversations.withColumn("tokens", tokenize(F.col("doc")))
+    df = df.withColumn("shingle_hashes", shingle_hash_set(F.col("tokens"), cfg.shingle_k))
+    df = with_minhash(df, cfg)
+    df = with_simhash(df, cfg)
+    return df.select(
+        "conv_id", "n_turns", "text_sha", "tokens", "shingle_hashes", "sig", "simhash"
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: DedupeConfig = DEFAULT_CONFIG,
+    store: StageStore | None = None,
+    metrics_dir: str | None = None,
+    run_id: str | None = None,
+    with_spans: bool = True,
+    with_simhash_path: bool = True,
+) -> PipelineResult:
+    run_id = run_id or uuid.uuid4().hex[:12]
+    walls: dict[str, float] = {}
+    fp = cfg.fingerprint()
+
+    def stage(name: str, build, cache: bool = False) -> DataFrame:
+        t0 = time.time()
+        if store is not None and store.has(name, fp):
+            df = store.load(spark, name)
+            walls[name] = 0.0  # resumed, not recomputed
+            return df
+        df = build()
+        if store is not None:
+            df = store.save(spark, name, df, fp)
+        elif cache:
+            df = df.persist()
+        wall = time.time() - t0
+        walls[name] = wall
+        record_stage(spark, metrics_dir, run_id, name, df, wall, fp)
+        return df
+
+    conversations = stage("conversations", lambda: assemble_conversations(transcripts), cache=True)
+    features = stage("features", lambda: build_features(conversations, cfg), cache=True)
+
+    feat_slim = features.select("conv_id", "text_sha", "shingle_hashes", "sig", "simhash")
+    # content-empty conversations take no part in similarity blocking
+    # (P3 parity: the reference drops geo-less docs, spark/tfidf.py:67);
+    # byte-identical ones are still caught by the exact-sha star path.
+    feat_content = feat_slim.filter(F.size("shingle_hashes") > 0)
+
+    bands = stage("bands", lambda: band_table(feat_content, cfg))
+    bstats = stage("band_stats", lambda: band_stats(bands, cfg))
+
+    def build_candidates() -> DataFrame:
+        lsh_cand = candidate_pairs(bands, cfg).withColumn("source", F.lit("minhash_lsh"))
+        exact_cand = exact_star_pairs(feat_slim).withColumn("source", F.lit("exact_sha"))
+        merged = lsh_cand.unionByName(exact_cand)
+        if with_simhash_path:
+            sim_cand = simhash_candidate_pairs(feat_content, cfg).select(
+                "id_a", "id_b"
+            ).withColumn("source", F.lit("simhash"))
+            merged = merged.unionByName(sim_cand)
+        return merged.groupBy("id_a", "id_b").agg(
+            F.array_sort(F.collect_set("source")).alias("sources")
+        )
+
+    candidates = stage("candidates", build_candidates)
+
+    def build_verified() -> DataFrame:
+        return verify_pairs(
+            candidates, feat_slim, cfg, method=f"jaccard_{cfg.verify_mode}"
+        )
+
+    verified = stage("verified", build_verified, cache=True)
+
+    def build_clusters() -> DataFrame:
+        comp = connected_components(dupe_pairs(verified))
+        return clusters_with_singletons(conversations, comp)
+
+    clusters = stage("clusters", build_clusters)
+
+    def build_spans() -> DataFrame:
+        # span blocking: winnowing inverted index ∪ mid-similarity verified
+        # pairs, minus pairs already classified whole-doc duplicates
+        winnow = winnow_span_candidates(feat_slim, cfg)
+        mid = span_candidates(verified, cfg)
+        dupes = dupe_pairs(verified).select("id_a", "id_b")
+        cand = (
+            winnow.unionByName(mid)
+            .dropDuplicates(["id_a", "id_b"])
+            .join(dupes, ["id_a", "id_b"], "left_anti")
+        )
+        docs = conversations.select("conv_id", "doc")
+        pa = docs.select(F.col("conv_id").alias("id_a"), F.col("doc").alias("doc_a"))
+        pb = docs.select(F.col("conv_id").alias("id_b"), F.col("doc").alias("doc_b"))
+        joined = cand.join(pa, "id_a").join(pb, "id_b")
+        return copied_spans(joined, cfg)
+
+    spans = (
+        stage("spans", build_spans)
+        if with_spans
+        else spark.createDataFrame([], "id_a string, id_b string, start_a int, start_b int, length int")
+    )
+
+    return PipelineResult(
+        conversations=conversations,
+        features=features,
+        candidates=candidates,
+        verified=verified,
+        clusters=clusters,
+        spans=spans,
+        band_stats=bstats,
+        stage_wall=walls,
+        run_id=run_id,
+    )

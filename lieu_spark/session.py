@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's physical config.
+
+Replaces the reference's hand-tuned EMR jobconf
+(/root/reference/scripts/jobs/mrjob.conf.example:13-34) with AQE-first
+settings: adaptive partition coalescing supersedes lieu's manual
+``coalesce(num_partitions)`` after every expansion
+(lib/lieu/spark/dedupe.py:48,73,84,...), and AQE skew-join splitting is the
+first line of defense before our explicit hot-band handling kicks in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "lieu_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # local mode: ~2 waves over the available threads; on a real
+        # cluster this is sized to input volume (see README: ~2-3x total
+        # executor cores, or let AQE coalesce from a high initial count).
+        shuffle_partitions = max(2 * cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("LIEU_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

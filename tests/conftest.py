@@ -1,0 +1,15 @@
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from lieu_spark.session import build_session  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session(app_name="lieu_spark_tests", cores=8, shuffle_partitions=8)
+    yield s
+    s.stop()

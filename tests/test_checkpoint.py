@@ -1,0 +1,65 @@
+"""Checkpoint/resume: resumed runs are byte-identical and skip compute;
+config changes invalidate stale stages (SURVEY.md §7.3 hard part e)."""
+
+import pytest
+
+from lieu_spark import corpus
+from lieu_spark.checkpoint import StageStore
+from lieu_spark.config import DedupeConfig
+from lieu_spark.metrics import read_metrics
+from lieu_spark.pipeline import run_pipeline
+
+CFG = DedupeConfig()
+
+
+@pytest.fixture()
+def tdf(spark):
+    return corpus.generate_df(spark, 42, 80)
+
+
+def _snapshot(res):
+    return (
+        {(r.id_a, r.id_b, r.jaccard, r.status) for r in res.verified.collect()},
+        {(r.conv_id, r.cluster_id) for r in res.clusters.collect()},
+    )
+
+
+def test_resume_identical_and_skipped(spark, tdf, tmp_path):
+    store = StageStore(str(tmp_path / "stages"))
+    mdir = str(tmp_path / "metrics")
+    cold = run_pipeline(spark, tdf, CFG, store=store, metrics_dir=mdir, run_id="cold")
+    cold_snap = _snapshot(cold)
+    assert all(w > 0 for w in cold.stage_wall.values())
+
+    warm = run_pipeline(spark, tdf, CFG, store=store, metrics_dir=mdir, run_id="warm")
+    assert _snapshot(warm) == cold_snap
+    # every stage was loaded from checkpoint, not recomputed
+    assert all(w == 0.0 for w in warm.stage_wall.values())
+
+    m = read_metrics(spark, mdir)
+    stages = {r.stage for r in m.select("stage").distinct().collect()}
+    assert {"conversations", "features", "candidates", "verified", "clusters"} <= stages
+    assert m.filter("rows < 0").count() == 0
+
+
+def test_partial_resume(spark, tdf, tmp_path):
+    """Kill mid-run (simulated by invalidating downstream stages): early
+    stages load, later stages recompute, output identical to cold run."""
+    store = StageStore(str(tmp_path / "stages"))
+    cold = run_pipeline(spark, tdf, CFG, store=store)
+    cold_snap = _snapshot(cold)
+    for stage in ("verified", "clusters", "spans"):
+        store.invalidate(stage)
+    resumed = run_pipeline(spark, tdf, CFG, store=store)
+    assert _snapshot(resumed) == cold_snap
+    assert resumed.stage_wall["conversations"] == 0.0  # loaded
+    assert resumed.stage_wall["verified"] > 0  # recomputed
+
+
+def test_config_change_invalidates(spark, tdf, tmp_path):
+    store = StageStore(str(tmp_path / "stages"))
+    run_pipeline(spark, tdf, CFG, store=store)
+    cfg2 = DedupeConfig(shingle_k=3)
+    res2 = run_pipeline(spark, tdf, cfg2, store=store)
+    # different fingerprint => stages recomputed, not reused
+    assert res2.stage_wall["features"] > 0

@@ -1,0 +1,59 @@
+"""Connected components: path/star/merge topologies vs union-find oracle,
+and partition-count independence."""
+
+from lieu_spark import oracle
+from lieu_spark.operators.cluster import (
+    canonical_flags,
+    clusters_with_singletons,
+    connected_components,
+)
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    return {r.conv_id: r.cluster_id for r in connected_components(df).collect()}
+
+
+def _oracle(edges):
+    return oracle.cluster_pairs(edges)
+
+
+def test_path_graph(spark):
+    edges = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {"n0"}
+    assert got == _oracle(edges)
+
+
+def test_star_graph(spark):
+    edges = [("hub", f"leaf{i}") for i in range(8)]
+    got = _run(spark, edges)
+    assert all(v == "hub" for v in got.values())
+
+
+def test_two_components_merge(spark):
+    edges = [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("a3", "b1")]
+    got = _run(spark, edges)
+    assert set(got.values()) == {"a1"}
+    edges2 = [("a1", "a2"), ("a2", "a3"), ("b1", "b2")]
+    got2 = _run(spark, edges2)
+    assert got2 == _oracle(edges2)
+
+
+def test_partition_count_independence(spark):
+    edges = [(f"x{i}", f"x{(i * 7) % 20}") for i in range(20) if i != (i * 7) % 20]
+    df1 = spark.createDataFrame(edges, "id_a string, id_b string").repartition(1)
+    df8 = spark.createDataFrame(edges, "id_a string, id_b string").repartition(8)
+    r1 = {r.conv_id: r.cluster_id for r in connected_components(df1).collect()}
+    r8 = {r.conv_id: r.cluster_id for r in connected_components(df8).collect()}
+    assert r1 == r8 == _oracle(edges)
+
+
+def test_singletons_and_canonical(spark):
+    edges = [("a", "b")]
+    comp = connected_components(spark.createDataFrame(edges, "id_a string, id_b string"))
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], ["conv_id"])
+    full = {r.conv_id: r.cluster_id for r in clusters_with_singletons(ids, comp).collect()}
+    assert full == {"a": "a", "b": "a", "c": "c"}
+    flags = {r.conv_id: r.is_canonical for r in canonical_flags(comp).collect()}
+    assert flags == {"a": True, "b": False}

@@ -1,0 +1,115 @@
+"""Invariant + property tests (SURVEY.md §5.3-5.4)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from lieu_spark import corpus
+from lieu_spark.config import DedupeConfig
+from lieu_spark.operators.assemble import assemble_conversations
+from lieu_spark.operators.lsh import band_table, candidate_pairs
+from lieu_spark.pipeline import build_features
+
+CFG = DedupeConfig()
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(
+        [(r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts) for r in rows],
+        corpus.TRANSCRIPT_SCHEMA,
+    )
+
+
+def test_permuted_ingestion_same_output(spark):
+    rows = corpus.generate_rows(7, 40)
+    fwd = assemble_conversations(_tdf(spark, rows)).select("conv_id", "text_sha")
+    rev = assemble_conversations(_tdf(spark, list(reversed(rows)))).select(
+        "conv_id", "text_sha"
+    )
+    assert {tuple(r) for r in fwd.collect()} == {tuple(r) for r in rev.collect()}
+
+
+def test_duplicate_input_rows_idempotent(spark):
+    rows = corpus.generate_rows(7, 20)
+    doubled = rows + rows  # same (conv_id, turn_idx) duplicated
+    a = assemble_conversations(_tdf(spark, rows)).select("conv_id", "n_turns", "text_sha")
+    b = assemble_conversations(_tdf(spark, doubled)).select("conv_id", "n_turns", "text_sha")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_pair_normalization(spark):
+    rows = corpus.generate_rows(42, 100)
+    feats = build_features(assemble_conversations(_tdf(spark, rows)), CFG)
+    pairs = candidate_pairs(band_table(feats, CFG), CFG).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert len({(r.id_a, r.id_b) for r in pairs}) == len(pairs)
+
+
+def test_candidate_pairs_partition_independence(spark):
+    rows = corpus.generate_rows(42, 100)
+    feats = build_features(assemble_conversations(_tdf(spark, rows)), CFG)
+    b1 = band_table(feats.repartition(1), CFG)
+    b8 = band_table(feats.repartition(8), CFG)
+    p1 = {(r.id_a, r.id_b) for r in candidate_pairs(b1, CFG).collect()}
+    p8 = {(r.id_a, r.id_b) for r in candidate_pairs(b8, CFG).collect()}
+    assert p1 == p8
+
+
+def test_hot_band_split_preserves_some_and_caps_blowup(spark):
+    """A band with 30 identical members under cap=10 still pairs within
+    sub-groups; pair count is bounded by sub-group sizes."""
+    from lieu_spark.config import DedupeConfig as DC
+
+    cfg = DC(hot_band_cap=10)
+    # 30 ids all sharing one band key
+    bands = spark.createDataFrame(
+        [(f"id{i:02d}", 0, 999) for i in range(30)], "id string, band long, band_hash long"
+    )
+    pairs = candidate_pairs(bands, cfg).collect()
+    n = len(pairs)
+    assert 0 < n < 30 * 29 / 2  # strictly fewer than the full quadratic
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_empty_docs_exact_only(spark):
+    """Content-empty conversations never pair by similarity; byte-identical
+    docs (including empty) pair via the exact-sha star path."""
+    from datetime import datetime
+
+    from lieu_spark.api import dedupe
+
+    ts = datetime(2025, 1, 1)
+    rows = [
+        ("w1", 0, "user", None, "", ts),
+        ("w2", 0, "user", "", "", ts),
+        ("w3", 0, "user", "   \t\n ", "", ts),
+        ("w4", 0, "user", "short", "", ts),
+        ("w5", 0, "user", "short", "", ts),
+    ]
+    res = dedupe(spark, spark.createDataFrame(rows, corpus.TRANSCRIPT_SCHEMA), CFG)
+    pairs = {(r.id_a, r.id_b): r.status for r in res.verified.collect()}
+    dupes = {p for p, s in pairs.items() if s in ("exact_duplicate", "likely_duplicate")}
+    # w1(null) and w2("") assemble to the same empty doc -> exact dupes;
+    # w3 (whitespace, different bytes) pairs with neither; w4/w5 exact.
+    assert dupes == {("w1", "w2"), ("w4", "w5")}
+    clusters = {r.conv_id: r.cluster_id for r in res.clusters.collect()}
+    assert clusters == {"w1": "w1", "w2": "w1", "w3": "w3", "w4": "w4", "w5": "w4"}
+
+
+def test_corpus_spark_generation_matches_pure_python(spark):
+    want = {
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
+        for r in corpus.generate_rows(42, 60)
+    }
+    got = {
+        (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts)
+        for r in corpus.generate_df(spark, 42, 60, partitions=5).collect()
+    }
+    assert got == want
+
+
+def test_ts_types(spark):
+    df = corpus.generate_df(spark, 42, 5)
+    row = df.first()
+    assert isinstance(row.ts, datetime)
+    assert df.schema["turn_idx"].dataType.simpleString() == "int"

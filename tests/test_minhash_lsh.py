@@ -1,0 +1,69 @@
+"""MinHash signature + LSH band parity and analytic sanity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lieu_spark import oracle
+from lieu_spark.config import DedupeConfig
+from lieu_spark.functions.minhash import with_minhash
+from lieu_spark.functions.text import shingle_hash_set, tokenize
+from lieu_spark.operators.lsh import band_table
+
+CFG = DedupeConfig()
+
+
+def _feature_df(spark, texts):
+    df = spark.createDataFrame([(f"d{i:03d}", t) for i, t in enumerate(texts)], ["conv_id", "doc"])
+    df = df.withColumn("tokens", tokenize(F.col("doc")))
+    df = df.withColumn("shingle_hashes", shingle_hash_set(F.col("tokens"), CFG.shingle_k))
+    return with_minhash(df, CFG)
+
+
+def test_signature_parity(spark):
+    texts = [
+        "",
+        "one two three",
+        " ".join(f"w{i}" for i in range(100)),
+        " ".join(f"w{i % 7}" for i in range(50)),
+        "solo",
+    ]
+    feat = _feature_df(spark, texts).select("conv_id", "sig").collect()
+    got = {r.conv_id: r.sig for r in feat}
+    for i, t in enumerate(texts):
+        want = oracle.minhash_signature(oracle.shingle_hashes(t, CFG.shingle_k), CFG)
+        assert got[f"d{i:03d}"] == want, f"sig mismatch for text {i}"
+
+
+def test_band_key_parity(spark):
+    texts = [" ".join(f"w{i}" for i in range(60)), "alpha beta gamma delta epsilon zeta"]
+    feat = _feature_df(spark, texts)
+    bands = band_table(feat, CFG).collect()
+    got = {}
+    for r in bands:
+        got.setdefault(r.id, []).append((r.band, r.band_hash))
+    for i, t in enumerate(texts):
+        sig = oracle.minhash_signature(oracle.shingle_hashes(t, CFG.shingle_k), CFG)
+        want = oracle.band_keys(sig, CFG)
+        assert sorted(got[f"d{i:03d}"]) == sorted(want)
+
+
+def test_minhash_estimates_jaccard():
+    """Signature agreement ~ Jaccard within statistical tolerance."""
+    rng = np.random.default_rng(7)
+    base = [int(x) for x in rng.integers(0, 2**62, 400)]
+    half = base[:200] + [int(x) for x in rng.integers(0, 2**62, 200)]
+    sa = oracle.minhash_signature(base, CFG)
+    sb = oracle.minhash_signature(half, CFG)
+    true_j = oracle.jaccard(set(base), set(half))
+    est = oracle.signature_agreement(sa, sb)
+    assert abs(est - true_j) < 0.15  # 128 perms => se ~ 0.044
+
+
+def test_identical_sets_identical_signatures():
+    h = [1, 5, 9, 123456789]
+    assert oracle.minhash_signature(h, CFG) == oracle.minhash_signature(list(reversed(h)), CFG)
+
+
+def test_empty_signature_sentinel():
+    sig = oracle.minhash_signature([], CFG)
+    assert len(sig) == CFG.num_perm and all(s == -1 for s in sig)  # MASK64 as signed

@@ -1,0 +1,54 @@
+"""Canonicalize / tokenize / shingle parity: Spark JVM expressions vs the
+pure-python oracle, including unicode and degenerate cases."""
+
+from pyspark.sql import functions as F
+
+from lieu_spark import oracle
+from lieu_spark.functions import text as T
+
+CASES = [
+    None,
+    "",
+    "   ",
+    "Hello, World!",
+    "a",
+    "one two three four five six seven",
+    "Tabs\tand\nnewlines  and   runs",
+    "MIXED case AND punct!!! ok?",
+    "café über straße",
+    "日本語 テスト 漢字",
+    "numbers 123 and 4a5b",
+    "x " * 200,
+]
+
+
+def test_canonicalize_parity(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "text: string")
+    got = [r[0] for r in df.select(T.canonicalize(F.col("text"))).collect()]
+    assert got == [oracle.canonicalize(c) for c in CASES]
+
+
+def test_tokenize_parity(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "text: string")
+    got = [r[0] for r in df.select(T.tokenize(F.col("text"))).collect()]
+    assert got == [oracle.tokens(c) for c in CASES]
+
+
+def test_shingle_hash_set_parity(spark):
+    for k in (2, 5):
+        df = spark.createDataFrame([(c,) for c in CASES], "text: string")
+        got = [
+            r[0]
+            for r in df.select(
+                T.shingle_hash_set(T.tokenize(F.col("text")), k)
+            ).collect()
+        ]
+        want = [oracle.shingle_hashes(c, k) for c in CASES]
+        assert got == want
+
+
+def test_shingles_short_text():
+    assert oracle.shingles([], 5) == []
+    assert oracle.shingles(["a"], 5) == ["a"]
+    assert oracle.shingles(["a", "b"], 5) == ["a b"]
+    assert oracle.shingles(["a", "b", "c"], 2) == ["a b", "b c"]
