@@ -1,38 +1,137 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-dup pipeline on sf0.001-derived
+transcripts. ``queries()`` / ``oracle_sql()`` — one entry per operator
+family from SURVEY.md §2 plus the training-data ops (dedup variants,
+ANN, text analysis, multimodal plumbing); DuckDB oracles live in
+lieu_spark/oracle_sql.py. Entries without an oracle are genuinely
+non-SQL-expressible (MinHash signatures / band keys / SimHash /
+suffix-array spans) and are covered by the pure-python-oracle pytest
+suite instead (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lieu_spark import queries as Q  # noqa: E402
+from lieu_spark.config import DedupeConfig  # noqa: E402
+from lieu_spark.oracle_sql import ORACLE  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedupe pipeline over transcripts derived from the
+    sf0.001 documents table -> verified duplicate pairs."""
+    return Q.q_dedupe_pairs_pipeline(spark, "/root/testdata/sf0.001")
+
+
+# --- non-SQL-expressible extras (rows-only driver check) -------------------
+
+
+def _q_minhash_band_sizes(spark, sf_dir):
+    from lieu_spark.functions.minhash import with_minhash
+    from lieu_spark.operators.lsh import band_stats, band_table
+
+    cfg = DedupeConfig()
+    feats = with_minhash(Q.doc_features(spark, sf_dir), cfg)
+    return band_stats(band_table(feats, cfg), cfg).orderBy(
+        "band", "band_hash"
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from lieu_spark.functions.simhash import with_simhash
+    from lieu_spark.operators.simhash_path import simhash_candidate_pairs
+
+    cfg = DedupeConfig()
+    feats = with_simhash(Q.doc_features(spark, sf_dir), cfg)
+    return simhash_candidate_pairs(feats, cfg).orderBy("id_a", "id_b")
+
+
+def _q_copied_spans(spark, sf_dir):
+    from lieu_spark.config import DedupeConfig as DC
+    from lieu_spark.operators.spans import copied_spans, winnow_span_candidates
+
+    cfg = DC(span_min_len=40)
+    feats = Q.doc_features(spark, sf_dir)
+    cand = winnow_span_candidates(feats, cfg)
+    docs = feats.select("conv_id", "doc")
+    pa = docs.select(F.col("conv_id").alias("id_a"), F.col("doc").alias("doc_a"))
+    pb = docs.select(F.col("conv_id").alias("id_b"), F.col("doc").alias("doc_b"))
+    return copied_spans(cand.join(pa, "id_a").join(pb, "id_b"), cfg).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from lieu_spark.operators.ann import hyperplane_lsh_topk
+
+    e = Q.load(spark, sf_dir, "embeddings")
+    t = hyperplane_lsh_topk(e, k=5)
+    return t.select(
+        F.col("id_a").alias("vec_id"),
+        "rank",
+        F.col("id_b").alias("nbr_id"),
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cos6"),
+    ).orderBy("vec_id", "rank")
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    from lieu_spark.functions.multimodal import decode_image_metadata, with_binary_payload
+
+    d = with_binary_payload(Q.load(spark, sf_dir, "documents"))
+    return decode_image_metadata(d).orderBy("doc_id")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return Q.q_doc_fingerprint(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    base = {
+        # TPC-H-ish operator parity (SURVEY §2.2-2.7)
+        "agg_lineitem": Q.q_agg_lineitem,
+        "join_enrich": Q.q_join_enrich,
+        "anti_join": Q.q_anti_join,
+        "semi_join": Q.q_semi_join,
+        "argmax_per_group": Q.q_argmax_per_group,
+        "topk_orders": Q.q_topk_orders,
+        "set_ops": Q.q_set_ops,
+        "window_events": Q.q_window_events,
+        "sessionize": Q.q_sessionize,
+        # text analysis (training-data ops)
+        "doc_tokens": Q.q_doc_tokens,
+        "doc_quality": Q.q_doc_quality,
+        "doc_langid": Q.q_doc_langid,
+        "binary_meta": Q.q_binary_meta,
+        # document dedupe
+        "exact_dup_groups": Q.q_exact_dup_groups,
+        "exact_dup_pairs": Q.q_exact_dup_pairs,
+        "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "dedupe_pairs_pipeline": Q.q_dedupe_pairs_pipeline,
+        "dedupe_clusters": Q.q_dedupe_clusters,
+        "transcript_roundtrip": Q.q_transcript_roundtrip,
+        # embeddings / similarity search
+        "ann_topk": Q.q_ann_topk,
+        "embedding_neardup": Q.q_embedding_neardup,
+        # non-SQL-expressible (rows-only): signatures, bands, simhash,
+        # spans, LSH-accelerated ANN, multimodal decode plumbing
+        "minhash_band_sizes": _q_minhash_band_sizes,
+        "simhash_pairs": _q_simhash_pairs,
+        "copied_spans": _q_copied_spans,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_meta": _q_multimodal_meta,
+        "doc_fingerprint": _q_doc_fingerprint,
+    }
+    return base
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

@@ -1,0 +1,129 @@
+"""Text-analysis functions for training-data pipelines.
+
+All JVM-side Catalyst expressions (no UDFs): language-ID n-gram/stopword
+heuristic, quality scoring, token counting (whitespace + BPE-ish regex),
+document fingerprinting. Each has an exact DuckDB-SQL twin in
+lieu_spark/oracle_sql.py so the driver's oracle can verify values.
+
+Ratio outputs are scaled to integers (x 1e6, bigint) to keep the
+driver's value-hash comparison exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .text import canonicalize, tokenize
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
+BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "los", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break priority
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(tokenize(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens on the lowercased raw text."""
+    return F.size(
+        F.regexp_extract_all(F.lower(F.coalesce(text, F.lit(""))), F.lit(BPE_PATTERN), 0)
+    ).cast("long")
+
+
+def _ratio6(num: Column, den: Column) -> Column:
+    """round(1e6 * num/den) as bigint; 0 when den == 0."""
+    return F.when(
+        den > 0, F.round(num.cast("double") * 1e6 / den.cast("double")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Length/punct/stopword-ratio quality features (integer-scaled)."""
+    raw = F.coalesce(text, F.lit(""))
+    n_chars = F.length(raw).cast("long")
+    toks = tokenize(text)
+    n_tokens = F.size(toks).cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.lower(raw), r"[^a-z]", "")).cast("long")
+    punct_chars = F.length(
+        F.regexp_replace(raw, r"[a-zA-Z0-9\s]", "")
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    mean_tok_len6 = _ratio6(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)),
+        n_tokens,
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio6": _ratio6(alpha_chars, n_chars),
+        "punct_ratio6": _ratio6(punct_chars, n_chars),
+        "stopword_ratio6": _ratio6(stop_hits, n_tokens),
+        "mean_token_len6": mean_tok_len6,
+    }
+
+
+def quality_score6(text: Column) -> Column:
+    """Composite quality in [0, 1e6]: rewards alpha-heavy, stopword-bearing,
+    mid-length docs; penalizes punctuation soup. Deterministic integer."""
+    q = quality_columns(text)
+    length_term = F.least(q["n_tokens"], F.lit(100)).cast("double") / 100.0
+    alpha_term = q["alpha_ratio6"].cast("double") / 1e6
+    stop_term = F.least(q["stopword_ratio6"].cast("double") / 1e6 * 4.0, F.lit(1.0))
+    punct_pen = q["punct_ratio6"].cast("double") / 1e6
+    score = (0.3 * length_term + 0.4 * alpha_term + 0.3 * stop_term) * (
+        1.0 - F.least(punct_pen * 2.0, F.lit(1.0))
+    )
+    return F.round(score * 1e6).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    toks = tokenize(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))).cast("long")
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-vote language ID. ASCII-poor text -> 'other'; no stopword
+    hits at all -> 'unknown'; ties broken by LANG_ORDER."""
+    raw = F.coalesce(text, F.lit(""))
+    n_chars = F.length(raw)
+    ascii_chars = F.length(F.regexp_replace(raw, r"[^\x00-\x7F]", ""))
+    hits = {lang: stopword_hits(text, lang) for lang in LANG_ORDER}
+    best = hits[LANG_ORDER[0]]
+    best_lang = F.lit(LANG_ORDER[0])
+    for lang in LANG_ORDER[1:]:
+        cond = hits[lang] > best
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best = F.when(cond, hits[lang]).otherwise(best)
+    guess = F.when(best > 0, best_lang).otherwise(F.lit("unknown"))
+    return F.when(
+        (n_chars > 0) & (ascii_chars.cast("double") / n_chars.cast("double") < 0.5),
+        F.lit("other"),
+    ).otherwise(guess)
+
+
+MOD31 = (1 << 31) - 1
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling polynomial hash over canonical tokens:
+    acc = (acc * 131 + xxhash64(token) mod 2^31) mod (2^31 - 1).
+    Intermediates stay < 2^39 so ANSI-mode long arithmetic never
+    overflows. Pure JVM (aggregate higher-order fn)."""
+    toks = tokenize(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 131 + F.pmod(F.xxhash64(t), F.lit(1 << 31)))
+        % F.lit(MOD31),
+    )

@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing — schemas, Arrow batch shape,
+``mapInPandas`` signatures, partitioning — is real and tested; the
+actual codec work is STUBBED because no image/audio libraries exist in
+this container:
+
+- ``decode_image_meta`` uses a deterministic fake decoder (dimensions
+  derived from the payload hash) so tests are reproducible;
+- ``decode_image_real`` raises NotImplementedError with the intended
+  production behavior documented.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test fixture path: treat UTF-8 text bytes as an opaque payload."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "payload_sha", F.sha2(F.col("payload"), 256)
+    )
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Production decoder — requires Pillow/libvips, absent here."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; production impl: PIL.Image.open(io.BytesIO(payload)) "
+        "-> (width, height, len(getbands()))"
+    )
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake: dimensions from a cheap byte hash."""
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    return (64 + h % 1920, 64 + (h >> 16) % 1080, 1 + (h >> 40) % 4)
+
+
+def decode_image_metadata(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas decode: Arrow batches of binary -> metadata rows.
+
+    The batch shape (one pandas DF per Arrow batch, bytes objects in the
+    payload column) matches what a real decoder UDF sees; only
+    ``_fake_dims`` would be swapped for ``decode_image_real``.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, c = [], [], []
+            for payload in pdf[payload_col]:
+                dw, dh, dc = _fake_dims(bytes(payload))
+                w.append(dw)
+                h.append(dh)
+                c.append(dc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "format": "fake",
+                    "width": pd.array(w, dtype="int32"),
+                    "height": pd.array(h, dtype="int32"),
+                    "channels": pd.array(c, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+    id_col: str = "doc_id", payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing (video analog): UDTF-style fan-out via
+    mapInPandas — each payload yields up to max_frames byte slices.
+    Real impl would demux containers; the slicing stands in for frames.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)

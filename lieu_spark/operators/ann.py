@@ -1,0 +1,180 @@
+"""Approximate nearest neighbors over embedding columns.
+
+Two tiers (task brief: similarity-search as a first-class component):
+
+- ``brute_force_topk`` — exact cosine top-k via a self-join. Correctness
+  baseline and the oracle for the LSH variant. O(n^2) pairs: fine at
+  test SF, not the 100 TB path.
+- ``hyperplane_lsh_topk`` — random-hyperplane (SimHash-for-cosine)
+  bucketing: ``nbits`` signed projections -> one integer bucket key per
+  ``ntables`` independent tables; candidates = bucket collisions in any
+  table; exact cosine re-rank on candidates. Scale path: the self-join
+  shuffles on (table, bucket) instead of exploding n^2; recall tunable
+  by (nbits, ntables). Hyperplanes are deterministic from ``seed``,
+  computed JVM-side: bucket bit i = sign(dot(v, h_i)) packed via
+  aggregate — no UDF, no driver-side vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_with_norms, dot, norm
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+
+
+def _pair_cosine(left: DataFrame, right: DataFrame) -> DataFrame:
+    """(id_a, id_b, cosine) for the cross of two (id, vec, nrm) frames."""
+    a = left.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = right.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a"), F.col("nrm_b")
+            ),
+        )
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _topk(pairs: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per id_a: by cosine desc, id_b asc tie-break."""
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    base = _with_norm(embeddings, id_col, vec_col)
+    return _topk(_pair_cosine(base, base), k)
+
+
+def hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((ntables, nbits, dim))
+
+
+def _bucket_col(vec, plane: np.ndarray):
+    """Integer bucket key: sign bits of nbits hyperplane projections.
+    Pure JVM: each projection is an aggregate over zip_with with a
+    literal array; bits pack into a long."""
+    bits = []
+    for i in range(plane.shape[0]):
+        lit = F.array(*[F.lit(float(x)) for x in plane[i]])
+        proj = F.aggregate(
+            F.zip_with(vec, lit, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    nbits: int = 12,
+    ntables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) — one row per (vector, table)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits, ntables, seed)
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    parts = []
+    for t in range(ntables):
+        parts.append(
+            base.select(
+                "id",
+                F.lit(t).cast("long").alias("table"),
+                _bucket_col(F.col("vec"), planes[t]).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    k: int,
+    nbits: int = 12,
+    ntables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    buckets = hyperplane_buckets(embeddings, nbits, ntables, seed, id_col, vec_col)
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), ["table", "bucket"])
+        .filter(F.col("l.id") != F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = _with_norm(embeddings, id_col, vec_col)
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a"), F.col("nrm_b")
+            ),
+        )
+        .select("id_a", "id_b", "cosine")
+    )
+    return _topk(scored, k)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    nbits: int = 12,
+    ntables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vectors (cosine >= threshold) via LSH buckets,
+    normalized (id_a < id_b)."""
+    topk = hyperplane_lsh_topk(
+        embeddings, k=50, nbits=nbits, ntables=ntables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return (
+        topk.filter(F.col("cosine") >= threshold)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

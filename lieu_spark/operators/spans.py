@@ -35,15 +35,21 @@ from pyspark.sql.types import (
 
 from ..config import DedupeConfig
 
-SPAN_SCHEMA = StructType(
-    [
-        StructField("id_a", StringType()),
-        StructField("id_b", StringType()),
-        StructField("start_a", IntegerType()),
-        StructField("start_b", IntegerType()),
-        StructField("length", IntegerType()),
-    ]
-)
+def span_schema(id_type) -> StructType:
+    """Output schema follows the caller's id type (conv_id strings for
+    transcripts, int64 doc ids for the documents surrogate)."""
+    return StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("start_a", IntegerType()),
+            StructField("start_b", IntegerType()),
+            StructField("length", IntegerType()),
+        ]
+    )
+
+
+SPAN_SCHEMA = span_schema(StringType())
 
 
 def _suffix_array_np(codes: np.ndarray) -> np.ndarray:
@@ -141,9 +147,9 @@ def copied_spans(
                 rows, columns=["id_a", "id_b", "start_a", "start_b", "length"]
             )
 
-    return pairs_with_text.select("id_a", "id_b", "doc_a", "doc_b").mapInPandas(
-        compute, SPAN_SCHEMA
-    )
+    selected = pairs_with_text.select("id_a", "id_b", "doc_a", "doc_b")
+    schema = span_schema(selected.schema["id_a"].dataType)
+    return selected.mapInPandas(compute, schema)
 
 
 def span_candidates(verified: DataFrame, cfg: DedupeConfig) -> DataFrame:

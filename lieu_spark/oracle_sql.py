@@ -1,0 +1,336 @@
+"""DuckDB oracle SQL — the ANSI twins of lieu_spark/queries.py.
+
+Engine-parity rules embodied here:
+- thresholds on similarities use exact integer arithmetic
+  (10*inter >= 9*uni), never float compares;
+- doubles only appear pre-rounding (x1e6 -> bigint) and with explicit
+  CAST(... AS DOUBLE) so float32 columns never accumulate in float32;
+- ranks order by the rounded value + id tie-break;
+- canonicalization is the RE2 twin of the Spark/Java regex (identical on
+  this corpus; documented caveat: Turkish dotted-I differs).
+"""
+
+from __future__ import annotations
+
+# canonical tokens of column ``text`` (alias: toks)
+_TOKS = (
+    "CASE WHEN trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) = '' "
+    "THEN []::VARCHAR[] "
+    "ELSE string_split(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') END"
+)
+
+# k=5 shingles over toks (list of strings, duplicates kept)
+_SHINGLES = (
+    "CASE WHEN len(toks) = 0 THEN []::VARCHAR[] "
+    "WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END"
+)
+
+_DOCS_AUG = """
+aug AS (
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id < 25
+    UNION ALL
+    SELECT doc_id + 200000, text || ' zz yy xx qq ww', lang, source, n_chars
+    FROM documents WHERE doc_id >= 25 AND doc_id < 50
+)
+"""
+
+# distinct shingle rows per augmented doc: (doc_id, n_sh, sh)
+_AUG_SHINGLES = f"""
+{_DOCS_AUG},
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+shl AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM tok),
+ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM shl)
+"""
+
+_JACCARD_PAIRS = f"""
+WITH {_AUG_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           max(a.n_sh) AS na, max(b.n_sh) AS nb, count(*) AS inter
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b, inter, na + nb - inter AS uni,
+           CAST(round(CAST(inter AS DOUBLE) / (na + nb - inter) * 1e6) AS BIGINT) AS j6
+    FROM inter
+)
+"""
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["agg_lineitem"] = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+"""
+
+ORACLE["join_enrich"] = """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+ORACLE["anti_join"] = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name ORDER BY n_name
+"""
+
+ORACLE["semi_join"] = """
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_suppliers
+FROM supplier
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_suppkey = s_suppkey
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+)
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+ORACLE["argmax_per_group"] = """
+WITH ranked AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+    FROM customer
+)
+SELECT c_nationkey, c_custkey AS top_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM ranked WHERE rn = 1 ORDER BY c_nationkey
+"""
+
+ORACLE["topk_orders"] = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+ORACLE["set_ops"] = """
+SELECT count(*) AS n_custkeys FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+)
+"""
+
+ORACLE["window_events"] = """
+WITH ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS cnt
+    FROM events
+)
+SELECT user_id, max(cnt) AS n_events,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn = cnt THEN event_type END) AS last_type
+FROM ranked GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE["sessionize"] = """
+WITH lagged AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM lagged
+),
+sess AS (
+    SELECT user_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+per_sess AS (
+    SELECT user_id, session_id, count(*) AS sess_events
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, max(sess_events) AS max_session_events,
+       sum(sess_events) AS n_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE["doc_tokens"] = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+            '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM tok ORDER BY doc_id
+"""
+
+ORACLE["doc_quality"] = f"""
+WITH tok AS (SELECT doc_id, coalesce(text, '') AS text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS alpha_ratio6,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS punct_ratio6,
+       CASE WHEN len(toks) > 0 THEN CAST(round(
+            CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+            * 1e6 / len(toks)) AS BIGINT) ELSE 0 END AS stopword_ratio6,
+       CASE WHEN len(toks) > 0 THEN CAST(round(
+            CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+            * 1e6 / len(toks)) AS BIGINT) ELSE 0 END AS mean_token_len6
+FROM tok ORDER BY doc_id
+"""
+
+ORACLE["doc_langid"] = f"""
+WITH tok AS (SELECT doc_id, coalesce(text, '') AS text, {_TOKS} AS toks FROM documents),
+hits AS (
+    SELECT doc_id, text,
+        len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS h_en,
+        len(list_filter(toks, t -> list_contains(['el','la','de','y','que','los','en','un'], t))) AS h_es,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','zu','den'], t))) AS h_de,
+        len(list_filter(toks, t -> list_contains(['le','la','et','les','des','un','une','est'], t))) AS h_fr
+    FROM tok
+)
+SELECT doc_id,
+    CASE WHEN length(text) > 0
+              AND CAST(length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')) AS DOUBLE)
+                  / length(text) < 0.5 THEN 'other'
+         WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'unknown'
+         WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+         WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+         WHEN h_de >= h_fr THEN 'de'
+         ELSE 'fr' END AS lang_guess
+FROM hits ORDER BY doc_id
+"""
+
+ORACLE["binary_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE["exact_dup_groups"] = f"""
+WITH {_DOCS_AUG}
+SELECT sha256(text) AS text_sha, count(*) AS group_size, min(doc_id) AS rep_id
+FROM aug GROUP BY sha256(text) HAVING count(*) > 1 ORDER BY rep_id
+"""
+
+ORACLE["exact_dup_pairs"] = f"""
+WITH {_DOCS_AUG},
+g AS (SELECT doc_id, sha256(text) AS sha FROM aug),
+reps AS (SELECT sha, min(doc_id) AS rep FROM g GROUP BY sha)
+SELECT r.rep AS id_a, g.doc_id AS id_b
+FROM g JOIN reps r USING (sha) WHERE g.doc_id != r.rep
+ORDER BY id_a, id_b
+"""
+
+ORACLE["ngram_jaccard_pairs"] = f"""
+{_JACCARD_PAIRS}
+SELECT id_a, id_b, inter, uni, j6 FROM pairs WHERE 2 * inter >= uni
+ORDER BY id_a, id_b
+"""
+
+ORACLE["dedupe_pairs_pipeline"] = f"""
+{_JACCARD_PAIRS},
+shas AS (SELECT doc_id, sha256(text) AS sha FROM aug)
+SELECT p.id_a, p.id_b, p.j6,
+       CAST(sa.sha = sb.sha AS INT) AS is_exact_i
+FROM pairs p
+JOIN shas sa ON sa.doc_id = p.id_a
+JOIN shas sb ON sb.doc_id = p.id_b
+WHERE 10 * p.inter >= 9 * p.uni OR sa.sha = sb.sha
+ORDER BY id_a, id_b
+"""
+
+ORACLE["dedupe_clusters"] = f"""
+WITH RECURSIVE {_DOCS_AUG.strip()},
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+shl AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM tok),
+ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM shl),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           max(a.n_sh) AS na, max(b.n_sh) AS nb, count(*) AS inter
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jpairs AS (
+    SELECT id_a, id_b FROM inter WHERE 10 * inter >= 9 * (na + nb - inter)
+),
+g AS (SELECT doc_id, sha256(text) AS sha FROM aug),
+reps AS (SELECT sha, min(doc_id) AS rep FROM g GROUP BY sha),
+epairs AS (
+    SELECT r.rep AS id_a, g.doc_id AS id_b
+    FROM g JOIN reps r USING (sha) WHERE g.doc_id != r.rep
+),
+allp AS (SELECT * FROM jpairs UNION SELECT * FROM epairs),
+edges AS (SELECT id_a AS u, id_b AS v FROM allp
+          UNION SELECT id_b, id_a FROM allp),
+walk(id, comp) AS (
+    SELECT doc_id, doc_id FROM aug
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+ORACLE["transcript_roundtrip"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+chunks AS (
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS turn_idx,
+           array_to_string(toks[(i-1)*12+1 : (i-1)*12+12], ' ') AS turn_text
+    FROM (SELECT doc_id, toks, n, unnest(range(1, CAST(ceil(n / 12.0) AS BIGINT) + 1)) AS i FROM nz)
+)
+SELECT doc_id, count(*) AS n_turns,
+       sha256(string_agg(turn_text, ' ' ORDER BY turn_idx)) AS reassembled_sha
+FROM chunks GROUP BY doc_id ORDER BY doc_id
+"""
+
+_COS_PAIRS = """
+WITH ex AS (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id != b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+cpairs AS (
+    SELECT d.id_a, d.id_b,
+           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
+    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+)
+"""
+
+ORACLE["ann_topk"] = f"""
+{_COS_PAIRS}
+SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
+    SELECT id_a, id_b, cos6,
+           row_number() OVER (PARTITION BY id_a ORDER BY cos6 DESC, id_b ASC) AS rank
+    FROM cpairs
+) WHERE rank <= 5 ORDER BY vec_id, rank
+"""
+
+ORACLE["embedding_neardup"] = f"""
+{_COS_PAIRS}
+SELECT id_a, id_b, cos6 FROM cpairs
+WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
+"""

@@ -1,0 +1,468 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB oracle twin in oracle_sql.py.
+
+Conventions for exact cross-engine value-hash matching:
+- money sums -> bigint cents (doubles summed in different orders differ);
+- ratios/similarities -> round(1e6 * x) as bigint (j6/cos6 columns);
+- ranks computed on the *rounded* value with explicit id tie-breaks;
+- every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import DedupeConfig
+from .functions import analysis as A
+from .functions import text as T
+from .functions.minhash import with_minhash
+from .functions.multimodal import with_binary_payload
+from .functions.vectors import cosine_with_norms, dot, norm
+from .operators.cluster import clusters_with_singletons, connected_components
+from .operators.exact import exact_star_pairs
+from .operators.lsh import band_table, candidate_pairs
+from .operators.verify import verify_pairs
+
+CFG = DedupeConfig()
+K = CFG.shingle_k
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# shared derived datasets
+# ---------------------------------------------------------------------------
+
+
+def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id<25, +100000) ∪ near copies with a
+    5-token suffix (25<=doc_id<50, +200000) — planted dupes expressible
+    identically in SQL."""
+    d = load(spark, sf_dir, "documents")
+    exact = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx qq ww")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        exact
+    ).unionByName(near)
+
+
+def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_aug as degenerate one-turn conversations -> feature table."""
+    d = docs_aug(spark, sf_dir)
+    df = d.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("text").alias("doc"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+    df = df.withColumn("tokens", T.tokenize(F.col("doc")))
+    df = df.withColumn("shingle_hashes", T.shingle_hash_set(F.col("tokens"), K))
+    return df
+
+
+def transcripts_from_docs(spark: SparkSession, sf_dir: str, chunk: int = 12) -> DataFrame:
+    """Deterministic transcripts derived from documents: canonical tokens
+    split into ``chunk``-token turns (SQL-expressible twin)."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    n = F.size(toks)
+    turns = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(chunk)).cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("turn_idx"),
+            F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)).alias("turn_text"),
+        ),
+    )
+    return (
+        d.filter(n > 0)
+        .select(F.col("doc_id").alias("conv_id"), F.explode(turns).alias("t"))
+        .select(
+            "conv_id",
+            F.col("t.turn_idx").alias("turn_idx"),
+            F.col("t.turn_text").alias("turn_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish operator parity (SURVEY §2.2-2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_lineitem(spark, sf_dir):
+    """A1 count-per-key / partial agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_enrich(spark, sf_dir):
+    """J1/J2 enrich joins: orders -> customer -> nation rollup."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("sum_price_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """J4 anti join: customers with no orders, per nation."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """Semi join: suppliers with >=1 lineitem shipped in 1995."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("s_nationkey")
+    )
+
+
+def q_argmax_per_group(spark, sf_dir):
+    """A6/O3 arg-max per group with deterministic tie-break."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_custkey").alias("top_custkey"),
+            cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """O1/O4 global top-k with tie-break."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", cents(F.col("o_totalprice")).alias("price_cents"))
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """§2.7 set ops: custkeys ordering in 1994 but not in 1995."""
+    o = load(spark, sf_dir, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1994).select("o_custkey").distinct()
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    return y94.exceptAll(y95).agg(F.count("*").alias("n_custkeys"))
+
+
+def q_window_events(spark, sf_dir):
+    """W1-analog stable ordering: per user first/last event type."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min_by(event_type, struct(ts, event_id))").alias("first_type"),
+            F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) — batch analog of the streaming
+    session window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; ANSI mode forbids a direct long cast —
+    # route through ltz (session tz is UTC) for floor-epoch seconds
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("sess_events")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("sess_events").alias("max_session_events"),
+            F.sum("sess_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (F-functions / training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_tokens(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        A.ws_token_count(F.col("text")).alias("ws_tokens"),
+        A.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_doc_quality(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    q = A.quality_columns(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars_m"),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio6"].alias("alpha_ratio6"),
+        q["punct_ratio6"].alias("punct_ratio6"),
+        q["stopword_ratio6"].alias("stopword_ratio6"),
+        q["mean_token_len6"].alias("mean_token_len6"),
+    ).orderBy("doc_id")
+
+
+def q_doc_langid(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", A.lang_guess(F.col("text")).alias("lang_guess")).orderBy(
+        "doc_id"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    # rows-only check (xxhash64 not reproducible in DuckDB); pytest
+    # verifies against the pure-python oracle instead
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", A.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_binary_meta(spark, sf_dir):
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.col("payload_sha").alias("payload_sha"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# document dedupe (exact / n-gram Jaccard / clusters / pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    d = docs_aug(spark, sf_dir).withColumn("text_sha", F.sha2(F.col("text"), 256))
+    return (
+        d.groupBy("text_sha")
+        .agg(F.count("*").alias("group_size"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("group_size") > 1)
+        .orderBy("rep_id")
+    )
+
+
+def q_exact_dup_pairs(spark, sf_dir):
+    d = docs_aug(spark, sf_dir).select(
+        F.col("doc_id").alias("conv_id"), F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    return exact_star_pairs(d).orderBy("id_a", "id_b")
+
+
+def _shingle_pairs(spark, sf_dir):
+    """Relational n-gram Jaccard: explode distinct shingles, self-join.
+    Returns every co-shingling pair with integer (inter, uni) counts —
+    thresholds are applied by callers with exact integer predicates."""
+    feats = doc_features(spark, sf_dir).select(
+        "conv_id", "shingle_hashes", F.size("shingle_hashes").alias("n_sh")
+    )
+    ex = feats.select(
+        F.col("conv_id"), F.col("n_sh"), F.explode("shingle_hashes").alias("h")
+    )
+    l = ex.select(
+        F.col("conv_id").alias("id_a"), F.col("n_sh").alias("na"), "h"
+    )
+    r = ex.select(
+        F.col("conv_id").alias("id_b"), F.col("n_sh").alias("nb"), "h"
+    )
+    inter = (
+        l.join(r, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = inter.withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+    # j6 expression shape must match the SQL oracle exactly: (i/u)*1e6
+    out = out.withColumn(
+        "j6",
+        F.round(
+            F.col("inter").cast("double") / F.col("uni").cast("double") * 1e6
+        ).cast("long"),
+    )
+    return out.select("id_a", "id_b", "inter", "uni", "j6")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    p = _shingle_pairs(spark, sf_dir)
+    return p.filter(2 * F.col("inter") >= F.col("uni")).orderBy("id_a", "id_b")
+
+
+def q_dedupe_pairs_pipeline(spark, sf_dir):
+    """Flagship cross-check: the full MinHash/LSH pipeline's verified
+    duplicate pairs must equal the SQL brute-force Jaccard >= 0.9 pairs
+    (LSH miss probability at J>=0.9 is ~1e-15 with b=32, r=4)."""
+    feats = with_minhash(doc_features(spark, sf_dir), CFG)
+    bands = band_table(feats, CFG)
+    cand = candidate_pairs(bands, CFG).unionByName(
+        exact_star_pairs(feats.select("conv_id", "text_sha"))
+    ).dropDuplicates(["id_a", "id_b"])
+    v = verify_pairs(cand, feats, CFG)
+    dupes = v.filter(F.col("status").isin("exact_duplicate", "likely_duplicate"))
+    return dupes.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("j6"),
+        F.col("is_exact").cast("int").alias("is_exact_i"),
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedupe_clusters(spark, sf_dir):
+    """Connected components over J>=0.9 ∪ exact pairs, with singletons."""
+    pairs = (
+        _shingle_pairs(spark, sf_dir)
+        .filter(10 * F.col("inter") >= 9 * F.col("uni"))
+        .select("id_a", "id_b")
+    )
+    exact = q_exact_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs.unionByName(exact).dropDuplicates(["id_a", "id_b"]))
+    all_ids = docs_aug(spark, sf_dir).select(F.col("doc_id").alias("conv_id"))
+    return (
+        clusters_with_singletons(all_ids, comp)
+        .select(F.col("conv_id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_transcript_roundtrip(spark, sf_dir):
+    """W1 stable-ordering assembly: chunked transcripts reassemble to the
+    canonical document text (per-turn text equality invariant)."""
+    t = transcripts_from_docs(spark, sf_dir)
+    assembled = (
+        t.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("turn_text")))
+            ).alias("turns"),
+        )
+        .withColumn(
+            "doc",
+            F.concat_ws(" ", F.transform(F.col("turns"), lambda s: s["turn_text"])),
+        )
+    )
+    return assembled.select(
+        F.col("conv_id").alias("doc_id"),
+        "n_turns",
+        F.sha2(F.col("doc"), 256).alias("reassembled_sha"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# embeddings / ANN
+# ---------------------------------------------------------------------------
+
+
+def _cosine_pairs(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    e = e.withColumn("nrm", norm(F.col("vec")))
+    a = e.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_with_norms(
+                    dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a"), F.col("nrm_b")
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .select("id_a", "id_b", "cos6")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5; rank on the ROUNDED value + id tie-break
+    so ordering is engine-independent."""
+    pairs = _cosine_pairs(spark, sf_dir)
+    w = Window.partitionBy("id_a").orderBy(F.col("cos6").desc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("id_a").alias("vec_id"), "rank", F.col("id_b").alias("nbr_id"), "cos6")
+        .orderBy("vec_id", "rank")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    pairs = _cosine_pairs(spark, sf_dir)
+    return (
+        pairs.filter((F.col("cos6") >= 950000) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "cos6")
+        .orderBy("id_a", "id_b")
+    )
