@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Headline: full transcript dedupe pipeline (assemble -> features ->
+bands -> candidates -> verify -> cluster -> spans, all checkpointed to
+stage tables) on the deterministic synthetic transcript corpus scaled to
+$SPARK_GRAFT_SF_DIR, run at TWO parallelism levels — local[8] and
+local[$SPARK_GRAFT_CPUS] — on identical input, as the sandbox stand-in
+for the north rule's N vs 4N executor scaling requirement (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "transcript_dedupe_wall", "value": <sec at P2>,
+   "unit": "sec", "queries": {<stage>: sec, ...}, "sf": <sf>,
+   "turns": N, "turns_per_sec": ..., "scaling": {...}}
+
+Each measured run happens in a subprocess launched via spark-submit
+--py-files (the packaged-job shape the north rule requires); corpus
+generation is cached to parquet and excluded from timed regions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+CACHE = REPO / ".bench_cache"
+
+
+def sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(sf: float) -> Path:
+    return CACHE / f"transcripts_sf{sf}" / "transcripts.parquet"
+
+
+def ensure_corpus(sf: float, n_convs: int) -> Path:
+    path = corpus_path(sf)
+    marker = path.parent / "_done.json"
+    if marker.exists():
+        meta = json.loads(marker.read_text())
+        if meta.get("n_convs") == n_convs:
+            return path
+    sys.path.insert(0, str(REPO))
+    from lieu_spark import corpus
+    from lieu_spark.session import build_session
+
+    spark = build_session("lieu_spark_gen", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    df = corpus.generate_df(spark, 42, n_convs)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    df.write.mode("overwrite").parquet(str(path))
+    spark.stop()
+    marker.write_text(json.dumps({"n_convs": n_convs}))
+    return path
+
+
+def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None:
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from lieu_spark import queries as Q
+    from lieu_spark.checkpoint import StageStore
+    from lieu_spark.config import DedupeConfig
+    from lieu_spark.pipeline import run_pipeline
+    from lieu_spark.session import build_session
+
+    cfg = DedupeConfig()
+    spark = build_session(f"lieu_spark_bench_{cores}", cores=cores)
+    tdf = spark.read.parquet(corpus_parquet)
+    n_turns = tdf.count()
+
+    store_dir = tempfile.mkdtemp(prefix=f"bench_stages_{cores}_")
+    t0 = time.time()
+    res = run_pipeline(
+        spark,
+        tdf,
+        cfg,
+        store=StageStore(store_dir),
+        metrics_dir=os.path.join(store_dir, "metrics"),
+        run_id=f"bench{cores}",
+    )
+    wall = time.time() - t0
+    n_pairs = res.verified.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+
+    timings = dict(res.stage_wall)
+
+    # secondary workloads on the driver-provided tables
+    t1 = time.time()
+    doc_pairs = Q.q_dedupe_pairs_pipeline(spark, sf_dir).count()
+    timings["doc_dedupe"] = time.time() - t1
+
+    t2 = time.time()
+    from lieu_spark.operators.ann import hyperplane_lsh_topk
+
+    ann = hyperplane_lsh_topk(Q.load(spark, sf_dir, "embeddings"), k=5).count()
+    timings["ann_lsh_topk"] = time.time() - t2
+
+    spark.stop()
+    shutil.rmtree(store_dir, ignore_errors=True)
+    payload = {
+        "cores": cores,
+        "pipeline_wall_sec": wall,
+        "turns": n_turns,
+        "turns_per_sec": n_turns / wall if wall > 0 else 0.0,
+        "verified_pairs": n_pairs,
+        "clusters": n_clusters,
+        "doc_dedupe_pairs": doc_pairs,
+        "ann_rows": ann,
+        "stage_sec": {k: round(v, 3) for k, v in timings.items()},
+    }
+    Path(out_json).write_text(json.dumps(payload))
+
+
+def submit(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> dict:
+    """Launch one measured run via spark-submit --py-files (falls back to
+    plain python if spark-submit is unavailable)."""
+    pyfiles = str(CACHE / "lieu_spark.zip")
+    if not Path(pyfiles).exists():
+        CACHE.mkdir(exist_ok=True)
+        shutil.make_archive(pyfiles[:-4], "zip", REPO, "lieu_spark")
+    args = [
+        str(REPO / "bench.py"),
+        "--run-one",
+        "--cores", str(cores),
+        "--sf-dir", sf_dir,
+        "--corpus", corpus_parquet,
+        "--out", out_json,
+    ]
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit:
+        cmd = [
+            spark_submit,
+            "--master", f"local[{cores}]",
+            "--py-files", pyfiles,
+            "--conf", "spark.ui.enabled=false",
+        ] + args
+    else:
+        cmd = [sys.executable] + args
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cores)
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench subprocess (cores={cores}) failed")
+    return json.loads(Path(out_json).read_text())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-one", action="store_true")
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--corpus", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--n-convs", type=int, default=None)
+    ap.add_argument("--skip-scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.run_one:
+        run_one(args.cores, args.sf_dir, args.corpus, args.out)
+        return
+
+    sf = sf_of(args.sf_dir)
+    n_convs = args.n_convs or int(
+        os.environ.get("SPARK_GRAFT_BENCH_CONVS", max(500, int(200000 * sf)))
+    )
+    corpus_parquet = str(ensure_corpus(sf, n_convs))
+
+    p2 = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    p1 = max(2, p2 // 4)
+    CACHE.mkdir(exist_ok=True)
+
+    r2 = submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_p{p2}.json"))
+    scaling = None
+    if not args.skip_scaling:
+        r1 = submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_p{p1}.json"))
+        speedup = r2["turns_per_sec"] / r1["turns_per_sec"] if r1["turns_per_sec"] else 0
+        scaling = {
+            "p1_cores": p1,
+            "p1_wall_sec": round(r1["pipeline_wall_sec"], 2),
+            "p1_turns_per_sec": round(r1["turns_per_sec"], 1),
+            "p2_cores": p2,
+            "p2_wall_sec": round(r2["pipeline_wall_sec"], 2),
+            "p2_turns_per_sec": round(r2["turns_per_sec"], 1),
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (p2 / p1), 3),
+        }
+
+    queries = {"pipeline_total": round(r2["pipeline_wall_sec"], 3)}
+    queries.update({k: round(v, 3) for k, v in r2["stage_sec"].items()})
+    out = {
+        "metric": "transcript_dedupe_wall",
+        "value": round(r2["pipeline_wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "turns": r2["turns"],
+        "turns_per_sec": round(r2["turns_per_sec"], 1),
+        "verified_pairs": r2["verified_pairs"],
+        "clusters": r2["clusters"],
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

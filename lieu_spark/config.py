@@ -11,9 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from dataclasses import asdict, dataclass, field
-
-import numpy as np
+from dataclasses import asdict, dataclass
 
 MASK64 = (1 << 64) - 1
 XXHASH_DEFAULT_SEED = 42  # Spark's F.xxhash64 seed (fixed in Spark source)
@@ -23,19 +21,18 @@ XXHASH_DEFAULT_SEED = 42  # Spark's F.xxhash64 seed (fixed in Spark source)
 class DedupeConfig:
     """Knobs for the transcript dedupe pipeline.
 
-    MinHash permutations use multiply-add hashing mod 2**64 with odd
-    multipliers: sig[j] = min_x((a[j]*x + b[j]) mod 2**64). Both the
-    numpy pandas-UDF path and the pure-python oracle use identical
-    uint64 wrap-around semantics, so signatures are byte-identical.
+    MinHash uses one-permutation hashing with rotation densification
+    (functions/minhash.py); the numpy pandas-UDF path and the
+    pure-python oracle share identical uint64 wrap-around semantics,
+    so signatures are byte-identical.
     """
 
     # --- shingling ---
     shingle_k: int = 5          # words per shingle
-    # --- MinHash / LSH ---
-    num_perm: int = 128
+    # --- MinHash / LSH (one-permutation hashing; see functions/minhash.py)
+    num_perm: int = 128         # OPH bins; must be a power of two
     lsh_bands: int = 32         # b
     lsh_rows: int = 4           # r ; b*r == num_perm
-    minhash_seed: int = 42
     # --- verification thresholds (lieu: api.py:61-64) ---
     threshold_likely: float = 0.9
     threshold_review: float = 0.7
@@ -64,16 +61,10 @@ class DedupeConfig:
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:
             raise ValueError("lsh_bands * lsh_rows must equal num_perm")
+        if self.num_perm & (self.num_perm - 1):
+            raise ValueError("num_perm must be a power of two (OPH bins)")
         if self.simhash_bits % self.simhash_chunks != 0:
             raise ValueError("simhash_bits must divide into simhash_chunks")
-
-    def minhash_params(self) -> tuple[np.ndarray, np.ndarray]:
-        """(a, b) uint64 arrays, deterministic in (minhash_seed, num_perm)."""
-        rng = np.random.default_rng(self.minhash_seed)
-        a = rng.integers(1, MASK64, size=self.num_perm, dtype=np.uint64)
-        a |= np.uint64(1)  # odd multipliers -> bijective mod 2**64
-        b = rng.integers(0, MASK64, size=self.num_perm, dtype=np.uint64)
-        return a, b
 
     def fingerprint(self) -> str:
         """Content-address of the config — stamped into checkpoint stage

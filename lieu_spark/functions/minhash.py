@@ -1,14 +1,25 @@
-"""MinHash signatures as an Arrow-batched pandas UDF.
+"""MinHash signatures via one-permutation hashing (OPH), Arrow-batched.
 
 Replaces the reference's C ``near_dupe_hashes`` blocking-key generator
 (/root/reference/lib/lieu/dedupe.py:250-325) with MinHash + LSH banding.
-The UDF is fully numpy-vectorized across the Arrow batch: all shingle
-hashes in the batch are flattened into one uint64 array, the (a*x+b) mod
-2**64 permutation matrix is evaluated in bounded-memory chunks, and
-per-row minima come from ``np.minimum.reduceat`` — no per-row Python.
 
-sig[j] = min over shingle hashes x of (a[j]*x + b[j]) mod 2**64
-empty shingle set -> all-MASK64 sentinel signature.
+Classic k-permutation MinHash costs O(n_shingles * num_perm) uint64
+traffic per doc — memory-bandwidth-bound and the pipeline's dominant
+cost at scale. One-permutation hashing (Li, Owen, Zhang 2012) gets the
+same signature family in O(n_shingles): partition the 64-bit hash space
+into ``num_perm`` bins by the top bits, keep the min hash per bin, and
+densify empty bins by rotation borrowing (Shrivastava & Li 2014) with a
+per-step offset to avoid spurious collisions between sparse docs.
+
+The whole batch is one ``np.minimum.at`` scatter-min — no per-row
+Python, ~128x less memory traffic than the permutation matrix.
+
+sig semantics (shared bit-for-bit with lieu_spark.oracle.minhash_signature):
+  bucket(x)  = unsigned(x) >> (64 - log2(num_perm))
+  sig[j]     = min unsigned(x) over shingles with bucket(x) == j
+  empty bin  -> borrow sig[(j+d) % B] of the nearest non-empty bin
+                (smallest d >= 1), value + d * GOLD  (mod 2**64)
+  empty doc  -> all MASK64 sentinel
 """
 
 from __future__ import annotations
@@ -20,57 +31,56 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..config import MASK64, DedupeConfig
 
-# max shingle hashes per vectorized chunk: 2**16 rows x 128 perms x 8B = 64 MiB
-_CHUNK_HASHES = 1 << 16
+GOLD = np.uint64(0x9E3779B97F4A7C15)  # odd constant for densification offsets
+_EMPTY = np.uint64(MASK64)
 
 
-def _minhash_batch(arrays: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
-    num_perm = a.shape[0]
+def densify(sig: np.ndarray) -> np.ndarray:
+    """Rotation densification, vectorized over (rows, B). Rows with no
+    occupied bin at all are left as the all-sentinel signature."""
+    B = sig.shape[1]
+    occupied = sig != _EMPTY
+    any_occ = occupied.any(axis=1)
+    out = sig.copy()
+    need = ~occupied & any_occ[:, None]
+    d = 1
+    while need.any() and d < B:
+        src = np.roll(sig, -d, axis=1)  # bin j takes from bin (j+d) % B
+        src_occ = np.roll(occupied, -d, axis=1)
+        take = need & src_occ
+        with np.errstate(over="ignore"):
+            out[take] = src[take] + np.uint64(d) * GOLD
+        need &= ~take
+        d += 1
+    return out
+
+
+def oph_batch(arrays: pd.Series, num_perm: int) -> pd.Series:
     n = len(arrays)
-    out = np.empty((n, num_perm), dtype=np.uint64)
+    B = num_perm
+    shift = np.uint64(64 - int(B).bit_length() + 1)  # 64 - log2(B)
     lens = np.fromiter((len(v) for v in arrays), dtype=np.int64, count=n)
-    empty_mask = lens == 0
-    out[empty_mask, :] = np.uint64(MASK64)
-
-    idx = np.nonzero(~empty_mask)[0]
-    if idx.size:
+    out = np.full((n, B), _EMPTY, dtype=np.uint64)
+    nz = np.nonzero(lens > 0)[0]
+    if nz.size:
         flat = np.concatenate(
-            [np.asarray(arrays.iat[i], dtype=np.int64).view(np.uint64) for i in idx]
-        )
-        row_lens = lens[idx]
-        starts = np.zeros(idx.size, dtype=np.int64)
-        np.cumsum(row_lens[:-1], out=starts[1:])
-        # chunk on row boundaries so reduceat segments never straddle chunks
-        row_ptr = 0
-        while row_ptr < idx.size:
-            row_end = row_ptr
-            total = 0
-            while row_end < idx.size and (
-                total + row_lens[row_end] <= _CHUNK_HASHES or row_end == row_ptr
-            ):
-                total += row_lens[row_end]
-                row_end += 1
-            lo = starts[row_ptr]
-            hi = lo + total
-            x = flat[lo:hi]
-            with np.errstate(over="ignore"):
-                vals = x[:, None] * a[None, :] + b[None, :]
-            seg_starts = (starts[row_ptr:row_end] - lo).astype(np.intp)
-            mins = np.minimum.reduceat(vals, seg_starts, axis=0)
-            out[idx[row_ptr:row_end], :] = mins
-            row_ptr = row_end
-
-    sig = out.view(np.int64)
-    return pd.Series([sig[i] for i in range(n)])
+            [np.asarray(arrays.iat[i], dtype=np.int64) for i in nz]
+        ).view(np.uint64)
+        rows = np.repeat(np.arange(nz.size), lens[nz])
+        keys = rows * B + (flat >> shift).astype(np.int64)
+        mins = np.full(nz.size * B, _EMPTY, dtype=np.uint64)
+        np.minimum.at(mins, keys, flat)
+        out[nz] = densify(mins.reshape(nz.size, B))
+    return pd.Series(list(out.view(np.int64)))
 
 
 def make_minhash_udf(cfg: DedupeConfig):
     """pandas UDF: array<long> shingle hashes -> array<long> signature."""
-    a, b = cfg.minhash_params()
+    num_perm = cfg.num_perm
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_udf(hashes: pd.Series) -> pd.Series:
-        return _minhash_batch(hashes, a, b)
+        return oph_batch(hashes, num_perm)
 
     return minhash_udf
 

@@ -148,6 +148,10 @@ def copied_spans(
             )
 
     selected = pairs_with_text.select("id_a", "id_b", "doc_a", "doc_b")
+    # suffix-array cost is per-PAIR CPU, not bytes: repartition explicitly
+    # so AQE's byte-based coalescing can't serialize the LCS stage
+    sc = selected.sparkSession.sparkContext
+    selected = selected.repartition(max(2 * sc.defaultParallelism, 8))
     schema = span_schema(selected.schema["id_a"].dataType)
     return selected.mapInPandas(compute, schema)
 

@@ -69,18 +69,39 @@ def shingle_hashes(text: str | None, k: int) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
+GOLD = 0x9E3779B97F4A7C15  # densification offset constant (shared param)
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 def minhash_signature(hashes: list[int], cfg: DedupeConfig) -> list[int]:
-    """sig[j] = min_x((a[j]*x + b[j]) mod 2**64) over unsigned shingle
-    hashes; empty set → all MASK64. Returned as signed int64 (Spark long).
-    """
-    a, b = cfg.minhash_params()
+    """One-permutation-hashing signature, pure-python twin of
+    functions/minhash.py (bucket by top bits, min per bucket, rotation
+    densification with d*GOLD offsets). Empty set → all MASK64 sentinel.
+    Returned as signed int64 (Spark long)."""
+    B = cfg.num_perm
+    shift = 64 - (B.bit_length() - 1)
     if not hashes:
-        return [np.int64(np.uint64(MASK64)).item()] * cfg.num_perm
-    x = np.array([to_unsigned64(h) for h in hashes], dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        vals = x[:, None] * a[None, :] + b[None, :]  # uint64 wrap-around
-    sig = vals.min(axis=0)
-    return sig.view(np.int64).tolist()
+        return [_signed(MASK64)] * B
+    mins: dict[int, int] = {}
+    for h in hashes:
+        u = to_unsigned64(h)
+        j = u >> shift
+        if j not in mins or u < mins[j]:
+            mins[j] = u
+    sig = []
+    for j in range(B):
+        if j in mins:
+            sig.append(mins[j])
+        else:
+            for d in range(1, B):
+                src = (j + d) % B
+                if src in mins:
+                    sig.append((mins[src] + d * GOLD) & MASK64)
+                    break
+    return [_signed(u) for u in sig]
 
 
 def band_keys(sig: list[int], cfg: DedupeConfig) -> list[tuple[int, int]]:

@@ -54,8 +54,17 @@ class PipelineResult:
 
 
 def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """doc -> tokens, shingle_hashes (JVM), sig + simhash (pandas UDFs)."""
-    df = conversations.withColumn("tokens", tokenize(F.col("doc")))
+    """doc -> tokens, shingle_hashes (JVM), sig + simhash (pandas UDFs).
+
+    Explicit repartition first: AQE coalesces the upstream groupBy output
+    by shuffle BYTES (~64 MB advisory), which would funnel the CPU-heavy
+    signature UDFs into 1-2 tasks. AQE never coalesces an explicit
+    numPartitions repartition, so parallelism here tracks cores, not
+    bytes — the single biggest local-scaling lever we found (BENCH.md).
+    """
+    sc = conversations.sparkSession.sparkContext
+    df = conversations.repartition(max(2 * sc.defaultParallelism, 8))
+    df = df.withColumn("tokens", tokenize(F.col("doc")))
     df = df.withColumn("shingle_hashes", shingle_hash_set(F.col("tokens"), cfg.shingle_k))
     df = with_minhash(df, cfg)
     df = with_simhash(df, cfg)

@@ -50,8 +50,12 @@ def test_band_key_parity(spark):
 def test_minhash_estimates_jaccard():
     """Signature agreement ~ Jaccard within statistical tolerance."""
     rng = np.random.default_rng(7)
-    base = [int(x) for x in rng.integers(0, 2**62, 400)]
-    half = base[:200] + [int(x) for x in rng.integers(0, 2**62, 200)]
+    # full-range 64-bit values — OPH buckets by top bits, and real
+    # xxhash64 output spans the whole space
+    base = [int(x) for x in rng.integers(0, 2**64, 400, dtype=np.uint64).astype(np.int64)]
+    half = base[:200] + [
+        int(x) for x in rng.integers(0, 2**64, 200, dtype=np.uint64).astype(np.int64)
+    ]
     sa = oracle.minhash_signature(base, CFG)
     sb = oracle.minhash_signature(half, CFG)
     true_j = oracle.jaccard(set(base), set(half))
