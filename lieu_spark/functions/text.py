@@ -49,22 +49,44 @@ def shingle_strings(toks: Column, k: int) -> Column:
     )
 
 
-def shingle_hash_set(toks: Column, k: int) -> Column:
-    """Distinct xxhash64 of each distinct shingle, sorted — array<long>.
+def token_hashes(toks: Column) -> Column:
+    """xxhash64 per token (duplicates kept, order kept) — array<long>.
+    One string-hash pass shared by shingling AND SimHash."""
+    return F.transform(toks, lambda t: F.xxhash64(t))
 
-    This is the per-doc set MinHash consumes and exact-Jaccard verification
-    intersects. Sorted ascending so the column is deterministic for
-    value-hash comparison and resume byte-equality.
+
+def shingle_hash_set(tok_hashes: Column, k: int) -> Column:
+    """Distinct shingle hashes, sorted — array<long>.
+
+    Shingle identity = the ordered k-tuple of token hashes, keyed by
+    ``xxhash64(slice(token_hashes, i, k))`` (Spark chains array elements
+    with seed 42; oracle twin: hashing.xxh64_chain). Avoids building the
+    k-word shingle *strings* entirely — no concat/UTF-8 re-hash per
+    window, ~4x cheaper than the string formulation on 300-token docs.
+
+    IMPORTANT: pass a *materialized column* of token hashes, not an
+    inline expression — a computed outer expression referenced inside
+    the transform() lambda is re-evaluated per element (measured 26x
+    slowdown; see BENCH.md).
+
+    <k tokens -> one shingle of everything; 0 -> [].
     """
-    sh = shingle_strings(toks, k)
-    return F.array_sort(
-        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    n = F.size(tok_hashes)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.xxhash64(F.slice(tok_hashes, i + 1, k)),
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<long>"))
+        .when(n < k, F.array(F.xxhash64(tok_hashes)))
+        .otherwise(F.array_sort(F.array_distinct(windows)))
     )
 
 
 def with_text_features(df, text_col: str, k: int):
-    """Attach tokens / shingle_hashes columns in one projection."""
-    toks = tokenize(F.col(text_col))
-    return df.withColumn("tokens", toks).withColumn(
-        "shingle_hashes", shingle_hash_set(F.col("tokens"), k)
+    """Attach tokens / token_hashes / shingle_hashes in staged columns."""
+    return (
+        df.withColumn("tokens", tokenize(F.col(text_col)))
+        .withColumn("token_hashes", token_hashes(F.col("tokens")))
+        .withColumn("shingle_hashes", shingle_hash_set(F.col("token_hashes"), k))
     )

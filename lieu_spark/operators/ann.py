@@ -94,13 +94,17 @@ def _bucket_col(vec, plane: np.ndarray):
 
 def hyperplane_buckets(
     embeddings: DataFrame,
-    nbits: int = 12,
-    ntables: int = 4,
+    nbits: int = 6,
+    ntables: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, table, bucket) — one row per (vector, table)."""
+    """(id, table, bucket) — one row per (vector, table).
+
+    Parameter guide (p_bit = 1 - acos(cos)/pi; hit = 1-(1-p_bit^nbits)^T):
+    moderate-similarity top-k (cos ~0.3-0.5): nbits=6, T=16;
+    near-duplicate search (cos >= 0.95): nbits=8, T=8 (hit ~0.99)."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits, ntables, seed)
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -122,8 +126,8 @@ def hyperplane_buckets(
 def hyperplane_lsh_topk(
     embeddings: DataFrame,
     k: int,
-    nbits: int = 12,
-    ntables: int = 4,
+    nbits: int = 6,
+    ntables: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -160,8 +164,8 @@ def hyperplane_lsh_topk(
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.99,
-    nbits: int = 12,
-    ntables: int = 6,
+    nbits: int = 8,
+    ntables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

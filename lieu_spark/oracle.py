@@ -59,9 +59,15 @@ def shingle_set(text: str | None, k: int) -> set[str]:
 
 
 def shingle_hashes(text: str | None, k: int) -> list[int]:
-    """Distinct xxhash64 (signed, Spark-equal) of each distinct shingle,
-    sorted — the canonical per-doc shingle-hash set."""
-    return sorted({xxh64_string(s) for s in shingle_set(text, k)})
+    """Distinct shingle hashes, sorted — Spark-twin of
+    functions/text.shingle_hash_set: shingle key = chained xxhash64 over
+    the window's token hashes (hashed as longs, seed 42)."""
+    th = [xxh64_string(t) for t in tokens(text)]
+    if not th:
+        return []
+    if len(th) < k:
+        return [xxh64_chain([th])]
+    return sorted({xxh64_chain([th[i : i + k]]) for i in range(len(th) - k + 1)})
 
 
 # ---------------------------------------------------------------------------

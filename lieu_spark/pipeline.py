@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from .checkpoint import StageStore
 from .config import DEFAULT_CONFIG, DedupeConfig
 from .functions.minhash import with_minhash
-from .functions.simhash import with_simhash
-from .functions.text import shingle_hash_set, tokenize
+from .functions.simhash import make_simhash_udf
+from .functions.text import shingle_hash_set, token_hashes, tokenize
 from .metrics import record_stage
 from .operators.assemble import assemble_conversations
 from .operators.cluster import clusters_with_singletons, connected_components
@@ -65,11 +65,15 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
     sc = conversations.sparkSession.sparkContext
     df = conversations.repartition(max(2 * sc.defaultParallelism, 8))
     df = df.withColumn("tokens", tokenize(F.col("doc")))
-    df = df.withColumn("shingle_hashes", shingle_hash_set(F.col("tokens"), cfg.shingle_k))
+    # one string-hash pass feeds both shingling and SimHash
+    df = df.withColumn("token_hashes", token_hashes(F.col("tokens")))
+    df = df.withColumn(
+        "shingle_hashes", shingle_hash_set(F.col("token_hashes"), cfg.shingle_k)
+    )
     df = with_minhash(df, cfg)
-    df = with_simhash(df, cfg)
+    df = df.withColumn("simhash", make_simhash_udf()(F.col("token_hashes")))
     return df.select(
-        "conv_id", "n_turns", "text_sha", "tokens", "shingle_hashes", "sig", "simhash"
+        "conv_id", "n_turns", "text_sha", "shingle_hashes", "sig", "simhash"
     )
 
 

@@ -70,7 +70,8 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha"),
     )
     df = df.withColumn("tokens", T.tokenize(F.col("doc")))
-    df = df.withColumn("shingle_hashes", T.shingle_hash_set(F.col("tokens"), K))
+    df = df.withColumn("token_hashes", T.token_hashes(F.col("tokens")))
+    df = df.withColumn("shingle_hashes", T.shingle_hash_set(F.col("token_hashes"), K))
     return df
 
 

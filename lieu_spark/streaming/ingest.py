@@ -1,0 +1,124 @@
+"""Incremental transcript ingest — Structured Streaming front door.
+
+The reference has no streaming (SURVEY.md §2.9); its incremental shape
+is batch-over-batch index merging (``update_doc_frequency``,
+/root/reference/lib/lieu/spark/tfidf.py:43-45). We keep that shape and
+put Structured Streaming in front of it: ``readStream`` over an arriving
+directory/table of turn rows, ``foreachBatch`` assembling each
+micro-batch's *complete* conversations and matching them against the
+canonical feature index (the ``match()`` ingest-against-index mode,
+lib/lieu/spark/dedupe.py:24-48), then folding new signatures into the
+index — exactly how a 100 TB deployment dedupes arriving data without
+re-blocking the corpus.
+
+Semantics note: a conversation is matchable once all its turns have
+arrived in one micro-batch window here; cross-batch turn assembly would
+need ``applyInPandasWithState`` keyed by conv_id with an event-time
+timeout — left as the documented upgrade path (the stage-table contract
+is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, DedupeConfig
+from ..operators.assemble import assemble_conversations
+from ..operators.lsh import band_table, match_pairs
+from ..operators.verify import verify_pairs
+from ..pipeline import build_features
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of turn rows (parquet files landing in a dir).
+    In production this is a Kafka/Iceberg CDC source with a watermark on
+    ``ts``; the file source keeps the container test hermetic."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+class IncrementalDeduper:
+    """foreachBatch handler: match each micro-batch against the canonical
+    index, append verified pairs, fold new uniques into the index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        pairs_dir: str,
+        cfg: DedupeConfig = DEFAULT_CONFIG,
+    ) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self.pairs_dir = pairs_dir
+        self.cfg = cfg
+
+    def _load_index(self) -> DataFrame | None:
+        try:
+            df = self.spark.read.parquet(self.index_dir)
+            return df if df.columns else None
+        except Exception:
+            return None
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        convs = assemble_conversations(batch_df)
+        feats = build_features(convs, self.cfg).persist()
+        index = self._load_index()
+        if index is not None:
+            cand = match_pairs(
+                band_table(index, self.cfg), band_table(feats, self.cfg), self.cfg
+            ).select(
+                F.col("canonical_id").alias("id_a"),
+                F.col("incoming_id").alias("id_b"),
+            )
+            all_feats = index.unionByName(feats)
+            verified = verify_pairs(cand, all_feats, self.cfg, method="stream_match")
+            verified.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(self.pairs_dir)
+            dupe_ids = (
+                verified.filter(
+                    F.col("status").isin("exact_duplicate", "likely_duplicate")
+                )
+                .select(F.col("id_b").alias("conv_id"))
+                .distinct()
+            )
+            new_uniques = feats.join(dupe_ids, "conv_id", "left_anti")
+        else:
+            new_uniques = feats
+        # S8 parity: fold this batch's uniques into the canonical index
+        new_uniques.write.mode("append").parquet(self.index_dir)
+        feats.unpersist()
+
+
+def run_stream(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    cfg: DedupeConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+):
+    """Wire the stream; with available_now=True drains what's on disk and
+    stops (test mode / catch-up mode)."""
+    dedupe = IncrementalDeduper(
+        spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg
+    )
+    stream = stream_transcripts(spark, input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(dedupe.process_batch)
+        .option("checkpointLocation", f"{work_dir}/_stream_checkpoint")
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

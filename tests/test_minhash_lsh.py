@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 from lieu_spark import oracle
 from lieu_spark.config import DedupeConfig
 from lieu_spark.functions.minhash import with_minhash
-from lieu_spark.functions.text import shingle_hash_set, tokenize
+from lieu_spark.functions.text import shingle_hash_set, token_hashes, tokenize
 from lieu_spark.operators.lsh import band_table
 
 CFG = DedupeConfig()
@@ -15,7 +15,9 @@ CFG = DedupeConfig()
 def _feature_df(spark, texts):
     df = spark.createDataFrame([(f"d{i:03d}", t) for i, t in enumerate(texts)], ["conv_id", "doc"])
     df = df.withColumn("tokens", tokenize(F.col("doc")))
-    df = df.withColumn("shingle_hashes", shingle_hash_set(F.col("tokens"), CFG.shingle_k))
+    df = df.withColumn(
+        "shingle_hashes", shingle_hash_set(token_hashes(F.col("tokens")), CFG.shingle_k)
+    )
     return with_minhash(df, CFG)
 
 

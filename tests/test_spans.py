@@ -57,7 +57,7 @@ def test_cap_respected():
 def test_winnow_blocker_finds_span_pair(spark):
     from pyspark.sql import functions as F
 
-    from lieu_spark.functions.text import shingle_hash_set, tokenize
+    from lieu_spark.functions.text import shingle_hash_set, token_hashes, tokenize
 
     span = " ".join(f"sp{i:03d}" for i in range(120))
     a = " ".join(f"aa{i}" for i in range(200)) + " " + span
@@ -66,7 +66,9 @@ def test_winnow_blocker_finds_span_pair(spark):
     df = spark.createDataFrame(
         [("A", a), ("B", b), ("C", c)], ["conv_id", "doc"]
     ).withColumn("tokens", tokenize(F.col("doc")))
-    df = df.withColumn("shingle_hashes", shingle_hash_set(F.col("tokens"), CFG.shingle_k))
+    df = df.withColumn(
+        "shingle_hashes", shingle_hash_set(token_hashes(F.col("tokens")), CFG.shingle_k)
+    )
     got = {(r.id_a, r.id_b) for r in winnow_span_candidates(df, CFG).collect()}
     assert ("A", "B") in got
     assert all("C" not in p for p in got)

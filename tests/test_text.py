@@ -40,7 +40,7 @@ def test_shingle_hash_set_parity(spark):
         got = [
             r[0]
             for r in df.select(
-                T.shingle_hash_set(T.tokenize(F.col("text")), k)
+                T.shingle_hash_set(T.token_hashes(T.tokenize(F.col("text"))), k)
             ).collect()
         ]
         want = [oracle.shingle_hashes(c, k) for c in CASES]
