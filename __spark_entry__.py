@@ -106,6 +106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": Q.q_set_ops,
         "window_events": Q.q_window_events,
         "sessionize": Q.q_sessionize,
+        "id_assignment": Q.q_id_assignment,
+        "json_extract": Q.q_json_extract,
+        "term_counts_top": Q.q_term_counts_top,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "multiset_jaccard": Q.q_multiset_jaccard,
         # text analysis (training-data ops)
         "doc_tokens": Q.q_doc_tokens,
         "doc_quality": Q.q_doc_quality,

@@ -1,0 +1,119 @@
+"""Token weighting: TF-IDF and information gain — the reference's word
+index (SURVEY.md §2 A8/A9).
+
+Reference parity:
+- TF-IDF doc frequencies + scoring: /root/reference/lib/lieu/tfidf.py:13-98
+  (score = log(tf + 1) * log(N / df), L2-normalized per doc;
+  zero-norm -> uniform 1/sqrt(n))
+- information gain: lib/lieu/information_gain.py:12-102 and the
+  distributed variant lib/lieu/spark/information_gain.py:16-75
+  (ig(w) = sum over contexts c of p(w,c) * log2(p(w,c) / (p(w)*p(c)))
+  clamped >= 0; words with no co-occurrences get -log2(p(w)))
+
+The reference computes these with ~6 reduceByKey/join shuffles of
+per-row Python; here each is a short chain of groupBy/join/log
+expressions that Catalyst executes with partial aggregation. Not used
+by the MinHash pipeline (unweighted Jaccard per north_rule) — provided
+for capability parity and available for a weighted-MinHash upgrade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_frequencies(docs_tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, tokens array) -> (token, df) distinct-doc frequencies.
+    Reference: lib/lieu/tfidf.py:52-66 (update_doc_frequency)."""
+    return (
+        docs_tokens.select(id_col, F.explode(F.array_distinct("tokens")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def tfidf_scores(
+    docs_tokens: DataFrame, id_col: str = "doc_id", min_df: int = 1
+) -> DataFrame:
+    """Per (doc, token): tf, df, and L2-normalized tf-idf score.
+
+    score = log(tf + 1) * log(N / df)   (lib/lieu/tfidf.py:85-98)
+    norm  = score / sqrt(sum score^2 per doc); all-zero doc -> uniform
+            1/sqrt(n_distinct_tokens) (lib/lieu/word_index.py:14-36).
+    """
+    n_docs = docs_tokens.count()
+    tf = (
+        docs_tokens.select(id_col, F.explode("tokens").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = doc_frequencies(docs_tokens, id_col).filter(F.col("df") >= min_df)
+    scored = tf.join(df, "token").withColumn(
+        "score",
+        F.log(F.col("tf") + 1.0) * F.log(F.lit(float(n_docs)) / F.col("df")),
+    )
+    norms = scored.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("l2"),
+        F.count("*").alias("n_tokens_distinct"),
+    )
+    return scored.join(norms, id_col).withColumn(
+        "score_norm",
+        F.when(F.col("l2") > 0, F.col("score") / F.col("l2")).otherwise(
+            1.0 / F.sqrt(F.col("n_tokens_distinct"))
+        ),
+    )
+
+
+def information_gain(
+    docs_tokens: DataFrame, id_col: str = "doc_id", min_count: int = 1
+) -> DataFrame:
+    """(token, ig) over the corpus, lieu semantics: context = the other
+    distinct tokens co-occurring in a document.
+
+    Reference (lib/lieu/information_gain.py:74-102): with N = total
+    token-pair observations and M = total token observations,
+      p(w)    = count(w) / M
+      p(w, c) = cooccur(w, c) / N
+      ig(w)   = sum_c max(0, p(w,c) * log2(p(w,c) / (p(w) * p(c))))
+      no co-occurrences at all -> ig(w) = -log2(p(w))
+    """
+    toks = docs_tokens.select(id_col, F.array_distinct("tokens").alias("toks"))
+    marg = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    m_total = marg.agg(F.sum("cnt")).collect()[0][0] or 1
+    pairs = (
+        toks.select(F.explode("toks").alias("w"), F.col("toks"))
+        .select("w", F.explode("toks").alias("c"))
+        .filter(F.col("w") != F.col("c"))
+        .groupBy("w", "c")
+        .agg(F.count("*").alias("co"))
+    )
+    n_total = pairs.agg(F.sum("co")).collect()[0][0] or 1
+    pw = marg.select("w", (F.col("cnt") / float(m_total)).alias("p_w"))
+    pc = marg.select(
+        F.col("w").alias("c"), (F.col("cnt") / float(m_total)).alias("p_c")
+    )
+    joint = (
+        pairs.withColumn("p_wc", F.col("co") / float(n_total))
+        .join(pw, "w")
+        .join(pc, "c")
+        .withColumn(
+            "term",
+            F.greatest(
+                F.lit(0.0),
+                F.col("p_wc")
+                * F.log2(F.col("p_wc") / (F.col("p_w") * F.col("p_c"))),
+            ),
+        )
+    )
+    ig = joint.groupBy("w").agg(F.sum("term").alias("ig"))
+    # words never co-occurring (single-token docs): -log2(p(w))
+    lonely = pw.join(ig, "w", "left_anti").select(
+        "w", (-F.log2(F.col("p_w"))).alias("ig")
+    )
+    return ig.unionByName(lonely).withColumnRenamed("w", "token")

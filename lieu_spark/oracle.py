@@ -144,6 +144,67 @@ def signature_agreement(sig_a: list[int], sig_b: list[int]) -> float:
     return eq / len(sig_a)
 
 
+def tfidf_scores(docs: dict, min_df: int = 1) -> dict:
+    """{doc_id: {token: (tf, df, score, score_norm)}} — pure-python twin
+    of functions/weighting.tfidf_scores (lieu lib/lieu/tfidf.py:85-98)."""
+    import math
+
+    n_docs = len(docs)
+    dfreq: Counter = Counter()
+    for toks in docs.values():
+        dfreq.update(set(toks))
+    out: dict = {}
+    for doc_id, toks in docs.items():
+        tf = Counter(toks)
+        scored = {}
+        for tok, cnt in tf.items():
+            if dfreq[tok] < min_df:
+                continue
+            scored[tok] = math.log(cnt + 1.0) * math.log(n_docs / dfreq[tok])
+        l2 = math.sqrt(sum(s * s for s in scored.values()))
+        out[doc_id] = {
+            tok: (
+                tf[tok],
+                dfreq[tok],
+                s,
+                s / l2 if l2 > 0 else 1.0 / math.sqrt(len(scored)),
+            )
+            for tok, s in scored.items()
+        }
+    return out
+
+
+def information_gain(docs: dict, min_count: int = 1) -> dict:
+    """{token: ig} — twin of functions/weighting.information_gain
+    (lieu lib/lieu/information_gain.py:74-102)."""
+    import math
+
+    marg: Counter = Counter()
+    co: Counter = Counter()
+    for toks in docs.values():
+        ts = sorted(set(toks))
+        marg.update(ts)
+        for w in ts:
+            for c in ts:
+                if w != c:
+                    co[(w, c)] += 1
+    marg = Counter({w: c for w, c in marg.items() if c >= min_count})
+    m_total = sum(marg.values()) or 1
+    n_total = sum(co.values()) or 1
+    ig: dict = {}
+    for (w, c), cnt in co.items():
+        if w not in marg or c not in marg:
+            continue
+        p_wc = cnt / n_total
+        p_w = marg[w] / m_total
+        p_c = marg[c] / m_total
+        ig[w] = ig.get(w, 0.0) + max(0.0, p_wc * math.log2(p_wc / (p_w * p_c)))
+    for w, cnt in marg.items():
+        if w not in ig:
+            ig[w] = -math.log2(cnt / m_total)
+    return ig
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

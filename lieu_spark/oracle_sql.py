@@ -163,6 +163,94 @@ SELECT user_id, count(*) AS n_sessions, max(sess_events) AS max_session_events,
 FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
+ORACLE["id_assignment"] = """
+SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS assigned_id
+FROM documents ORDER BY doc_id
+"""
+
+ORACLE["json_extract"] = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE["term_counts_top"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+pos AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tok)
+),
+counts AS (
+    SELECT doc_id, token, count(*) AS tf, min(pos) AS first_pos
+    FROM pos GROUP BY doc_id, token
+),
+ranked AS (
+    SELECT doc_id, token, tf, first_pos,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tf DESC, first_pos ASC, token ASC) AS rank
+    FROM counts
+)
+SELECT doc_id, rank, token, tf, first_pos FROM ranked
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+ORACLE["tfidf_top_terms"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT count(*) AS n_docs FROM tok),
+tf AS (
+    SELECT doc_id, unnest(toks) AS token FROM tok
+),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+dfc AS (
+    SELECT token, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM tok)
+    GROUP BY token
+),
+scored AS (
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           CAST(round(ln(t.tf + 1.0) * ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1e6)
+                AS BIGINT) AS score6
+    FROM tfc t JOIN dfc d USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score6 DESC, token ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, token, tf, df, score6 FROM ranked WHERE rank = 1 ORDER BY doc_id
+"""
+
+ORACLE["multiset_jaccard"] = f"""
+WITH {_DOCS_AUG},
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+    GROUP BY doc_id, token
+),
+tot AS (SELECT doc_id, sum(tf) AS total FROM tf GROUP BY doc_id),
+base AS (
+    SELECT doc_id AS id_a, doc_id + 200000 AS id_b
+    FROM documents WHERE doc_id >= 25 AND doc_id < 50
+),
+inter AS (
+    SELECT b.id_a, b.id_b, sum(least(ta.tf, tb.tf)) AS inter_tf
+    FROM base b
+    JOIN tf ta ON ta.doc_id = b.id_a
+    JOIN tf tb ON tb.doc_id = b.id_b AND tb.token = ta.token
+    GROUP BY b.id_a, b.id_b
+)
+SELECT i.id_a, i.id_b, i.inter_tf,
+       sa.total + sb.total - i.inter_tf AS denom_tf,
+       CAST(round(CAST(i.inter_tf AS DOUBLE)
+            / (sa.total + sb.total - i.inter_tf) * 1e6) AS BIGINT) AS mj6
+FROM inter i
+JOIN tot sa ON sa.doc_id = i.id_a
+JOIN tot sb ON sb.doc_id = i.id_b
+ORDER BY id_a
+"""
+
 ORACLE["doc_tokens"] = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,

@@ -242,6 +242,123 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_id_assignment(spark, sf_dir):
+    """S4 parity: stable id assignment — the reference's zipWithIndex
+    replaced by a deterministic row_number over a total order."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return d.select("doc_id").withColumn(
+        "assigned_id", F.row_number().over(w).cast("long")
+    ).orderBy("doc_id")
+
+
+def q_json_extract(spark, sf_dir):
+    """S2 parity: JSON parse of the events props payload."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+def q_term_counts_top(spark, sf_dir):
+    """A2/A3/W2 parity: within-doc term counts with ordered positions —
+    posexplode + groupBy + deterministic top-3 per doc."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(T.tokenize(F.col("text"))).alias("pos", "token"))
+    counts = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf"), F.min("pos").alias("first_pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("first_pos").asc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "first_pos")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """A9 parity: TF-IDF word index — top term per doc by integer-scaled
+    score (log(tf+1)*log(N/df), rank on score6 + token tie-break)."""
+    d = load(spark, sf_dir, "documents")
+    docs_tokens = d.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
+    n_docs = docs_tokens.count()
+    tf = (
+        docs_tokens.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = (
+        docs_tokens.select(
+            "doc_id", F.explode(F.array_distinct("tokens")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(dfreq, "token").withColumn(
+        "score6",
+        F.round(
+            F.log(F.col("tf") + F.lit(1.0))
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+            * 1e6
+        ).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score6").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("doc_id", "token", "tf", "df", "score6")
+        .orderBy("doc_id")
+    )
+
+
+def q_multiset_jaccard(spark, sf_dir):
+    """F6 parity: the reference's term-frequency-weighted Jaccard
+    (lib/lieu/similarity.py:63-79) on the planted near-copy pairs:
+    sum(min(c1,c2)) / (sum(c1)+sum(c2)-sum(min))."""
+    d = docs_aug(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(T.tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("total"))
+    # planted near pairs: (x, x+200000) for 25 <= x < 50
+    base = d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+    )
+    ta = tf.select(F.col("doc_id").alias("id_a"), "token", F.col("tf").alias("tf_a"))
+    tb = tf.select(F.col("doc_id").alias("id_b"), "token", F.col("tf").alias("tf_b"))
+    inter = (
+        base.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("inter_tf"))
+    )
+    sa = tot.select(F.col("doc_id").alias("id_a"), F.col("total").alias("tot_a"))
+    sb = tot.select(F.col("doc_id").alias("id_b"), F.col("total").alias("tot_b"))
+    out = inter.join(sa, "id_a").join(sb, "id_b")
+    return out.select(
+        "id_a",
+        "id_b",
+        "inter_tf",
+        (F.col("tot_a") + F.col("tot_b") - F.col("inter_tf")).alias("denom_tf"),
+        F.round(
+            F.col("inter_tf").cast("double")
+            / (F.col("tot_a") + F.col("tot_b") - F.col("inter_tf")).cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("mj6"),
+    ).orderBy("id_a")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (F-functions / training-data ops)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,60 @@
+"""TF-IDF + information-gain word index vs the pure-python oracle
+(lieu A8/A9 parity, lib/lieu/tfidf.py:85-98,
+lib/lieu/information_gain.py:74-102)."""
+
+import pytest
+
+from lieu_spark import oracle
+from lieu_spark.functions.weighting import information_gain, tfidf_scores
+
+DOCS = {
+    1: ["spark", "dedupe", "spark", "fast"],
+    2: ["dedupe", "slow", "join"],
+    3: ["spark", "join", "join", "agg"],
+    4: ["lonely"],
+}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(k, v) for k, v in DOCS.items()], "doc_id long, tokens array<string>"
+    )
+
+
+def test_tfidf_matches_oracle(spark, docs_df):
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.score, r.score_norm)
+        for r in tfidf_scores(docs_df).collect()
+    }
+    want = oracle.tfidf_scores(DOCS)
+    assert set(got) == {(d, t) for d, toks in want.items() for t in toks}
+    for (d, t), (tf, df, s, sn) in got.items():
+        wtf, wdf, ws, wsn = want[d][t]
+        assert (tf, df) == (wtf, wdf)
+        assert abs(s - ws) < 1e-12
+        assert abs(sn - wsn) < 1e-12
+
+
+def test_tfidf_l2_norm_is_unit(spark, docs_df):
+    rows = tfidf_scores(docs_df).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, 0.0)
+        by_doc[r.doc_id] += r.score_norm**2
+    for doc_id, sq in by_doc.items():
+        # unit norm unless the doc's scores were all zero
+        assert abs(sq - 1.0) < 1e-9 or all(
+            abs(r.score) < 1e-12 for r in rows if r.doc_id == doc_id
+        )
+
+
+def test_information_gain_matches_oracle(spark, docs_df):
+    got = {r.token: r.ig for r in information_gain(docs_df).collect()}
+    want = oracle.information_gain(DOCS)
+    assert set(got) == set(want)
+    for tok, ig in got.items():
+        assert abs(ig - want[tok]) < 1e-9, tok
+    # the never-co-occurring token gets -log2(p)
+    assert got["lonely"] == pytest.approx(want["lonely"])
+    assert got["lonely"] > 0
