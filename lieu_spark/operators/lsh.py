@@ -25,7 +25,7 @@ shuffle, same as the reference's ``distinct()``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import DedupeConfig
@@ -57,18 +57,25 @@ def _salted(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     split into ceil(size/cap) salted sub-groups; pairs are generated only
     within a sub-group. Cross-sub-group pairs of a hot band are recovered
     by the other b-1 bands (and flagged in metrics — see band_stats).
+
+    ``bsize`` comes from a window over the band key (ONE exchange that
+    the subsequent self-join re-keys from) rather than an aggregate +
+    join-back (which planned as two extra exchanges per side —
+    .explain-driven rewrite, see BENCH.md).
     """
-    sizes = bands.groupBy("band", "band_hash").agg(F.count("*").alias("bsize"))
-    withsz = bands.join(sizes, ["band", "band_hash"])
+    w = Window.partitionBy("band", "band_hash")
     nsplit = F.greatest(
         F.lit(1), F.ceil(F.col("bsize") / F.lit(cfg.hot_band_cap))
     ).cast("long")
-    return withsz.withColumn(
-        "sub",
-        F.when(
-            F.col("bsize") > cfg.hot_band_cap,
-            F.pmod(F.xxhash64(F.col("id")), nsplit),
-        ).otherwise(F.lit(0).cast("long")),
+    return (
+        bands.withColumn("bsize", F.count("*").over(w))
+        .withColumn(
+            "sub",
+            F.when(
+                F.col("bsize") > cfg.hot_band_cap,
+                F.pmod(F.xxhash64(F.col("id")), nsplit),
+            ).otherwise(F.lit(0).cast("long")),
+        )
     )
 
 
@@ -88,12 +95,20 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     with >1-member filter at :59-61 — groups of size 1 produce no pairs
     from the join naturally).
     """
-    salted = _salted(bands, cfg).filter(F.col("bsize") > 1)
+    # materialize the salt via localCheckpoint-free projection barrier:
+    # selecting concrete columns first keeps the self-join keys plain
+    # attributes (otherwise Catalyst inlines the salt CASE expression
+    # into the join condition — observed in .explain)
+    salted = (
+        _salted(bands, cfg)
+        .filter(F.col("bsize") > 1)
+        .select("band", "band_hash", "sub", "id")
+    )
     left = salted.select(
-        F.col("band"), F.col("band_hash"), F.col("sub"), F.col("id").alias("id_a")
+        "band", "band_hash", "sub", F.col("id").alias("id_a")
     )
     right = salted.select(
-        F.col("band"), F.col("band_hash"), F.col("sub"), F.col("id").alias("id_b")
+        "band", "band_hash", "sub", F.col("id").alias("id_b")
     )
     pairs = left.join(right, ["band", "band_hash", "sub"]).filter(
         F.col("id_a") < F.col("id_b")

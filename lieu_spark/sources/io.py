@@ -1,0 +1,78 @@
+"""Sources and sinks (SURVEY.md §2.1 parity).
+
+Reference surface -> ours:
+  S1 text-file scan (sc.textFile over S3/local)      -> spark.read with an
+      explicit schema (parquet / Iceberg-at-rest; JSON at the edge)
+  S2 per-line json.loads                              -> from_json / schema'd
+      spark.read.json (typed, codegen'd — no per-row Python)
+  S3 GeoJSONParser / GeoJSONLineParser (+.bz2)        -> read_transcripts_json:
+      line-delimited or multiLine; compression inferred from extension
+      (.bz2/.gz handled by Hadoop codecs)
+  S5 RocksDB feature store                            -> joins against the
+      conversations/feature DataFrames (no point-lookup store needed)
+  S6 saveAsTextFile(JSON)                             -> write_json
+  S7 TSV index sink (csv.writer / saveAsTextFile)     -> write_tsv
+  Iceberg: read_transcripts_iceberg / write_iceberg are thin wrappers,
+      gated on an Iceberg catalog being configured (no runtime jar in
+      this container; on a real cluster add
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0 and a
+      catalog conf, then these work unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def read_transcripts_json(
+    spark: SparkSession, path: str, multi_line: bool = False
+) -> DataFrame:
+    """Line-delimited (default) or whole-file JSON arrays; .gz/.bz2
+    transparent. Explicit schema — no sampling pass, stable types."""
+    reader = spark.read.schema(TRANSCRIPT_SCHEMA).option("multiLine", multi_line)
+    return reader.json(path)
+
+
+def parse_transcript_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """S2 parity for pre-loaded line DataFrames (e.g. Kafka values):
+    from_json with the fixed schema; malformed rows -> null conv_id,
+    filtered (PERMISSIVE semantics made explicit)."""
+    parsed = lines.select(
+        F.from_json(F.col(col), TRANSCRIPT_SCHEMA).alias("r")
+    ).select("r.*")
+    return parsed.filter(F.col("conv_id").isNotNull())
+
+
+def read_transcripts_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.format("iceberg").load(table)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 parity: flat columns only (arrays/structs must be serialized
+    by the caller first, as the reference's TSV index writer did)."""
+    df.write.mode(mode).option("sep", "\t").option("header", "true").csv(path)
+
+
+def write_iceberg(df: DataFrame, table: str) -> None:
+    df.writeTo(table).createOrReplace()
