@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_pairs": Q.q_exact_dup_pairs,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "dedupe_pairs_pipeline": Q.q_dedupe_pairs_pipeline,
+        "match_pairs": Q.q_match_pairs,
         "dedupe_clusters": Q.q_dedupe_clusters,
         "transcript_roundtrip": Q.q_transcript_roundtrip,
         # embeddings / similarity search

@@ -374,6 +374,19 @@ walk(id, comp) AS (
 SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id ORDER BY doc_id
 """
 
+ORACLE["match_pairs"] = f"""
+{_JACCARD_PAIRS},
+shas AS (SELECT doc_id, sha256(text) AS sha FROM aug)
+SELECT p.id_a, p.id_b, p.j6,
+       CAST(sa.sha = sb.sha AS INT) AS is_exact_i
+FROM pairs p
+JOIN shas sa ON sa.doc_id = p.id_a
+JOIN shas sb ON sb.doc_id = p.id_b
+WHERE p.id_a < 100000 AND p.id_b >= 100000
+  AND (10 * p.inter >= 9 * p.uni OR sa.sha = sb.sha)
+ORDER BY id_a, id_b
+"""
+
 ORACLE["transcript_roundtrip"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 nz AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),

@@ -508,6 +508,37 @@ def q_dedupe_clusters(spark, sf_dir):
     )
 
 
+def q_match_pairs(spark, sf_dir):
+    """J7 parity (AddressDeduperSpark.match, spark/dedupe.py:24-48):
+    dedupe an incoming set against a canonical set. Canonical = the base
+    documents; incoming = the planted exact/near copies. Output = pairs
+    verified likely-or-exact, which the SQL brute force reproduces."""
+    feats = with_minhash(doc_features(spark, sf_dir), CFG)
+    canon = feats.filter(F.col("conv_id") < 100000)
+    inc = feats.filter(F.col("conv_id") >= 100000)
+    from .operators.lsh import match_pairs as mp
+
+    cand = mp(band_table(canon, CFG), band_table(inc, CFG), CFG).select(
+        F.col("canonical_id").alias("id_a"), F.col("incoming_id").alias("id_b")
+    )
+    # exact path across sets: same sha star restricted to cross pairs
+    exact_cross = (
+        canon.select(F.col("conv_id").alias("id_a"), "text_sha")
+        .join(inc.select(F.col("conv_id").alias("id_b"), "text_sha"), "text_sha")
+        .select("id_a", "id_b")
+    )
+    v = verify_pairs(
+        cand.unionByName(exact_cross).dropDuplicates(["id_a", "id_b"]), feats, CFG
+    )
+    dupes = v.filter(F.col("status").isin("exact_duplicate", "likely_duplicate"))
+    return dupes.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("j6"),
+        F.col("is_exact").cast("int").alias("is_exact_i"),
+    ).orderBy("id_a", "id_b")
+
+
 def q_transcript_roundtrip(spark, sf_dir):
     """W1 stable-ordering assembly: chunked transcripts reassemble to the
     canonical document text (per-turn text equality invariant)."""
