@@ -28,11 +28,14 @@ def canonicalize(text: Column) -> Column:
 
 
 def tokenize(text: Column) -> Column:
-    """array<string> of canonical tokens ([] for empty/null text)."""
-    c = canonicalize(text)
-    return F.when(c == "", F.array().cast("array<string>")).otherwise(
-        F.split(c, " ")
-    )
+    """array<string> of canonical tokens ([] for empty/null text).
+
+    Single regex pass: split the lowercased text on non-alnum runs and
+    drop empty segments — token-identical to splitting canonicalize()'s
+    output (one regexp_replace saved per doc; the feature stage is
+    regex-bound at scale)."""
+    parts = F.split(F.lower(F.coalesce(text, F.lit(""))), CANON_PATTERN)
+    return F.filter(parts, lambda t: t != "")
 
 
 def shingle_strings(toks: Column, k: int) -> Column:

@@ -22,11 +22,16 @@ from pyspark.sql import functions as F
 TURN_SEP = "\n"
 
 
-def assemble_conversations(transcripts: DataFrame) -> DataFrame:
+def assemble_conversations(transcripts: DataFrame, keep_turns: bool = False) -> DataFrame:
     """(conv_id, turn_idx, role, text, tool, ts) -> one row per conv:
 
-    conv_id, n_turns, turns (ordered array<struct>), doc (joined text),
-    text_sha (sha2-256 of doc — the exact-dup key), first_ts/last_ts.
+    conv_id, n_turns, doc (turn texts joined in turn_idx order),
+    text_sha (sha2-256 of doc — the exact-dup key), first_ts/last_ts,
+    and (keep_turns=True only) the full ordered turns array<struct>.
+
+    keep_turns defaults off: nothing downstream needs the struct array
+    once ``doc`` exists, and carrying it doubles the text volume of the
+    persisted/checkpointed conversations table.
     """
     deduped = transcripts.dropDuplicates(["conv_id", "turn_idx"])
     turns = F.array_sort(
@@ -49,6 +54,7 @@ def assemble_conversations(transcripts: DataFrame) -> DataFrame:
     doc = F.concat_ws(
         TURN_SEP, F.transform(F.col("turns"), lambda t: t["text"])
     )
-    return out.withColumn("doc", doc).withColumn(
-        "text_sha", F.sha2(F.col("doc"), 256)
-    )
+    out = out.withColumn("doc", doc).withColumn("text_sha", F.sha2(F.col("doc"), 256))
+    if not keep_turns:
+        out = out.drop("turns")
+    return out
