@@ -66,21 +66,6 @@ def with_simhash(df, cfg: DedupeConfig, tokens_col: str = "tokens"):
     )
 
 
-def simhash_chunk_cols(simhash_col, cfg: DedupeConfig):
-    """JVM-side pigeonhole chunk keys: ``simhash_chunks`` columns of
-    (chunk_idx, chunk_bits). Two 64-bit hashes with hamming <= chunks-1
-    agree on at least one chunk."""
-    width = cfg.simhash_bits // cfg.simhash_chunks
-    mask = (1 << width) - 1
-    return [
-        (
-            F.lit(i).cast("long"),
-            F.shiftrightunsigned(simhash_col, i * width).bitwiseAND(F.lit(mask)),
-        )
-        for i in range(cfg.simhash_chunks)
-    ]
-
-
 def hamming64(col_a, col_b):
     """JVM-side hamming distance: bit_count(a XOR b)."""
     return F.bit_count(col_a.bitwiseXOR(col_b))

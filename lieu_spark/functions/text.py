@@ -38,20 +38,6 @@ def tokenize(text: Column) -> Column:
     return F.filter(parts, lambda t: t != "")
 
 
-def shingle_strings(toks: Column, k: int) -> Column:
-    """Ordered k-word shingles as array<string> (duplicates kept)."""
-    n = F.size(toks)
-    windows = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return (
-        F.when(n == 0, F.array().cast("array<string>"))
-        .when(n < k, F.array(F.concat_ws(" ", toks)))
-        .otherwise(windows)
-    )
-
-
 def token_hashes(toks: Column) -> Column:
     """xxhash64 per token (duplicates kept, order kept) — array<long>.
     One string-hash pass shared by shingling AND SimHash."""
@@ -87,7 +73,8 @@ def shingle_hash_set(tok_hashes: Column, k: int) -> Column:
 
 
 def with_text_features(df, text_col: str, k: int):
-    """Attach tokens / token_hashes / shingle_hashes in staged columns."""
+    """Attach tokens / token_hashes / shingle_hashes in staged columns
+    (staging matters — see shingle_hash_set docstring)."""
     return (
         df.withColumn("tokens", tokenize(F.col(text_col)))
         .withColumn("token_hashes", token_hashes(F.col("tokens")))
