@@ -110,6 +110,10 @@ def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None
     t1 = time.time()
     n_pairs = res.verified.count()
     timings["candidates_verify"] = time.time() - t1
+    # blocking effectiveness — the reference CLI's num_comparisons vs
+    # N(N-1)/2 instrumentation (scripts/dedupe_geojson:441)
+    n_candidates = res.candidates.count()
+    n_docs = res.conversations.count()
 
     t2 = time.time()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
@@ -140,6 +144,11 @@ def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None
         "turns": n_turns,
         "turns_per_sec": n_turns / wall if wall > 0 else 0.0,
         "verified_pairs": n_pairs,
+        "candidate_pairs": n_candidates,
+        "possible_pairs": n_docs * (n_docs - 1) // 2,
+        "blocking_ratio": round(
+            n_candidates / max(1, n_docs * (n_docs - 1) // 2), 8
+        ),
         "clusters": n_clusters,
         "doc_dedupe_pairs": doc_pairs,
         "ann_rows": ann,
@@ -294,6 +303,9 @@ def main() -> None:
         "turns": r2["turns"],
         "turns_per_sec": round(r2["turns_per_sec"], 1),
         "verified_pairs": r2["verified_pairs"],
+        "candidate_pairs": r2.get("candidate_pairs"),
+        "possible_pairs": r2.get("possible_pairs"),
+        "blocking_ratio": r2.get("blocking_ratio"),
         "clusters": r2["clusters"],
         "scaling": scaling,
     }

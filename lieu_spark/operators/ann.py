@@ -15,9 +15,8 @@ Two tiers (task brief: similarity-search as a first-class component):
   aggregate — no UDF, no driver-side vectors.
 """
 
-from __future__ import annotations
-
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,23 +72,29 @@ def hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((ntables, nbits, dim))
 
 
-def _bucket_col(vec, plane: np.ndarray):
-    """Integer bucket key: sign bits of nbits hyperplane projections.
-    Pure JVM: each projection is an aggregate over zip_with with a
-    literal array; bits pack into a long."""
-    bits = []
-    for i in range(plane.shape[0]):
-        lit = F.array(*[F.lit(float(x)) for x in plane[i]])
-        proj = F.aggregate(
-            F.zip_with(vec, lit, lambda x, h: x.cast("double") * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _make_buckets_udf(planes: np.ndarray):
+    """pandas UDF: embedding -> array of ntables bucket keys.
+
+    One numpy matmul per Arrow batch ((batch x dim) @ (dim x T*nbits)).
+    An earlier all-JVM formulation built T*nbits aggregate-over-zip_with
+    expressions with literal hyperplane arrays — correct, but Catalyst
+    spent ~20 s COMPILING the generated code per query. Codegen size is
+    a real cost dimension; a matmul UDF is the right tool here."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    ntables, nbits, dim = planes.shape
+    w = planes.reshape(ntables * nbits, dim).T.copy()  # (dim, T*nbits)
+    powers = (1 << np.arange(nbits, dtype=np.int64))[None, None, :]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = x @ w  # (n, T*nbits)
+        bits = (proj >= 0).reshape(len(vecs), ntables, nbits)
+        keys = (bits * powers).sum(axis=2)  # (n, T)
+        return pd.Series(list(keys.astype(np.int64)))
+
+    return buckets
 
 
 def hyperplane_buckets(
@@ -107,20 +112,11 @@ def hyperplane_buckets(
     near-duplicate search (cos >= 0.95): nbits=8, T=8 (hit ~0.99)."""
     dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits, ntables, seed)
+    udf = _make_buckets_udf(planes)
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    parts = []
-    for t in range(ntables):
-        parts.append(
-            base.select(
-                "id",
-                F.lit(t).cast("long").alias("table"),
-                _bucket_col(F.col("vec"), planes[t]).alias("bucket"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return base.select(
+        "id", F.posexplode(udf(F.col("vec"))).alias("table", "bucket")
+    ).withColumn("table", F.col("table").cast("long"))
 
 
 def hyperplane_lsh_topk(

