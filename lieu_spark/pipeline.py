@@ -22,7 +22,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .checkpoint import StageStore
@@ -115,8 +115,20 @@ def run_pipeline(
     # (P3 parity: the reference drops geo-less docs, spark/tfidf.py:67);
     # byte-identical ones are still caught by the exact-sha star path.
     feat_content = feat_slim.filter(F.size("shingle_hashes") > 0)
+    # similarity blocking runs on ONE representative per text_sha:
+    # identical texts have identical shingles, so every member edge is
+    # implied by (rep edge + exact star) and recovered exactly by
+    # connected components. This keeps boilerplate-heavy corpora linear
+    # — a 5k-copy group would otherwise flood every band (the 100 TB
+    # version of lieu's two-pass star trick, spark/dedupe.py:63-88).
+    rep_w = Window.partitionBy("text_sha")
+    feat_reps = (
+        feat_content.withColumn("_rep", F.min("conv_id").over(rep_w))
+        .filter(F.col("conv_id") == F.col("_rep"))
+        .drop("_rep")
+    )
 
-    bands = stage("bands", lambda: band_table(feat_content, cfg))
+    bands = stage("bands", lambda: band_table(feat_reps, cfg))
     bstats = stage("band_stats", lambda: band_stats(bands, cfg))
 
     def build_candidates() -> DataFrame:
@@ -124,7 +136,7 @@ def run_pipeline(
         exact_cand = exact_star_pairs(feat_slim).withColumn("source", F.lit("exact_sha"))
         merged = lsh_cand.unionByName(exact_cand)
         if with_simhash_path:
-            sim_cand = simhash_candidate_pairs(feat_content, cfg).select(
+            sim_cand = simhash_candidate_pairs(feat_reps, cfg).select(
                 "id_a", "id_b"
             ).withColumn("source", F.lit("simhash"))
             merged = merged.unionByName(sim_cand)
@@ -150,7 +162,7 @@ def run_pipeline(
     def build_spans() -> DataFrame:
         # span blocking: winnowing inverted index ∪ mid-similarity verified
         # pairs, minus pairs already classified whole-doc duplicates
-        winnow = winnow_span_candidates(feat_slim, cfg)
+        winnow = winnow_span_candidates(feat_reps, cfg)
         mid = span_candidates(verified, cfg)
         dupes = dupe_pairs(verified).select("id_a", "id_b")
         cand = (
