@@ -242,7 +242,9 @@ def main() -> None:
         if native != p2
         else None
     )
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # default 1 repeat keeps the full protocol under ~8 min for the
+    # driver's per-round run; set 2+ for lower-noise published numbers
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     rp2 = submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json"), reps)
     if r2 is None:
         r2 = rp2

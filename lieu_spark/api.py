@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from .config import DEFAULT_CONFIG, DedupeConfig
 from .operators.assemble import assemble_conversations
 from .operators.lsh import band_table, match_pairs
-from .operators.verify import STATUS_EXACT, STATUS_LIKELY, verify_pairs
+from .operators.verify import verify_pairs
 from .pipeline import PipelineResult, build_features, run_pipeline
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import canonicalize, tokenize
+from .text import tokenize
 
 # BPE-ish pre-tokenizer: letter runs, single digits, single punctuation
 BPE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"

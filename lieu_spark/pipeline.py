@@ -37,7 +37,7 @@ from .operators.exact import exact_star_pairs
 from .operators.lsh import band_stats, band_table, candidate_pairs
 from .operators.simhash_path import simhash_candidate_pairs
 from .operators.spans import copied_spans, span_candidates, winnow_span_candidates
-from .operators.verify import dupe_pairs, reconcile, verify_pairs
+from .operators.verify import dupe_pairs, verify_pairs
 
 
 @dataclass

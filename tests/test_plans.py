@@ -3,7 +3,6 @@ relies on must be visible in the plan, not assumed (task brief:
 '.explain the plan and iterate until it's the plan you'd want').
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from lieu_spark import corpus

@@ -11,7 +11,7 @@ from lieu_spark import oracle
 from lieu_spark.config import DedupeConfig
 from lieu_spark.functions.minhash import oph_batch
 from lieu_spark.functions.simhash import _simhash_batch
-from lieu_spark.hashing import to_unsigned64, xxh64_string
+from lieu_spark.hashing import xxh64_string
 from lieu_spark.operators.spans import lcs_pair
 
 CFG = DedupeConfig()

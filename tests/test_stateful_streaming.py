@@ -2,7 +2,7 @@
 different micro-batches must still assemble into the exact batch-path
 doc + sha (applyInPandasWithState with event-time timeout)."""
 
-from datetime import datetime, timedelta
+from datetime import timedelta
 
 import pytest
 
