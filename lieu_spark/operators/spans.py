@@ -1,4 +1,4 @@
-"""Cross-conversation copied-span detection (suffix-array LCS).
+"""Cross-conversation copied-span detection (longest common substring).
 
 No lieu analog — a north_rule addition (SURVEY.md §7.1): for candidate
 pairs that share material but are not wholesale duplicates, report the
@@ -7,15 +7,15 @@ pipeline can excise copied spans.
 
 Physical shape: the pair table is joined to the assembled docs (J2-style
 double join), then processed by ``mapInPandas`` — each Arrow batch of
-pairs is handled in one Python call; per pair we build a suffix array
-over text_a + SEP + text_b with a numpy doubling algorithm (O(n log n)
-argsort rounds) + Kasai LCP, and take the max LCP between suffixes from
-different docs. Texts are capped at ``span_max_chars`` (cost bound —
-SURVEY.md §7.3 hard part d).
+pairs is handled in one Python call; per pair the longest common
+substring is found by binary search over the length with vectorized
+rolling-hash window intersection (verified against real substrings, so
+hash collisions cannot produce false spans). Texts are capped at
+``span_max_chars`` (cost bound — SURVEY.md §7.3 hard part d).
 
 This implementation is intentionally independent of the pure-python
-oracle in lieu_spark.oracle (different SA construction) so the unit tests
-compare two genuinely separate codepaths.
+oracle in lieu_spark.oracle (suffix array + Kasai) so the unit tests
+compare two genuinely separate algorithms.
 """
 
 from __future__ import annotations
@@ -52,79 +52,87 @@ def span_schema(id_type) -> StructType:
 SPAN_SCHEMA = span_schema(StringType())
 
 
-def _suffix_array_np(codes: np.ndarray) -> np.ndarray:
-    """Doubling suffix array; codes: int32 array (values >= 0)."""
-    n = codes.shape[0]
-    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
-    sa = np.argsort(rank, kind="stable")
-    k = 1
-    tmp = np.empty(n, dtype=np.int64)
-    while True:
-        key2 = np.full(n, -1, dtype=np.int64)
-        key2[: n - k] = rank[k:]
-        order = np.lexsort((key2, rank))
-        tmp[order[0]] = 0
-        prev = order[:-1]
-        curr = order[1:]
-        changed = (rank[curr] != rank[prev]) | (key2[curr] != key2[prev])
-        tmp[curr] = np.cumsum(changed)
-        rank, tmp = tmp.copy(), rank
-        sa = order
-        if rank[sa[-1]] == n - 1:
-            break
-        k <<= 1
-    return sa
+_B = np.uint64(1099511628211)  # odd multiplier -> invertible mod 2**64
+_BINV = np.uint64(pow(int(_B), -1, 1 << 64))
 
 
-def _kasai(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+def _hash_arrays(s: str) -> tuple[np.ndarray, np.ndarray]:
+    """(c, b_pows) such that the canonical polynomial hash of the
+    window s[i:i+L], sum_k code[i+k] * B^k (mod 2**64), equals
+    (c[i+L] - c[i]) * b_pows[i]. Fully vectorized: odd B is invertible
+    mod 2**64, so u[j] = code[j] * Binv^j makes windows cumsum-able."""
+    codes = (
+        np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        + np.uint64(1)
+    )
     n = codes.shape[0]
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    lcp = np.zeros(n, dtype=np.int64)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
-                h += 1
-            lcp[r] = h
-            if h:
-                h -= 1
-        else:
-            h = 0
-    return lcp
+    with np.errstate(over="ignore"):
+        binv = np.full(n, _BINV, dtype=np.uint64)
+        binv[0] = 1
+        binv_pows = np.multiply.accumulate(binv)
+        bp = np.full(n, _B, dtype=np.uint64)
+        bp[0] = 1
+        b_pows = np.multiply.accumulate(bp)
+        u = codes * binv_pows
+        c = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(u, out=c[1:])
+    return c, b_pows
+
+
+def _window_hashes(c: np.ndarray, b_pows: np.ndarray, L: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (c[L:] - c[:-L]) * b_pows[: c.shape[0] - L]
 
 
 def lcs_pair(text_a: str, text_b: str, max_chars: int) -> tuple[int, int, int]:
-    """(start_a, start_b, length); ties -> smallest (start_a, start_b)."""
+    """(start_a, start_b, length) of a longest common substring.
+
+    Binary search over the length with vectorized rolling-hash window
+    intersection (numpy uint64 wrap-around), candidate positions
+    verified by direct string comparison (hash collisions rejected).
+    O((n+m) log min(n,m)) with all heavy work in numpy — replaced a
+    suffix-array+Kasai formulation whose O(n) Python Kasai loop
+    dominated the span stage.
+    """
     a = text_a[:max_chars]
     b = text_b[:max_chars]
     if not a or not b:
         return (0, 0, 0)
-    na = len(a)
-    codes = np.empty(na + 1 + len(b), dtype=np.int32)
-    codes[:na] = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int32) + 1
-    codes[na] = 0  # sentinel below every code point
-    codes[na + 1 :] = (
-        np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int32) + 1
-    )
-    sa = _suffix_array_np(codes)
-    lcp = _kasai(codes, sa)
-    side = sa < na  # suffix starts in a?
-    cross = side[1:] != side[:-1]
-    if not cross.any():
+    ca, pows_a = _hash_arrays(a)
+    cb, pows_b = _hash_arrays(b)
+
+    def probe(L: int) -> tuple[int, int] | None:
+        ha = _window_hashes(ca, pows_a, L)
+        hb = _window_hashes(cb, pows_b, L)
+        common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+        if common.size == 0:
+            return None
+        # verify (collision safety); first few candidates suffice
+        order = np.lexsort((ib, ia))
+        for k in order[:8]:
+            i, j = int(ia[k]), int(ib[k])
+            if a[i : i + L] == b[j : j + L]:
+                return (i, j)
+        # all sampled candidates were collisions — exhaustive verify
+        for k in order:
+            i, j = int(ia[k]), int(ib[k])
+            if a[i : i + L] == b[j : j + L]:
+                return (i, j)
+        return None
+
+    lo, hi = 0, min(len(a), len(b))  # invariant: lo is achievable
+    best = (0, 0)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        hit = probe(mid)
+        if hit is not None:
+            best = hit
+            lo = mid
+        else:
+            hi = mid - 1
+    if lo == 0:
         return (0, 0, 0)
-    cand = np.nonzero(cross)[0] + 1
-    lens = lcp[cand]
-    best_len = int(lens.max())
-    if best_len == 0:
-        return (0, 0, 0)
-    best = cand[lens == best_len]
-    pa = np.where(side[best - 1], sa[best - 1], sa[best])
-    pb = np.where(side[best - 1], sa[best], sa[best - 1]) - na - 1
-    order = np.lexsort((pb, pa))[0]
-    return (int(pa[order]), int(pb[order]), best_len)
+    return (best[0], best[1], lo)
 
 
 def copied_spans(
