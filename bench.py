@@ -242,19 +242,30 @@ def main() -> None:
         if native != p2
         else None
     )
-    # default 1 repeat keeps the full protocol under ~8 min for the
-    # driver's per-round run; set 2+ for lower-noise published numbers
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
-    rp2 = submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json"), reps)
-    if r2 is None:
-        r2 = rp2
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     scaling = None
     if not args.skip_scaling:
-        r1 = submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json"))
-        # weak scaling: P1 cores with P1/P2-scaled data — per-core work
-        # constant, the cluster analog of "4x executors, 4x data"
+        # weak-scaling pair INTERLEAVED (p2-full, p1-quarter, p2-full,
+        # p1-quarter; min per level): co-tenant load drifts over minutes
+        # on this shared VM, so alternating keeps both levels under the
+        # same conditions — a ratio is only as good as its simultaneity
         quarter = str(ensure_corpus(sf / (p2 // p1), max(100, n_convs * p1 // p2)))
-        rw = submit(p1, args.sf_dir, quarter, str(CACHE / f"run_w{p1}.json"), reps)
+        p2_runs, w_runs = [], []
+        for i in range(max(1, reps)):
+            p2_runs.append(
+                submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json.{i}"))
+            )
+            w_runs.append(
+                submit(p1, args.sf_dir, quarter, str(CACHE / f"run_w{p1}.json.{i}"))
+            )
+        rp2 = min(p2_runs, key=lambda r: r["pipeline_wall_sec"])
+        rw = min(w_runs, key=lambda r: r["pipeline_wall_sec"])
+        r1 = submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json"))
+    else:
+        rp2 = submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json"))
+    if r2 is None:
+        r2 = rp2
+    if not args.skip_scaling:
         speedup = (
             rp2["turns_per_sec"] / r1["turns_per_sec"] if r1["turns_per_sec"] else 0
         )
