@@ -83,6 +83,19 @@ def _q_ann_lsh_topk(spark, sf_dir):
     ).orderBy("vec_id", "rank")
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    from lieu_spark.operators.ann import ivf_topk
+
+    e = Q.load(spark, sf_dir, "embeddings")
+    t = ivf_topk(e, k=5, ncentroids=16, nprobe=6)
+    return t.select(
+        F.col("id_a").alias("vec_id"),
+        "rank",
+        F.col("id_b").alias("nbr_id"),
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cos6"),
+    ).orderBy("vec_id", "rank")
+
+
 def _q_multimodal_meta(spark, sf_dir):
     from lieu_spark.functions.multimodal import decode_image_metadata, with_binary_payload
 
@@ -104,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_per_group": Q.q_argmax_per_group,
         "topk_orders": Q.q_topk_orders,
         "set_ops": Q.q_set_ops,
+        "rollup_sales": Q.q_rollup_sales,
+        "revenue_by_nation": Q.q_revenue_by_nation,
         "window_events": Q.q_window_events,
         "sessionize": Q.q_sessionize,
         "id_assignment": Q.q_id_assignment,
@@ -133,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "copied_spans": _q_copied_spans,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
         "doc_fingerprint": _q_doc_fingerprint,
     }

@@ -1,6 +1,6 @@
 """Approximate nearest neighbors over embedding columns.
 
-Two tiers (task brief: similarity-search as a first-class component):
+Three tiers (task brief: similarity-search as a first-class component):
 
 - ``brute_force_topk`` — exact cosine top-k via a self-join. Correctness
   baseline and the oracle for the LSH variant. O(n^2) pairs: fine at
@@ -13,6 +13,12 @@ Two tiers (task brief: similarity-search as a first-class component):
   by (nbits, ntables). Hyperplanes are deterministic from ``seed``,
   computed JVM-side: bucket bit i = sign(dot(v, h_i)) packed via
   aggregate — no UDF, no driver-side vectors.
+- ``ivf_topk`` — FAISS-style IVF: spherical k-means coarse quantizer
+  trained on a bounded driver-side sample, distributed cell assignment
+  (one matmul per Arrow batch), candidates = members of the query's
+  nprobe nearest cells, exact-cosine re-rank. The alternative scale
+  path when the corpus is clustered (high recall at tiny nprobe),
+  vs hyperplane LSH which is data-independent.
 """
 
 import numpy as np
@@ -134,6 +140,138 @@ def hyperplane_lsh_topk(
         .join(buckets.alias("r"), ["table", "bucket"])
         .filter(F.col("l.id") != F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = _with_norm(embeddings, id_col, vec_col)
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a"), F.col("nrm_b")
+            ),
+        )
+        .select("id_a", "id_b", "cosine")
+    )
+    return _topk(scored, k)
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    ncentroids: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample_limit: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, FAISS-IVF style.
+
+    Trains on a bounded deterministic sample (lowest ``sample_limit``
+    ids) collected to the driver — the standard IVF recipe: training is
+    O(sample * ncentroids), independent of corpus size, so it stays
+    driver-side even at 100 TB while assignment stays distributed.
+    Centroids are L2-normalized (cosine metric)."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .limit(sample_limit)
+        .collect()
+    )
+    x = np.stack([np.asarray(r.vec, dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    xn = x / nrm
+    rng = np.random.default_rng(seed)
+    c = xn[rng.choice(len(xn), min(ncentroids, len(xn)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(xn @ c.T, axis=1)
+        for j in range(len(c)):
+            mask = assign == j
+            if mask.any():
+                v = xn[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    c[j] = v / n
+    return c
+
+
+def _make_cells_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: embedding -> nprobe nearest cell ids (stable order:
+    similarity desc, cell asc). Element 0 is the member cell. Same
+    one-matmul-per-Arrow-batch shape as the hyperplane bucketer."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    ct = centroids.T.copy()  # (dim, nc)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sims = (x / nrm) @ ct
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return cells
+
+
+def ivf_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, probe_rank, cell): probe_rank 0 is the member cell; ranks
+    0..nprobe-1 are the query's probe list."""
+    udf = _make_cells_udf(centroids, nprobe)
+    return (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .select("id", F.posexplode(udf(F.col("vec"))).alias("probe_rank", "cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int,
+    ncentroids: int = 16,
+    nprobe: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest
+    centroid cell (inverted list); candidates for a query are the
+    members of its ``nprobe`` nearest cells; exact-cosine re-rank.
+
+    Scale shape: the candidate join shuffles on ``cell`` — n*nprobe
+    probe rows against n member rows — instead of exploding n^2.
+    K-means balances list sizes, so cell skew is bounded by data
+    clusterativity (and AQE skew-join splits any hot cell). Recall
+    tunable by nprobe/ncentroids; on clustered corpora (the near-dup
+    regime) recall ~1 at nprobe ~ 1-2."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, ncentroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    cells = ivf_cells(embeddings, centroids, nprobe, id_col, vec_col)
+    members = cells.filter(F.col("probe_rank") == 0).select(
+        F.col("id").alias("id_b"), "cell"
+    )
+    probes = cells.select(F.col("id").alias("id_a"), "cell")
+    cand = (
+        probes.join(members, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     base = _with_norm(embeddings, id_col, vec_col)

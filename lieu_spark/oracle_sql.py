@@ -122,6 +122,32 @@ SELECT count(*) AS n_custkeys FROM (
 )
 """
 
+ORACLE["rollup_sales"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
+ORACLE["revenue_by_nation"] = """
+SELECT n_name, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND year(o_orderdate) = 1996
+GROUP BY n_name ORDER BY n_name
+"""
+
 ORACLE["window_events"] = """
 WITH ranked AS (
     SELECT user_id, event_type,

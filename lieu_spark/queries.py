@@ -191,6 +191,61 @@ def q_topk_orders(spark, sf_dir):
     )
 
 
+def q_rollup_sales(spark, sf_dir):
+    """A10 grouping sets: ROLLUP over (returnflag, linestatus) with
+    grouping_id — the super-aggregate capability the reference lacks and
+    SURVEY §2.4 notes Spark provides for free. Grouped-out columns are
+    coalesced to 'ALL' so cross-engine value hashing never sorts NULLs."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_rows",
+            "sum_price_cents",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: region-filtered revenue per nation
+    for one order year. Dims (region, nation) broadcast; fact-fact joins
+    (orders-lineitem, customer-orders) shuffle on their keys; the
+    supplier-nation co-location predicate (s_nationkey = c_nationkey)
+    prunes cross-nation pairs. Revenue in cents, rounded per row."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).alias("revenue_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """§2.7 set ops: custkeys ordering in 1994 but not in 1995."""
     o = load(spark, sf_dir, "orders")
