@@ -144,7 +144,8 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND c_nationkey = s_nationkey
-  AND year(o_orderdate) = 1996
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY n_name
 """
 

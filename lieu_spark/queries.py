@@ -224,7 +224,11 @@ def q_revenue_by_nation(spark, sf_dir):
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    # range predicate (not year()) so it pushes down to the parquet scan
+    # and prunes date partitions at scale — asserted in test_plans.py
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     rev = F.round(

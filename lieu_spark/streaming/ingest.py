@@ -12,10 +12,11 @@ index — exactly how a 100 TB deployment dedupes arriving data without
 re-blocking the corpus.
 
 Semantics note: a conversation is matchable once all its turns have
-arrived in one micro-batch window here; cross-batch turn assembly would
-need ``applyInPandasWithState`` keyed by conv_id with an event-time
-timeout — left as the documented upgrade path (the stage-table contract
-is identical).
+arrived in one micro-batch window here; cross-batch turn assembly is
+provided by ``streaming/stateful.py`` (``applyInPandasWithState`` keyed
+by conv_id with an event-time timeout) — same output contract, so the
+two front doors are interchangeable. Event-time windowed aggregations
+with watermarked late-data handling live in ``streaming/windows.py``.
 """
 
 from __future__ import annotations

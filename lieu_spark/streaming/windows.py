@@ -1,0 +1,87 @@
+"""Event-time windowed aggregations with watermarked late-data handling.
+
+The reference has no streaming (SURVEY.md §2.9); this is the task
+brief's "watermarks + windowed aggs for late data" component, applied
+to the engine's operational telemetry shape: counting events (or
+arriving turns) per tumbling event-time window.
+
+Scale shape: `groupBy(window(ts), key)` is a keyed shuffle whose state
+store only retains windows newer than the watermark — memory is bounded
+by (watermark horizon / window size) * |keys| regardless of stream
+length, which is what makes it viable on an unbounded 100 TB/day feed.
+Late rows inside the watermark update their window (append emits on
+watermark passage); rows later than the watermark are dropped — the
+documented, deterministic late-data policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id bigint, user_id bigint, event_type string, ts timestamp, props string"
+)
+
+
+def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of event rows (parquet files landing in a
+    directory); Kafka/Iceberg-CDC in production."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type.
+
+    Works identically on a streaming or a batch DataFrame (the batch
+    run is the correctness oracle for the streamed run: same input =>
+    same rows once the stream drains)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Drain whatever is in ``input_dir`` (availableNow) into a parquet
+    sink in append mode — windows emit when the watermark passes them,
+    so a drained finite stream emits every window."""
+    counts = windowed_event_counts(stream_events(spark, input_dir), window, watermark)
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -11,6 +11,10 @@ settings.load_profile("ci")
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")
+
 from lieu_spark.session import build_session  # noqa: E402
 
 

@@ -81,6 +81,24 @@ def test_candidates_plan_shape(spark):
     assert not any("CASE WHEN" in ln for ln in cond_lines)
 
 
+def test_star_join_broadcasts_dims(spark):
+    """revenue_by_nation: the dimension joins (nation, region) must be
+    broadcast (no shuffle for tiny sides); fact-fact joins keep their
+    keyed exchanges; no cartesian anywhere."""
+    from lieu_spark.queries import q_revenue_by_nation
+
+    q = q_revenue_by_nation(spark, SF_DIR)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # the order-date range predicate reaches the orders parquet scan
+    assert any(
+        "PushedFilters" in ln and "GreaterThanOrEqual(o_orderdate" in ln
+        for ln in plan.splitlines()
+    ), plan[:2000]
+
+
 def test_assemble_single_shuffle(spark):
     tdf = corpus.generate_df(spark, 42, 30)
     conv = assemble_conversations(tdf)
