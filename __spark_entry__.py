@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_counts_top": Q.q_term_counts_top,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "multiset_jaccard": Q.q_multiset_jaccard,
+        "weighted_jaccard": Q.q_weighted_jaccard,
         # text analysis (training-data ops)
         "doc_tokens": Q.q_doc_tokens,
         "doc_quality": Q.q_doc_quality,

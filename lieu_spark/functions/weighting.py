@@ -14,7 +14,10 @@ The reference computes these with ~6 reduceByKey/join shuffles of
 per-row Python; here each is a short chain of groupBy/join/log
 expressions that Catalyst executes with partial aggregation. Not used
 by the MinHash pipeline (unweighted Jaccard per north_rule) — provided
-for capability parity and available for a weighted-MinHash upgrade.
+for capability parity; ``weighted_jaccard_for_pairs`` applies them as
+an alternative pair verifier (the analog of the reference's
+soft-TFIDF fuzzy scoring, lib/lieu/similarity.py:14-60: shared RARE
+tokens count more than shared boilerplate).
 """
 
 from __future__ import annotations
@@ -62,6 +65,70 @@ def tfidf_scores(
         F.when(F.col("l2") > 0, F.col("score") / F.col("l2")).otherwise(
             1.0 / F.sqrt(F.col("n_tokens_distinct"))
         ),
+    )
+
+
+def idf_weights(docs_tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(token, w6): integer-quantized IDF weight round(1e6 * ln(N/df)).
+
+    Quantizing to bigint BEFORE any pair arithmetic makes every
+    downstream sum/ratio bit-reproducible across engines and partition
+    counts (doubles summed in different orders are not)."""
+    n_docs = docs_tokens.count()
+    return doc_frequencies(docs_tokens, id_col).select(
+        "token",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6)
+        .cast("long")
+        .alias("w6"),
+    )
+
+
+def weighted_jaccard_for_pairs(
+    pairs: DataFrame, docs_tokens: DataFrame, weights: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted Jaccard over distinct-token sets for given (id_a, id_b)
+    pairs:  wj = Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t).
+
+    Relational all the way (explode -> weight join -> two keyed
+    aggregations): no UDF, partial aggregation map-side, and the
+    weights table is broadcast when small (vocabulary ≪ corpus). The
+    pair-side joins shuffle on id — same shape as verify_pairs, so the
+    100 TB plan is unchanged when swapping verifiers. Output:
+    (id_a, id_b, w_inter, w_union, wj6)."""
+    tok = docs_tokens.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct("tokens")).alias("token")
+    ).join(weights, "token")
+    per_doc = tok.groupBy("id").agg(F.sum("w6").alias("w_tot"))
+    ta = tok.select(F.col("id").alias("id_a"), "token", F.col("w6").alias("w6_a"))
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w6_a").alias("w_inter"))
+    )
+    sa = per_doc.select(F.col("id").alias("id_a"), F.col("w_tot").alias("w_a"))
+    sb = per_doc.select(F.col("id").alias("id_b"), F.col("w_tot").alias("w_b"))
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"w_inter": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("w_union", F.col("w_a") + F.col("w_b") - F.col("w_inter"))
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "w_inter",
+        "w_union",
+        F.when(
+            F.col("w_union") > 0,
+            F.round(
+                F.col("w_inter").cast("double") / F.col("w_union").cast("double") * 1e6
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("wj6"),
     )
 
 

@@ -278,6 +278,43 @@ JOIN tot sb ON sb.doc_id = i.id_b
 ORDER BY id_a
 """
 
+ORACLE["weighted_jaccard"] = f"""
+WITH {_DOCS_AUG},
+t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+w AS (
+    SELECT token,
+           CAST(round(ln(CAST((SELECT count(*) FROM aug) AS DOUBLE) / count(*)) * 1e6) AS BIGINT) AS w6
+    FROM tok GROUP BY token
+),
+tw AS (SELECT doc_id, tok.token, w6 FROM tok JOIN w USING (token)),
+per AS (SELECT doc_id, sum(w6) AS w_tot FROM tw GROUP BY doc_id),
+pairs AS (
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents WHERE doc_id < 25
+    UNION ALL
+    SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id >= 25 AND doc_id < 50
+),
+inter AS (
+    SELECT p.id_a, p.id_b, sum(a.w6) AS w_inter
+    FROM pairs p
+    JOIN tw a ON a.doc_id = p.id_a
+    JOIN tw b ON b.doc_id = p.id_b AND b.token = a.token
+    GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       coalesce(i.w_inter, 0) AS w_inter,
+       sa.w_tot + sb.w_tot - coalesce(i.w_inter, 0) AS w_union,
+       CASE WHEN sa.w_tot + sb.w_tot - coalesce(i.w_inter, 0) > 0
+            THEN CAST(round(CAST(coalesce(i.w_inter, 0) AS DOUBLE)
+                 / (sa.w_tot + sb.w_tot - coalesce(i.w_inter, 0)) * 1e6) AS BIGINT)
+            ELSE 0 END AS wj6
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN per sa ON sa.doc_id = p.id_a
+JOIN per sb ON sb.doc_id = p.id_b
+ORDER BY p.id_a
+"""
+
 ORACLE["doc_tokens"] = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,

@@ -418,6 +418,28 @@ def q_multiset_jaccard(spark, sf_dir):
     ).orderBy("id_a")
 
 
+def q_weighted_jaccard(spark, sf_dir):
+    """F4/F5 analog upgraded from "superseded": IDF-weighted Jaccard on
+    the planted pairs — shared rare tokens count more than shared
+    boilerplate, the reference's soft-TFIDF intent
+    (lib/lieu/similarity.py:14-60) with engine-reproducible integer
+    weights. Exact copies score wj6 = 1e6 exactly."""
+    from .functions.weighting import idf_weights, weighted_jaccard_for_pairs
+
+    d = docs_aug(spark, sf_dir)
+    docs_tokens = d.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
+    weights = idf_weights(docs_tokens)
+    base = load(spark, sf_dir, "documents")
+    exact = base.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    near = base.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+    )
+    pairs = exact.unionByName(near)
+    return weighted_jaccard_for_pairs(pairs, docs_tokens, weights).orderBy("id_a")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (F-functions / training-data ops)
 # ---------------------------------------------------------------------------

@@ -99,6 +99,18 @@ def test_star_join_broadcasts_dims(spark):
     ), plan[:2000]
 
 
+def test_ivf_candidate_plan_no_cartesian(spark):
+    """IVF candidate generation must be an equi-join on cell (probe
+    rows x inverted list), never a cross of the embedding table."""
+    from lieu_spark.operators.ann import ivf_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t = ivf_topk(e, k=3, ncentroids=8, nprobe=3)
+    plan = plan_of(t)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_assemble_single_shuffle(spark):
     tdf = corpus.generate_df(spark, 42, 30)
     conv = assemble_conversations(tdf)

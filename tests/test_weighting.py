@@ -58,3 +58,46 @@ def test_information_gain_matches_oracle(spark, docs_df):
     # the never-co-occurring token gets -log2(p)
     assert got["lonely"] == pytest.approx(want["lonely"])
     assert got["lonely"] > 0
+
+
+def test_weighted_jaccard_ranks_rare_overlap_above_boilerplate(spark):
+    """The soft-TFIDF intent: two docs sharing a RARE token pair must
+    outscore two docs sharing only corpus-wide boilerplate, even when
+    the unweighted Jaccard of both pairs is identical."""
+    from lieu_spark.functions.weighting import idf_weights, weighted_jaccard_for_pairs
+
+    corpus_docs = {
+        1: ["the", "a", "zebra", "quagga"],
+        2: ["the", "a", "zebra", "quagga"],
+        3: ["the", "a", "x3", "y3"],
+        4: ["the", "a", "x4", "y4"],
+    }
+    for i in range(5, 25):  # boilerplate 'the'/'a' everywhere -> w6 ~ 0
+        corpus_docs[i] = ["the", "a", f"u{i}", f"v{i}"]
+    docs_df = spark.createDataFrame(
+        [(k, v) for k, v in corpus_docs.items()], "doc_id long, tokens array<string>"
+    )
+    w = idf_weights(docs_df)
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): (r.wj6, r.w_inter)
+        for r in weighted_jaccard_for_pairs(pairs, docs_df, w).collect()
+    }
+    assert got[(1, 2)][0] == 1_000_000  # identical docs
+    # unweighted J(3,4) = 2/6; weighted must be far lower (only
+    # boilerplate shared)
+    assert got[(3, 4)][0] < 150_000, got
+
+    # pure-python recomputation of pair (3,4)
+    import math
+
+    n = len(corpus_docs)
+    dfreq: dict = {}
+    for toks in corpus_docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    w6 = {t: round(math.log(n / d) * 1e6) for t, d in dfreq.items()}
+    a, b = set(corpus_docs[3]), set(corpus_docs[4])
+    wi = sum(w6[t] for t in a & b)
+    wu = sum(w6[t] for t in a | b)
+    assert got[(3, 4)] == (round(wi / wu * 1e6), wi)
