@@ -76,3 +76,29 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_iceberg(df: DataFrame, table: str) -> None:
     df.writeTo(table).createOrReplace()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    key: str,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed+sorted parquet table in the session catalog — the
+    vanilla-Spark analog of the north rule's Iceberg ``bucket(conv_id)``
+    table layout. Stage tables written this way make every downstream
+    join/aggregation keyed on ``key`` read co-located: Catalyst drops
+    the Exchange (and with sortBy, the Sort) on the bucketed side —
+    asserted in tests/test_bucketing.py. At 100 TB this converts the
+    two biggest shuffles (feature join-back in verification, cluster
+    join-back in output assembly) into local reads."""
+    # one file per bucket (repartition on the bucket key first): Spark
+    # only trusts the on-disk sort order — and drops the Sort below the
+    # merge join — when a bucket is a single file
+    out = df.repartition(buckets, F.col(key))
+    w = out.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
