@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "multiset_jaccard": Q.q_multiset_jaccard,
         "weighted_jaccard": Q.q_weighted_jaccard,
+        "order_price_quantiles": Q.q_order_price_quantiles,
         # text analysis (training-data ops)
         "doc_tokens": Q.q_doc_tokens,
         "doc_quality": Q.q_doc_quality,

@@ -278,6 +278,14 @@ JOIN tot sb ON sb.doc_id = i.id_b
 ORDER BY id_a
 """
 
+ORACLE["order_price_quantiles"] = """
+SELECT o_orderpriority,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS BIGINT) AS p50_cents,
+       CAST(quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS BIGINT) AS p90_cents,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 ORACLE["weighted_jaccard"] = f"""
 WITH {_DOCS_AUG},
 t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),

@@ -418,6 +418,28 @@ def q_multiset_jaccard(spark, sf_dir):
     ).orderBy("id_a")
 
 
+def q_order_price_quantiles(spark, sf_dir):
+    """Distribution analytics: discrete percentiles per group.
+    percentile_disc picks an actual element (no interpolation), so the
+    result is bit-exact across engines — the continuous variant is one
+    ulp-divergence away from a hash mismatch."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("cents", cents(F.col("o_totalprice")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p50_cents"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)")
+            .cast("long")
+            .alias("p90_cents"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_weighted_jaccard(spark, sf_dir):
     """F4/F5 analog upgraded from "superseded": IDF-weighted Jaccard on
     the planted pairs — shared rare tokens count more than shared
