@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiset_jaccard": Q.q_multiset_jaccard,
         "weighted_jaccard": Q.q_weighted_jaccard,
         "order_price_quantiles": Q.q_order_price_quantiles,
+        "above_avg_orders": Q.q_above_avg_orders,
+        "ntile_price_deciles": Q.q_ntile_price_deciles,
+        "index_merge_batches": Q.q_index_merge_batches,
         # text analysis (training-data ops)
         "doc_tokens": Q.q_doc_tokens,
         "doc_quality": Q.q_doc_quality,
@@ -140,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_pairs_pipeline": Q.q_dedupe_pairs_pipeline,
         "match_pairs": Q.q_match_pairs,
         "dedupe_clusters": Q.q_dedupe_clusters,
+        "cluster_size_hist": Q.q_cluster_size_hist,
         "transcript_roundtrip": Q.q_transcript_roundtrip,
         # embeddings / similarity search
         "ann_topk": Q.q_ann_topk,

@@ -323,6 +323,58 @@ JOIN per sb ON sb.doc_id = p.id_b
 ORDER BY p.id_a
 """
 
+ORACLE["index_merge_batches"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (
+    SELECT doc_id, token
+    FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tok)
+    WHERE regexp_full_match(token, '[a-z0-9]{{3,}}')
+),
+b0 AS (SELECT token, count(*) AS df FROM d WHERE doc_id % 2 = 0 GROUP BY token),
+b1 AS (SELECT token, count(*) AS df FROM d WHERE doc_id % 2 = 1 GROUP BY token),
+merged AS (
+    SELECT token, sum(df) AS df_total, count(*) AS n_batches
+    FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+    GROUP BY token
+)
+SELECT token, df_total, n_batches FROM merged
+WHERE df_total >= 4 ORDER BY token
+"""
+
+ORACLE["above_avg_orders"] = """
+WITH o AS (
+    SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents
+    FROM orders
+),
+per AS (
+    SELECT o_custkey, sum(order_cents) AS sum_cents, count(*) AS n_ord
+    FROM o GROUP BY o_custkey
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS n_above,
+       sum(order_cents) AS sum_above_cents
+FROM o JOIN per USING (o_custkey)
+JOIN customer ON o_custkey = c_custkey
+WHERE 2 * order_cents * n_ord > 3 * sum_cents
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+ORACLE["ntile_price_deciles"] = """
+WITH o AS (
+    SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents
+    FROM orders
+),
+bucketed AS (
+    SELECT order_cents,
+           CAST(ntile(10) OVER (ORDER BY order_cents ASC, o_orderkey ASC) AS BIGINT)
+               AS decile
+    FROM o
+)
+SELECT decile, count(*) AS n_orders, sum(order_cents) AS sum_cents,
+       min(order_cents) AS min_cents, max(order_cents) AS max_cents
+FROM bucketed GROUP BY decile ORDER BY decile
+"""
+
 ORACLE["doc_tokens"] = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
@@ -444,6 +496,16 @@ walk(id, comp) AS (
     SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
 )
 SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+ORACLE["cluster_size_hist"] = f"""
+SELECT cluster_size, count(*) AS n_clusters, sum(cluster_size) AS n_docs
+FROM (
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM ({ORACLE["dedupe_clusters"]})
+    GROUP BY cluster_id
+)
+GROUP BY cluster_size ORDER BY cluster_size
 """
 
 ORACLE["match_pairs"] = f"""

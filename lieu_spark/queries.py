@@ -440,6 +440,101 @@ def q_order_price_quantiles(spark, sf_dir):
     )
 
 
+def q_index_merge_batches(spark, sf_dir):
+    """S8 parity (incremental batch-over-batch index merge —
+    ``update_doc_frequency``, lib/lieu/spark/tfidf.py:43-45): fold a new
+    batch's doc frequencies into an existing index with union + sum, then
+    apply the min-count filter (P7, spark/tfidf.py:39-40). Batches are
+    the even/odd doc_id halves so the split is engine-independent.
+    Tokens restricted to ASCII [a-z0-9]{3,} so cross-engine string
+    ordering can't diverge on non-BMP code points."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokenize(F.col("text")))).alias("token"),
+    ).filter(F.col("token").rlike("^[a-z0-9]{3,}$"))
+    df_of = lambda part: (
+        toks.filter(F.pmod(F.col("doc_id"), F.lit(2)) == part)
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    merged = (
+        df_of(0)
+        .unionByName(df_of(1))
+        .groupBy("token")
+        .agg(F.sum("df").alias("df_total"), F.count("*").alias("n_batches"))
+    )
+    return merged.filter(F.col("df_total") >= 4).orderBy("token")
+
+
+def q_cluster_size_hist(spark, sf_dir):
+    """Cluster-size distribution over the dedupe output — the two-level
+    aggregation a training-data pipeline runs to audit dedupe yield
+    (how many docs live in groups of what size before canonical-only
+    filtering)."""
+    clusters = q_dedupe_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.sum("cluster_size")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def q_above_avg_orders(spark, sf_dir):
+    """Correlated-aggregate pattern (TPC-H Q17 shape), decorrelated the
+    way Catalyst plans it: per-customer aggregate joined back to the fact
+    table. Predicate kept in exact integer math (2*cents*n > 3*sum) so
+    no engine-specific float average can diverge."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", cents(F.col("o_totalprice")).alias("order_cents")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("order_cents").alias("sum_cents"), F.count("*").alias("n_ord")
+    )
+    flagged = o.join(per_cust, "o_custkey").filter(
+        2 * F.col("order_cents") * F.col("n_ord") > 3 * F.col("sum_cents")
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        flagged.join(c, flagged.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.sum("order_cents").alias("sum_above_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_ntile_price_deciles(spark, sf_dir):
+    """ntile window: global price deciles with a unique total order
+    (cents, orderkey) so bucket boundaries are engine-exact. A global
+    ntile needs a single-partition sort — fine for a bounded stats table;
+    at 100 TB the scale path is percentile_disc cutpoints (see
+    order_price_quantiles) or approx_percentile, never a global window."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("order_cents")
+    )
+    w = Window.orderBy(F.col("order_cents").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("order_cents").alias("sum_cents"),
+            F.min("order_cents").alias("min_cents"),
+            F.max("order_cents").alias("max_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_weighted_jaccard(spark, sf_dir):
     """F4/F5 analog upgraded from "superseded": IDF-weighted Jaccard on
     the planted pairs — shared rare tokens count more than shared
