@@ -99,31 +99,21 @@ def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None
     tdf = spark.read.parquet(corpus_parquet)
     n_turns = tdf.count()
 
-    # lean mode: no stage-table churn; persisted stage outputs forced by
-    # one action each (checkpointed mode is exercised in pytest)
-    timings: dict[str, float] = {}
+    # eager mode: each stage persists + materializes as it is built, so
+    # stage_wall attributes cost to the stage that did the work (the lazy
+    # DAG would bill everything to the first action). Checkpointed mode
+    # is exercised in pytest.
     t0 = time.time()
-    res = run_pipeline(spark, tdf, cfg, store=None)
-    res.features.count()
-    timings["assemble_features"] = time.time() - t0
-
-    t1 = time.time()
+    res = run_pipeline(spark, tdf, cfg, store=None, eager=True)
     n_pairs = res.verified.count()
-    timings["candidates_verify"] = time.time() - t1
-    # blocking effectiveness — the reference CLI's num_comparisons vs
-    # N(N-1)/2 instrumentation (scripts/dedupe_geojson:441)
     n_candidates = res.candidates.count()
     n_docs = res.conversations.count()
-
-    t2 = time.time()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
-    timings["clusters"] = time.time() - t2
-
-    t3 = time.time()
     res.spans.count()
-    timings["spans"] = time.time() - t3
-
     wall = time.time() - t0
+    # blocking effectiveness — the reference CLI's num_comparisons vs
+    # N(N-1)/2 instrumentation (scripts/dedupe_geojson:441)
+    timings = {k: round(v, 3) for k, v in res.stage_wall.items()}
 
     # secondary workloads on the driver-provided tables
     t1 = time.time()

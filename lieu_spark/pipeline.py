@@ -86,7 +86,14 @@ def run_pipeline(
     run_id: str | None = None,
     with_spans: bool = True,
     with_simhash_path: bool = True,
+    eager: bool = False,
 ) -> PipelineResult:
+    """``eager=True`` materializes (persist + count) every stage as it is
+    built, so ``PipelineResult.stage_wall`` attributes wall-clock to the
+    stage that actually did the work. Without it the DAG is lazy and the
+    first downstream action (usually the connected-components driver
+    loop) absorbs every upstream stage's cost — fine for production, but
+    useless for benchmarking attribution (bench.py runs eager)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     walls: dict[str, float] = {}
     fp = cfg.fingerprint()
@@ -100,8 +107,10 @@ def run_pipeline(
         df = build()
         if store is not None:
             df = store.save(spark, name, df, fp)
-        elif cache:
+        elif cache or eager:
             df = df.persist()
+        if eager:
+            df.count()
         wall = time.time() - t0
         walls[name] = wall
         record_stage(spark, metrics_dir, run_id, name, df, wall, fp)
