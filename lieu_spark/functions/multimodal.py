@@ -20,7 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -92,6 +94,56 @@ def decode_image_metadata(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """Production resize — requires Pillow/libvips, absent here."""
+    raise NotImplementedError(
+        "image resize requires an imaging library not present in this "
+        "container; production impl: PIL.Image.open(io.BytesIO(payload))"
+        ".resize((width, height)).save(buf, format=...) -> buf.getvalue()"
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def byte_histogram_features(
+    df: DataFrame, dim: int = 32, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Feature extraction plumbing: payload -> L2-normalized float vector
+    (``array<float>``, ANN-ready — feeds operators/ann.py directly).
+
+    The featurizer here is a byte-value histogram folded to ``dim``
+    buckets: deterministic, numpy-vectorized per Arrow batch, zero
+    codec dependencies. Production swaps the histogram for a real
+    encoder (CLIP/ResNet forward pass per batch); the Spark-side shape —
+    mapInPandas batching, float32 output, downstream LSH/IVF — is
+    identical.
+    """
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if raw.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(raw % dim, minlength=dim).astype(np.float64)
+                nrm = float(np.sqrt((hist * hist).sum()))
+                feats.append((hist / nrm if nrm > 0 else hist).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "feature": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -180,3 +180,46 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"not-an-image")
+
+
+def test_multimodal_feature_extraction_feeds_ann(spark):
+    """payload -> byte-histogram feature (array<float>, L2-normalized)
+    -> hyperplane LSH ANN: the multimodal feature path is ANN-ready."""
+    import numpy as np
+
+    from lieu_spark.functions.multimodal import (
+        byte_histogram_features,
+        resize_image_real,
+    )
+    from lieu_spark.operators.ann import hyperplane_lsh_topk
+
+    docs = with_binary_payload(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+    feats = byte_histogram_features(docs, dim=16)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    # L2-normalized, deterministic
+    for r in rows[:20]:
+        v = np.array(r.feature, dtype=np.float64)
+        assert v.shape == (16,)
+        assert abs(float(np.sqrt((v * v).sum())) - 1.0) < 1e-5
+    again = {r.doc_id: r.feature for r in byte_histogram_features(docs, dim=16).collect()}
+    assert all(again[r.doc_id] == r.feature for r in rows)
+
+    # pure-python oracle for one doc
+    text = docs.select("doc_id", "text").limit(1).collect()[0]
+    raw = np.frombuffer(text.text.encode("utf-8"), dtype=np.uint8)
+    hist = np.bincount(raw % 16, minlength=16).astype(np.float64)
+    hist /= np.sqrt((hist * hist).sum())
+    got = dict((r.doc_id, r.feature) for r in rows)[text.doc_id]
+    assert np.allclose(np.array(got, dtype=np.float64), hist, atol=1e-6)
+
+    # ANN over the extracted features
+    emb = feats.limit(200).select(
+        F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    topk = hyperplane_lsh_topk(emb, k=3)
+    assert topk.count() > 0
+    assert set(topk.columns) >= {"id_a", "id_b", "rank", "cosine"}
+
+    with pytest.raises(NotImplementedError):
+        resize_image_real(b"x", 8, 8)
