@@ -50,33 +50,43 @@ def band_table(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") 
     )
 
 
-def _salted(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
-    """Attach band-group size + sub-split salt for hot bands.
+def salted_groups(
+    df: DataFrame, key_cols: list[str], cap: int, id_col: str = "id"
+) -> DataFrame:
+    """Attach group size (``bsize``) + sub-split salt (``sub``) for hot
+    blocking groups — shared by the LSH band path and the SimHash chunk
+    path (both are "self-join within blocking group" shapes).
 
-    Groups larger than ``hot_band_cap`` (boilerplate-text signatures) are
-    split into ceil(size/cap) salted sub-groups; pairs are generated only
-    within a sub-group. Cross-sub-group pairs of a hot band are recovered
-    by the other b-1 bands (and flagged in metrics — see band_stats).
+    Groups larger than ``cap`` (boilerplate-text signatures) are split
+    into ceil(size/cap) salted sub-groups; pairs are generated only
+    within a sub-group. Cross-sub-group pairs of a hot group are
+    recovered by the other blocking keys of the same family (b-1 other
+    bands / other simhash chunks) and flagged in metrics — see
+    band_stats.
 
-    ``bsize`` comes from a window over the band key (ONE exchange that
+    ``bsize`` comes from a window over the group key (ONE exchange that
     the subsequent self-join re-keys from) rather than an aggregate +
     join-back (which planned as two extra exchanges per side —
     .explain-driven rewrite, see BENCH.md).
     """
-    w = Window.partitionBy("band", "band_hash")
-    nsplit = F.greatest(
-        F.lit(1), F.ceil(F.col("bsize") / F.lit(cfg.hot_band_cap))
-    ).cast("long")
+    w = Window.partitionBy(*key_cols)
+    nsplit = F.greatest(F.lit(1), F.ceil(F.col("bsize") / F.lit(cap))).cast(
+        "long"
+    )
     return (
-        bands.withColumn("bsize", F.count("*").over(w))
+        df.withColumn("bsize", F.count("*").over(w))
         .withColumn(
             "sub",
             F.when(
-                F.col("bsize") > cfg.hot_band_cap,
-                F.pmod(F.xxhash64(F.col("id")), nsplit),
+                F.col("bsize") > cap,
+                F.pmod(F.xxhash64(F.col(id_col)), nsplit),
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+
+
+def _salted(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    return salted_groups(bands, ["band", "band_hash"], cfg.hot_band_cap)
 
 
 def band_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:

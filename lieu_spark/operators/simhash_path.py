@@ -45,11 +45,23 @@ def simhash_candidate_pairs(features: DataFrame, cfg: DedupeConfig, id_col: str 
 
     Returns (id_a, id_b, hamming) with id_a < id_b, distinct.
     """
-    tbl = simhash_chunk_table(features, cfg, id_col)
-    left = tbl.select("chunk", "chunk_bits", F.col("id").alias("id_a"))
-    right = tbl.select("chunk", "chunk_bits", F.col("id").alias("id_b"))
+    from .lsh import salted_groups
+
+    # hot-chunk salting, same skew policy as the LSH band path: a
+    # boilerplate-heavy corpus puts thousands of near-identical docs in
+    # one (chunk, chunk_bits) group; without the cap the self-join goes
+    # quadratic in that group. Cross-sub pairs of a split group are
+    # recovered by the doc's other simhash chunks (pigeonhole gives
+    # hamming<=chunks-1 a collision on >=1 chunk).
+    tbl = salted_groups(
+        simhash_chunk_table(features, cfg, id_col),
+        ["chunk", "chunk_bits"],
+        cfg.hot_band_cap,
+    ).filter(F.col("bsize") > 1).select("chunk", "chunk_bits", "sub", "id")
+    left = tbl.select("chunk", "chunk_bits", "sub", F.col("id").alias("id_a"))
+    right = tbl.select("chunk", "chunk_bits", "sub", F.col("id").alias("id_b"))
     cand = (
-        left.join(right, ["chunk", "chunk_bits"])
+        left.join(right, ["chunk", "chunk_bits", "sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -36,3 +36,29 @@ def test_boilerplate_group_stays_linear(spark):
     # every boilerplate member pairs exactly once (to the rep)
     star = res.verified.filter(F.col("status") == "exact_duplicate").count()
     assert star >= n_copies - 1
+
+
+def test_simhash_hot_chunk_stays_bounded(spark):
+    """NEAR-identical (not byte-identical) boilerplate shares simhash
+    chunk values; the salted sub-split must keep the chunk self-join
+    from going quadratic while still surfacing near-dup pairs."""
+    from lieu_spark.functions.simhash import with_simhash
+    from lieu_spark.functions.text import token_hashes, tokenize
+    from lieu_spark.operators.simhash_path import simhash_candidate_pairs
+
+    cfg = DedupeConfig(hot_band_cap=50)
+    boiler = "thank you for contacting support your ticket has been received " * 6
+    # unique suffix token => distinct text_sha, near-identical simhash
+    rows = [(f"c{i:05d}", boiler + f" case{i}") for i in range(800)]
+    df = spark.createDataFrame(rows, "conv_id string, doc string")
+    df = df.withColumn("tokens", tokenize(F.col("doc")))
+    df = df.withColumn("token_hashes", token_hashes(F.col("tokens")))
+    feats = with_simhash(df, cfg)
+
+    pairs = simhash_candidate_pairs(feats, cfg)
+    n = pairs.count()
+    # unsalted would be ~800*799/2 = 319,600 per colliding chunk; the
+    # cap bounds each sub-group to ~50 members -> ~20k pairs max
+    assert 0 < n < 50_000, n
+    # pairs that survive are genuinely near-exact (hamming filter)
+    assert pairs.filter(F.col("hamming") > cfg.simhash_hamming_max).count() == 0
