@@ -115,6 +115,25 @@ def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None
     # N(N-1)/2 instrumentation (scripts/dedupe_geojson:441)
     timings = {k: round(v, 3) for k, v in res.stage_wall.items()}
 
+    # dup-pair recall (the BASELINE.json north metric), measured at bench
+    # scale: ground-truth pairs get their TRUE jaccard via a direct pair
+    # join (no blocking involved); recall = fraction of true-duplicate
+    # pairs (J >= threshold_likely, or byte-exact) the pipeline classified
+    # as duplicates. Corpus is generated with seed 42 (ensure_corpus).
+    from lieu_spark.corpus import truth_df
+    from lieu_spark.operators.verify import dupe_pairs, verify_pairs
+
+    truth = truth_df(spark, 42, n_docs)
+    tv = verify_pairs(truth.select("id_a", "id_b"), res.features, cfg, method="truth")
+    should = tv.filter(
+        (F.col("jaccard") >= cfg.threshold_likely) | F.col("is_exact")
+    ).select("id_a", "id_b").persist()
+    n_should = should.count()
+    n_found = should.join(
+        dupe_pairs(res.verified).select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).count()
+    recall = n_found / n_should if n_should else 1.0
+
     # secondary workloads on the driver-provided tables
     t1 = time.time()
     doc_pairs = Q.q_dedupe_pairs_pipeline(spark, sf_dir).count()
@@ -140,6 +159,9 @@ def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None
             n_candidates / max(1, n_docs * (n_docs - 1) // 2), 8
         ),
         "clusters": n_clusters,
+        "dup_pair_recall": round(recall, 5),
+        "true_dup_pairs": n_should,
+        "found_dup_pairs": n_found,
         "doc_dedupe_pairs": doc_pairs,
         "ann_rows": ann,
         "stage_sec": {k: round(v, 3) for k, v in timings.items()},
@@ -240,7 +262,7 @@ def main() -> None:
         # on this shared VM, so alternating keeps both levels under the
         # same conditions — a ratio is only as good as its simultaneity
         quarter = str(ensure_corpus(sf / (p2 // p1), max(100, n_convs * p1 // p2)))
-        p2_runs, w_runs = [], []
+        p2_runs, w_runs, s1_runs = [], [], []
         for i in range(max(1, reps)):
             p2_runs.append(
                 submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json.{i}"))
@@ -248,9 +270,14 @@ def main() -> None:
             w_runs.append(
                 submit(p1, args.sf_dir, quarter, str(CACHE / f"run_w{p1}.json.{i}"))
             )
+            # strong-scaling partner interleaved too: a single p1-full
+            # run was the noisiest number in the report (co-tenant drift)
+            s1_runs.append(
+                submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json.{i}"))
+            )
         rp2 = min(p2_runs, key=lambda r: r["pipeline_wall_sec"])
         rw = min(w_runs, key=lambda r: r["pipeline_wall_sec"])
-        r1 = submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json"))
+        r1 = min(s1_runs, key=lambda r: r["pipeline_wall_sec"])
     else:
         rp2 = submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json"))
     if r2 is None:
@@ -310,6 +337,8 @@ def main() -> None:
         "possible_pairs": r2.get("possible_pairs"),
         "blocking_ratio": r2.get("blocking_ratio"),
         "clusters": r2["clusters"],
+        "dup_pair_recall": r2.get("dup_pair_recall"),
+        "true_dup_pairs": r2.get("true_dup_pairs"),
         "scaling": scaling,
     }
     print(json.dumps(out))
