@@ -133,11 +133,27 @@ def hyperplane_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
+    """``bucket_cap`` (off by default) applies the same salted sub-split
+    as the MinHash/SimHash blocking paths to any (table, bucket) group
+    larger than the cap — the 100 TB guard when embeddings cluster so
+    hard that one bucket goes quadratic. Cross-sub candidates of a split
+    bucket are recovered probabilistically by the other tables (raise
+    ntables when capping), unlike the dedupe paths' deterministic
+    pigeonhole recovery — hence opt-in here, default-on there."""
     buckets = hyperplane_buckets(embeddings, nbits, ntables, seed, id_col, vec_col)
+    join_keys = ["table", "bucket"]
+    if bucket_cap is not None:
+        from .lsh import salted_groups
+
+        buckets = salted_groups(buckets, ["table", "bucket"], bucket_cap).select(
+            "table", "bucket", "sub", "id"
+        )
+        join_keys = ["table", "bucket", "sub"]
     cand = (
         buckets.alias("l")
-        .join(buckets.alias("r"), ["table", "bucket"])
+        .join(buckets.alias("r"), join_keys)
         .filter(F.col("l.id") != F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
