@@ -63,6 +63,28 @@ def windowed_event_counts(
     )
 
 
+def dedupe_turns_within_watermark(
+    turns: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once ingestion of turn rows from an at-least-once feed:
+    drop re-deliveries of the same (conv_id, turn_idx) arriving within
+    the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the id
+    columns and expires entries once the watermark passes their event
+    time — state is bounded by (horizon x arrival rate) regardless of
+    stream length, unlike streaming ``dropDuplicates`` whose state grows
+    forever. Re-deliveries later than the horizon are out of contract
+    (the batch pipeline's assembly dedupe is the backstop — duplicated
+    (conv_id, turn_idx) rows are idempotent there, tests/
+    test_properties.py)."""
+    if turns.isStreaming:
+        return turns.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["conv_id", "turn_idx"]
+        )
+    return turns.dropDuplicates(["conv_id", "turn_idx"])
+
+
 def run_windowed_counts(
     spark: SparkSession,
     input_dir: str,

@@ -111,6 +111,38 @@ def test_ivf_candidate_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_winnow_plan_reuses_exchange(spark):
+    """The winnow stop-filter is a window count over h whose exchange is
+    REUSED by both sides of the fingerprint self-join — one hash
+    partitioning of the exploded table, not four recomputes of the
+    explode lineage (the pre-rewrite plan; see BENCH.md)."""
+    from lieu_spark.operators.spans import winnow_span_candidates
+
+    feats = _feats(spark)
+    cand = winnow_span_candidates(feats, CFG)
+    plan = plan_of(cand)
+    assert "CartesianProduct" not in plan
+    # exchange reuse is decided in the final adaptive plan
+    cand.collect()
+    final = cand._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "TableCacheQueryStage" in final, final[:2000]
+
+
+def test_simhash_candidates_salted_plan(spark):
+    """SimHash chunk self-join keys must include the salt attribute (same
+    skew policy as the LSH path), with no cartesian product."""
+    from lieu_spark.operators.simhash_path import simhash_candidate_pairs
+
+    feats = _feats(spark)  # build_features output already carries simhash
+    cand = simhash_candidate_pairs(feats, CFG)
+    plan = plan_of(cand)
+    assert "CartesianProduct" not in plan
+    key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
+    assert key_lines and any(
+        "chunk" in ln and "sub" in ln for ln in key_lines
+    ), key_lines
+
+
 def test_assemble_single_shuffle(spark):
     tdf = corpus.generate_df(spark, 42, 30)
     conv = assemble_conversations(tdf)

@@ -49,6 +49,48 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert s == b, (sorted(b - s)[:3], sorted(s - b)[:3])
 
 
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    """At-least-once feed: the same (conv_id, turn_idx) rows delivered in
+    two files must come out exactly once; output equals batch distinct."""
+    from lieu_spark import corpus
+    from lieu_spark.streaming.windows import dedupe_turns_within_watermark
+
+    in_dir = tmp_path / "turns_in"
+    in_dir.mkdir()
+    tdf = corpus.generate_df(spark, 11, 40)
+    tdf.coalesce(1).write.mode("append").parquet(str(in_dir))
+    # redeliver half the rows (duplicates within the watermark horizon)
+    tdf.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(corpus.TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    deduped = dedupe_turns_within_watermark(stream, watermark="2 hours")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "turns_out"))
+        .option("checkpointLocation", str(tmp_path / "turns_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(str(tmp_path / "turns_out"))
+    n_in = spark.read.parquet(str(in_dir)).count()
+    n_unique = tdf.count()
+    assert n_in > n_unique  # duplicates were actually delivered
+    assert got.count() == n_unique
+    assert got.select("conv_id", "turn_idx").distinct().count() == n_unique
+    # batch path of the same helper equals streaming output row-for-row
+    batch = dedupe_turns_within_watermark(spark.read.parquet(str(in_dir)))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+
+
 def test_windowed_counts_batch_matches_manual(spark):
     """The shared batch/stream aggregation, cross-checked against a
     hand-rolled floor-to-hour groupBy."""
