@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_pairs": Q.q_match_pairs,
         "dedupe_clusters": Q.q_dedupe_clusters,
         "cluster_size_hist": Q.q_cluster_size_hist,
+        "response_pairs_ranked": Q.q_response_pairs_ranked,
         "transcript_roundtrip": Q.q_transcript_roundtrip,
         # embeddings / similarity search
         "ann_topk": Q.q_ann_topk,

@@ -521,6 +521,35 @@ WHERE p.id_a < 100000 AND p.id_b >= 100000
 ORDER BY id_a, id_b
 """
 
+ORACLE["response_pairs_ranked"] = f"""
+{_JACCARD_PAIRS},
+shas AS (SELECT doc_id, sha256(text) AS sha FROM aug),
+dupes AS (
+    SELECT p.id_a, p.id_b, p.j6,
+           CASE WHEN sa.sha = sb.sha THEN 'exact_duplicate'
+                ELSE 'likely_duplicate' END AS classification
+    FROM pairs p
+    JOIN shas sa ON sa.doc_id = p.id_a
+    JOIN shas sb ON sb.doc_id = p.id_b
+    WHERE 10 * p.inter >= 9 * p.uni OR sa.sha = sb.sha
+),
+sym AS (
+    SELECT id_a AS doc_id, id_b AS other_id, j6, classification FROM dupes
+    UNION ALL
+    SELECT id_b, id_a, j6, classification FROM dupes
+),
+comp AS (SELECT * FROM ({ORACLE["dedupe_clusters"]})),
+ranked AS (
+    SELECT s.doc_id, s.other_id, s.j6 AS sim6, s.classification,
+           CAST(c.doc_id = c.cluster_id AS INT) AS other_canonical_i,
+           row_number() OVER (PARTITION BY s.doc_id
+                              ORDER BY s.j6 DESC, s.other_id ASC) AS rank
+    FROM sym s JOIN comp c ON c.doc_id = s.other_id
+)
+SELECT doc_id, rank, other_id, classification, sim6, other_canonical_i
+FROM ranked ORDER BY doc_id, rank
+"""
+
 ORACLE["transcript_roundtrip"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 nz AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),

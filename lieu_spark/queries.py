@@ -737,6 +737,38 @@ def q_match_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_response_pairs_ranked(spark, sf_dir):
+    """DedupeResponse parity (lieu api.py:48-144) + W3 reverse-similarity
+    ordering (api.py:142-143): per doc, its same_as neighbor list built
+    by operators/response.dedupe_responses, flattened with rank
+    (similarity desc, other_id asc) and the neighbor's canonical flag."""
+    from .operators.cluster import clusters_with_singletons as cws
+    from .operators.cluster import connected_components as cc
+    from .operators.response import dedupe_responses
+    from .operators.verify import dupe_pairs
+
+    feats = with_minhash(doc_features(spark, sf_dir), CFG)
+    bands = band_table(feats, CFG)
+    cand = candidate_pairs(bands, CFG).unionByName(
+        exact_star_pairs(feats.select("conv_id", "text_sha"))
+    ).dropDuplicates(["id_a", "id_b"])
+    v = verify_pairs(cand, feats, CFG)
+    all_ids = feats.select("conv_id")
+    clusters = cws(all_ids, cc(dupe_pairs(v)))
+    resp = dedupe_responses(all_ids, v, clusters)
+    flat = resp.select(
+        "conv_id", F.posexplode("same_as").alias("rank0", "e")
+    )
+    return flat.select(
+        F.col("conv_id").alias("doc_id"),
+        (F.col("rank0") + 1).cast("long").alias("rank"),
+        F.col("e.other_id").alias("other_id"),
+        F.col("e.classification").alias("classification"),
+        F.round(F.col("e.similarity") * 1e6).cast("long").alias("sim6"),
+        F.col("e.is_canonical").cast("int").alias("other_canonical_i"),
+    ).orderBy("doc_id", "rank")
+
+
 def q_transcript_roundtrip(spark, sf_dir):
     """W1 stable-ordering assembly: chunked transcripts reassemble to the
     canonical document text (per-turn text equality invariant)."""

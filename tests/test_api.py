@@ -42,3 +42,43 @@ def test_unique_drops_dupes_keeps_canonical(spark):
         if i % 10 == 7:
             assert corpus.conv_id_str(i) not in ids
             assert corpus.conv_id_str(i - 7) in ids
+
+
+def test_dedupe_responses_shape_and_ordering(spark):
+    """DedupeResponse parity: every conv gets a response row; same_as
+    holds exact/likely neighbors ordered by similarity desc; canonical
+    flag marks cluster representatives (lieu api.py:48-144 semantics)."""
+    from lieu_spark.api import dedupe
+    from lieu_spark.operators.response import dedupe_responses
+
+    rows = corpus.generate_rows(42, 60)
+    res = dedupe(spark, _tdf(spark, rows), CFG, with_spans=False)
+    resp = dedupe_responses(res.conversations, res.verified, res.clusters)
+    got = {r.conv_id: r for r in resp.collect()}
+    assert len(got) == 60
+
+    for i in range(60):
+        cid = corpus.conv_id_str(i)
+        r = got[cid]
+        # neighbor lists ordered by similarity desc
+        sims = [e.similarity for e in r.same_as]
+        assert sims == sorted(sims, reverse=True), cid
+        psims = [e.similarity for e in r.possibly_same_as]
+        assert psims == sorted(psims, reverse=True), cid
+        # is_dupe iff it has a dupe-tier neighbor
+        assert r.is_dupe == (len(r.same_as) > 0)
+        # canonical <=> cluster representative
+        assert r.is_canonical == (r.cluster_id == cid)
+        if i % 10 == 7:  # planted exact copy of i-7
+            others = {e.other_id for e in r.same_as}
+            assert corpus.conv_id_str(i - 7) in others, cid
+            top = r.same_as[0]
+            assert top.classification == "exact_duplicate"
+            assert abs(top.similarity - 1.0) < 1e-12
+
+    # symmetric: a's same_as contains b iff b's contains a
+    for cid, r in got.items():
+        for e in r.same_as:
+            assert any(x.other_id == cid for x in got[e.other_id].same_as), (
+                cid, e.other_id,
+            )
