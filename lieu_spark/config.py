@@ -42,6 +42,12 @@ class DedupeConfig:
     simhash_chunks: int = 4     # pigeonhole blocks for hamming<=3
     # --- skew handling ---
     hot_band_cap: int = 2000    # members per band group before sub-splitting
+    # cap on turns assembled per conversation (None = unbounded): bounds
+    # the collect_list buffer + doc size against a single pathological
+    # conversation with millions of turns (assembly analog of
+    # hot_band_cap); kept rows are the deterministic lowest-turn_idx
+    # prefix, capped convs flagged `truncated`
+    max_turns_per_conv: int | None = None
     # --- copied-span stage ---
     span_min_len: int = 60      # chars; minimum reported common substring
     span_max_chars: int = 20000  # cap per-text length fed to the suffix array

@@ -16,13 +16,17 @@ in tests/test_invariants.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TURN_SEP = "\n"
 
 
-def assemble_conversations(transcripts: DataFrame, keep_turns: bool = False) -> DataFrame:
+def assemble_conversations(
+    transcripts: DataFrame,
+    keep_turns: bool = False,
+    max_turns: int | None = None,
+) -> DataFrame:
     """(conv_id, turn_idx, role, text, tool, ts) -> one row per conv:
 
     conv_id, n_turns, doc (turn texts joined in turn_idx order),
@@ -32,8 +36,27 @@ def assemble_conversations(transcripts: DataFrame, keep_turns: bool = False) -> 
     keep_turns defaults off: nothing downstream needs the struct array
     once ``doc`` exists, and carrying it doubles the text volume of the
     persisted/checkpointed conversations table.
+
+    ``max_turns`` bounds the per-conversation aggregation state: keep
+    only the max_turns LOWEST turn_idx rows (deterministic prefix). This
+    is the assembly-stage analog of hot_band_cap / span_max_chars — a
+    single pathological conversation with millions of turns would
+    otherwise materialize an unbounded collect_list buffer and a
+    GB-sized doc on one executor. The rank window partitions by conv_id,
+    the same key as the groupBy, so capping adds no extra exchange
+    (the window's shuffle is reused). Capped conversations are flagged
+    ``truncated`` for the metrics table.
     """
     deduped = transcripts.dropDuplicates(["conv_id", "turn_idx"])
+    if max_turns is not None:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        deduped = (
+            deduped.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_total", F.count("*").over(Window.partitionBy("conv_id"))
+            )
+            .filter(F.col("_rn") <= max_turns)
+        )
     turns = F.array_sort(
         F.collect_list(
             F.struct(
@@ -45,12 +68,15 @@ def assemble_conversations(transcripts: DataFrame, keep_turns: bool = False) -> 
             )
         )
     )
-    out = deduped.groupBy("conv_id").agg(
+    aggs = [
         F.count("*").alias("n_turns"),
         turns.alias("turns"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-    )
+    ]
+    if max_turns is not None:
+        aggs.append((F.max("_total") > max_turns).alias("truncated"))
+    out = deduped.groupBy("conv_id").agg(*aggs)
     doc = F.concat_ws(
         TURN_SEP, F.transform(F.col("turns"), lambda t: t["text"])
     )

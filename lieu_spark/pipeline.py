@@ -116,7 +116,13 @@ def run_pipeline(
         record_stage(spark, metrics_dir, run_id, name, df, wall, fp)
         return df
 
-    conversations = stage("conversations", lambda: assemble_conversations(transcripts), cache=True)
+    conversations = stage(
+        "conversations",
+        lambda: assemble_conversations(
+            transcripts, max_turns=cfg.max_turns_per_conv
+        ),
+        cache=True,
+    )
     features = stage("features", lambda: build_features(conversations, cfg), cache=True)
 
     feat_slim = features.select("conv_id", "text_sha", "shingle_hashes", "sig", "simhash")

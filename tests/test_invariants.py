@@ -113,3 +113,36 @@ def test_ts_types(spark):
     row = df.first()
     assert isinstance(row.ts, datetime)
     assert df.schema["turn_idx"].dataType.simpleString() == "int"
+
+
+def test_assembly_turn_cap_bounds_pathological_conversations(spark):
+    """max_turns keeps the deterministic lowest-turn_idx prefix and flags
+    truncation — the assembly-stage analog of hot_band_cap."""
+    from datetime import datetime, timedelta
+
+    from lieu_spark.operators.assemble import assemble_conversations
+
+    base = datetime(2025, 1, 1)
+    rows = [
+        ("big", t, "user", f"turn number {t}", "", base + timedelta(seconds=t))
+        for t in range(30)
+    ] + [
+        ("small", t, "user", f"word {t}", "", base + timedelta(seconds=t))
+        for t in range(3)
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    capped = {r.conv_id: r for r in assemble_conversations(tdf, max_turns=10).collect()}
+    assert capped["big"].n_turns == 10
+    assert capped["big"].truncated is True
+    assert capped["big"].doc == "\n".join(f"turn number {t}" for t in range(10))
+    assert capped["small"].n_turns == 3
+    assert capped["small"].truncated is False
+    assert capped["small"].doc == "\n".join(f"word {t}" for t in range(3))
+    # scrambled ingestion order yields the identical capped prefix
+    shuffled = spark.createDataFrame(list(reversed(rows)), tdf.schema)
+    again = {r.conv_id: r.doc for r in assemble_conversations(shuffled, max_turns=10).collect()}
+    assert again == {k: v.doc for k, v in capped.items()}
+    # default path keeps its schema (no truncated column)
+    assert "truncated" not in assemble_conversations(tdf).columns
