@@ -157,3 +157,34 @@ def test_planted_spans_found(result):
     )
     # offsets must be consistent: reported length >= configured minimum
     assert all(ln >= CFG.span_min_len for *_, ln in spans)
+
+
+def test_signature_verify_mode_end_to_end(spark):
+    """verify_mode='signatures' — the 100 TB shuffle-volume knob: the
+    estimator must equal the oracle's signature-agreement fraction
+    bit-for-bit on every verified pair, exact-sha pairs must stay
+    exact regardless of estimator noise, and planted exact copies must
+    still cluster with their source."""
+    cfg = DedupeConfig(verify_mode="signatures")
+    n = 120
+    tdf = corpus.generate_df(spark, SEED, n)
+    res = run_pipeline(spark, tdf, cfg, with_spans=False)
+
+    docs = {r.conv_id: r.doc for r in res.conversations.select("conv_id", "doc").collect()}
+    sigs = {
+        cid: oracle.minhash_signature(oracle.shingle_hashes(d, cfg.shingle_k), cfg)
+        for cid, d in docs.items()
+    }
+    verified = res.verified.collect()
+    assert verified
+    for r in verified:
+        want = oracle.signature_agreement(sigs[r.id_a], sigs[r.id_b])
+        assert abs(r.jaccard - want) < 1e-12, (r.id_a, r.id_b)
+        if r.is_exact:
+            assert r.status == "exact_duplicate"
+
+    clusters = {r.conv_id: r.cluster_id for r in res.clusters.collect()}
+    for i in range(n):
+        if i % 10 == 7:  # planted exact copy of i-7
+            a, b = corpus.conv_id_str(i - 7), corpus.conv_id_str(i)
+            assert clusters[a] == clusters[b], (a, b)
