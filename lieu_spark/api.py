@@ -62,6 +62,23 @@ def match(
     )
 
 
+def responses(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: DedupeConfig = DEFAULT_CONFIG,
+    **kwargs,
+) -> DataFrame:
+    """Full pipeline + per-record DedupeResponse assembly: one row per
+    conversation with (is_dupe, is_canonical, cluster_id, same_as,
+    possibly_same_as) — the reference job's output record
+    (lib/lieu/api.py:48-144, scripts/jobs/dedupe_geojson.py:179-198).
+    """
+    from .operators.response import dedupe_responses
+
+    res = run_pipeline(spark, transcripts, cfg, with_spans=False, **kwargs)
+    return dedupe_responses(res.conversations, res.verified, res.clusters)
+
+
 def unique(
     spark: SparkSession,
     transcripts: DataFrame,
