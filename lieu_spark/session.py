@@ -24,10 +24,15 @@ def build_session(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # local mode: ~2 waves over the available threads; on a real
-        # cluster this is sized to input volume (see README: ~2-3x total
-        # executor cores, or let AQE coalesce from a high initial count).
-        shuffle_partitions = max(2 * cores, 8)
+        # local mode: ONE wave (sp == cores). Measured A/B in separate
+        # processes at both 8 and 32 threads: one wave beats two by
+        # 4-15% because this pipeline's shuffles are short and
+        # dispatch-bound — doubling the task count doubles scheduling
+        # overhead without improving balance (AQE coalesces bytes, not
+        # task-dispatch cost). On a real cluster size this to input
+        # volume instead: ~2-3x total executor cores, or a high initial
+        # count + AQE coalescing, so stragglers and skew have room.
+        shuffle_partitions = max(cores, 8)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
