@@ -61,9 +61,15 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
     signature UDFs into 1-2 tasks. AQE never coalesces an explicit
     numPartitions repartition, so parallelism here tracks cores, not
     bytes — the single biggest local-scaling lever we found (BENCH.md).
+
+    ONE wave (1x parallelism), unlike the span stage's 2x: signature
+    cost per row is near-uniform (doc lengths are tightly distributed),
+    so a second wave only doubles scheduling + Arrow batch overhead —
+    measured 7.2 s vs 8.2-11.7 s at 32 threads. Spans keep 2x because
+    per-pair LCS cost varies wildly and stragglers need rebalancing.
     """
     sc = conversations.sparkSession.sparkContext
-    df = conversations.repartition(max(2 * sc.defaultParallelism, 8))
+    df = conversations.repartition(max(sc.defaultParallelism, 8))
     df = df.withColumn("tokens", tokenize(F.col("doc")))
     # one string-hash pass feeds both shingling and SimHash
     df = df.withColumn("token_hashes", token_hashes(F.col("tokens")))
