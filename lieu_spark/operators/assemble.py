@@ -47,8 +47,20 @@ def assemble_conversations(
     (the window's shuffle is reused). Capped conversations are flagged
     ``truncated`` for the metrics table.
     """
-    deduped = transcripts.dropDuplicates(["conv_id", "turn_idx"])
+    struct_cols = F.struct(
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        F.col("ts"),
+    )
     if max_turns is not None:
+        # cap path: rank-filter BEFORE the aggregation so a pathological
+        # conversation never materializes an unbounded collect_list
+        # buffer; dropDuplicates first so ranks count distinct turns.
+        # Both window and groupBy key on conv_id — the exchange is
+        # shared.
+        deduped = transcripts.dropDuplicates(["conv_id", "turn_idx"])
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
         deduped = (
             deduped.withColumn("_rn", F.row_number().over(w))
@@ -57,26 +69,43 @@ def assemble_conversations(
             )
             .filter(F.col("_rn") <= max_turns)
         )
-    turns = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("turn_idx"),
-                F.col("role"),
-                F.col("text"),
-                F.col("tool"),
-                F.col("ts"),
+        out = deduped.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.array_sort(F.collect_list(struct_cols)).alias("turns"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            (F.max("_total") > max_turns).alias("truncated"),
+        )
+    else:
+        # default path: ONE shuffle. Duplicate (conv_id, turn_idx) rows
+        # are dropped inside the aggregation — array_sort puts the
+        # lowest struct first per turn_idx, and the index-filter keeps
+        # each turn_idx's first entry. Deterministic winner (lowest
+        # full-struct value), unlike dropDuplicates' arbitrary row, and
+        # the turns table shuffles once instead of twice.
+        raw = F.array_sort(F.collect_list(struct_cols))
+        out = transcripts.groupBy("conv_id").agg(raw.alias("_raw"))
+        kept = F.filter(
+            F.col("_raw"),
+            lambda t, i: (i == F.lit(0))
+            | (
+                t["turn_idx"]
+                != F.element_at(F.col("_raw"), i)["turn_idx"]
+            ),
+        )
+        out = (
+            out.withColumn("turns", kept)
+            .drop("_raw")
+            .withColumn("n_turns", F.size("turns").cast("long"))
+            .withColumn(
+                "first_ts",
+                F.array_min(F.transform(F.col("turns"), lambda t: t["ts"])),
+            )
+            .withColumn(
+                "last_ts",
+                F.array_max(F.transform(F.col("turns"), lambda t: t["ts"])),
             )
         )
-    )
-    aggs = [
-        F.count("*").alias("n_turns"),
-        turns.alias("turns"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-    ]
-    if max_turns is not None:
-        aggs.append((F.max("_total") > max_turns).alias("truncated"))
-    out = deduped.groupBy("conv_id").agg(*aggs)
     doc = F.concat_ws(
         TURN_SEP, F.transform(F.col("turns"), lambda t: t["text"])
     )

@@ -147,7 +147,8 @@ def test_assemble_single_shuffle(spark):
     tdf = corpus.generate_df(spark, 42, 30)
     conv = assemble_conversations(tdf)
     plan = plan_of(conv, "simple")
-    # dropDuplicates(conv_id, turn_idx) + groupBy(conv_id): AQE may plan
-    # 2 exchanges but never more (no extra sort-based repartitions)
-    assert plan.count("Exchange") <= 3
+    # default path: ONE exchange — duplicate rows are dropped inside the
+    # aggregation (adjacent-dedupe on the sorted array), not by a
+    # separate dropDuplicates shuffle
+    assert plan.count("Exchange") == 1, plan[:1500]
     assert "SortAggregate" not in plan or "ObjectHashAggregate" in plan
