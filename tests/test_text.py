@@ -52,3 +52,34 @@ def test_shingles_short_text():
     assert oracle.shingles(["a"], 5) == ["a"]
     assert oracle.shingles(["a", "b"], 5) == ["a b"]
     assert oracle.shingles(["a", "b", "c"], 2) == ["a b", "b c"]
+
+
+def test_tokenizer_unicode_parity_with_oracle(spark):
+    """Java-regex (Spark) and python-re (oracle) canonicalization agree
+    on non-ASCII scripts, supplementary-plane emoji, case-folding
+    specials (Turkish I, German sharp-s, Greek sigma) and ligatures."""
+    import pyspark.sql.functions as F
+
+    from lieu_spark import oracle
+    from lieu_spark.functions.text import tokenize
+
+    cases = [
+        "héllo wörld café",
+        "日本語のテキスト 処理",
+        "emoji 😀 mix 🎉 text",
+        "İstanbul DİYARBAKIR ısparta",
+        "éclair séance",
+        "МОСКВА советский Союз",
+        "ΑΘΗΝΑ ελληνικά ΣΟΦΙΑ",
+        "mixed١٢٣ arabic نص عربي",
+        "ÄÖÜ ß STRASSE straße",
+        "ﬁnancial ﬂow",
+        "tab\tand\nnewline  runs",
+        "punct!!!only??? ... ---",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, text string"
+    )
+    got = {r.i: r.t for r in df.select("i", tokenize(F.col("text")).alias("t")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == oracle.tokens(c), (c, got[i], oracle.tokens(c))
