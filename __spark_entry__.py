@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_quantiles": Q.q_order_price_quantiles,
         "above_avg_orders": Q.q_above_avg_orders,
         "ntile_price_deciles": Q.q_ntile_price_deciles,
+        "conditional_agg_shipmodes": Q.q_conditional_agg_shipmodes,
         "index_merge_batches": Q.q_index_merge_batches,
         # text analysis (training-data ops)
         "doc_tokens": Q.q_doc_tokens,

@@ -359,6 +359,19 @@ WHERE 2 * order_cents * n_ord > 3 * sum_cents
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
+ORACLE["conditional_agg_shipmodes"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
 ORACLE["ntile_price_deciles"] = """
 WITH o AS (
     SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS order_cents

@@ -512,6 +512,28 @@ def q_above_avg_orders(spark, sf_dir):
     )
 
 
+def q_conditional_agg_shipmodes(spark, sf_dir):
+    """TPC-H Q12 shape — conditional aggregation (SUM(CASE WHEN ...)):
+    per return flag, 1995-shipped line counts split by order priority.
+    The map-side-combinable way to pivot small category sets without a
+    pivot shuffle. Integer predicate on cents avoids float compares."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_ntile_price_deciles(spark, sf_dir):
     """ntile window: global price deciles with a unique total order
     (cents, orderkey) so bucket boundaries are engine-exact. A global

@@ -223,3 +223,28 @@ def test_multimodal_feature_extraction_feeds_ann(spark):
 
     with pytest.raises(NotImplementedError):
         resize_image_real(b"x", 8, 8)
+
+
+def test_hll_sketches_for_scale_distinct_counts(spark):
+    """Approximate distinct (datasketches HLL) — the 100 TB substitute
+    for exact countDistinct: bounded error vs exact, and sketches merge
+    across batches (hll_union_agg of per-batch sketches == one-shot
+    estimate), which is what makes incremental index maintenance cheap."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = o.select(F.countDistinct("o_custkey").alias("n")).collect()[0].n
+    est = o.select(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").alias("n")
+    ).collect()[0].n
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # mergeability: sketch per orderpriority batch, then union
+    per_batch = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    merged = per_batch.select(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n")
+    ).collect()[0].n
+    # union of per-batch sketches is not bit-identical to a one-shot
+    # sketch (internal mode transitions) but must carry the same
+    # accuracy guarantee
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
