@@ -92,10 +92,13 @@ def make_assembler(gap_ms: int = 60_000):
                 for i, t in zip(idx_csv.split(","), json.loads(texts_json))
             }
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                turns[int(row["turn_idx"])] = row["text"]
-                ts_us = int(row["ts"].value // 1000)  # pandas ns -> us
-                max_ts_us = max(max_ts_us, ts_us)
+            if len(pdf) == 0:
+                continue
+            # zip over Series, not iterrows() — iterrows materializes a
+            # Series object per row (measurable at high turn counts)
+            for i, t in zip(pdf["turn_idx"], pdf["text"]):
+                turns[int(i)] = t
+            max_ts_us = max(max_ts_us, int(pdf["ts"].max().value // 1000))
         idxs = sorted(turns)
         state.update(
             (
