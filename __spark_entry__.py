@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": Q.q_exact_dup_groups,
         "exact_dup_pairs": Q.q_exact_dup_pairs,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
+        "contamination_pairs": Q.q_contamination_pairs,
         "dedupe_pairs_pipeline": Q.q_dedupe_pairs_pipeline,
         "match_pairs": Q.q_match_pairs,
         "dedupe_clusters": Q.q_dedupe_clusters,

@@ -534,6 +534,29 @@ WHERE p.id_a < 100000 AND p.id_b >= 100000
 ORDER BY id_a, id_b
 """
 
+ORACLE["contamination_pairs"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+shl AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM tok),
+ev AS (
+    SELECT doc_id AS eval_id, len(shs) AS eval_sh, unnest(shs) AS sh
+    FROM shl WHERE doc_id < 50
+),
+tr AS (
+    SELECT doc_id AS train_id, unnest(shs) AS sh
+    FROM shl WHERE doc_id >= 50
+),
+hits AS (
+    SELECT ev.eval_id, tr.train_id, max(ev.eval_sh) AS eval_sh,
+           count(*) AS shared
+    FROM ev JOIN tr USING (sh)
+    GROUP BY ev.eval_id, tr.train_id
+)
+SELECT eval_id, train_id, shared, eval_sh,
+       CAST(round(CAST(shared AS DOUBLE) / eval_sh * 1e6) AS BIGINT)
+           AS containment6
+FROM hits WHERE shared >= 3 ORDER BY eval_id, train_id
+"""
+
 ORACLE["response_pairs_ranked"] = f"""
 {_JACCARD_PAIRS},
 shas AS (SELECT doc_id, sha256(text) AS sha FROM aug),

@@ -759,6 +759,46 @@ def q_match_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_contamination_pairs(spark, sf_dir):
+    """Decontamination sweep — the training-data op LLM pipelines run
+    before every release: which TRAINING documents contain n-gram
+    material from the EVAL set (here: doc_id < 50 stands in for the
+    benchmark suite). Metric is CONTAINMENT (shared / eval shingles),
+    not Jaccard — a 100-word benchmark fully embedded in a 10k-word doc
+    must score 1.0, which symmetric Jaccard would dilute to ~0.01.
+    Scale shape: explode distinct shingles on both sides, equi-join on
+    the shingle hash (never a cross join), count per pair."""
+    d = load(spark, sf_dir, "documents")
+    feats = d.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
+    feats = feats.withColumn("th", T.token_hashes(F.col("tokens")))
+    feats = feats.select(
+        "doc_id", T.shingle_hash_set(F.col("th"), K).alias("sh")
+    )
+    ev = feats.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("eval_id"),
+        F.size("sh").alias("eval_sh"),
+        F.explode("sh").alias("h"),
+    )
+    tr = feats.filter(F.col("doc_id") >= 50).select(
+        F.col("doc_id").alias("train_id"), F.explode("sh").alias("h")
+    )
+    hits = (
+        ev.join(tr, "h")
+        .groupBy("eval_id", "train_id", "eval_sh")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    return hits.select(
+        "eval_id",
+        "train_id",
+        "shared",
+        "eval_sh",
+        F.round(
+            F.col("shared").cast("double") / F.col("eval_sh").cast("double") * 1e6
+        ).cast("long").alias("containment6"),
+    ).orderBy("eval_id", "train_id")
+
+
 def q_response_pairs_ranked(spark, sf_dir):
     """DedupeResponse parity (lieu api.py:48-144) + W3 reverse-similarity
     ordering (api.py:142-143): per doc, its same_as neighbor list built
