@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": Q.q_topk_orders,
         "set_ops": Q.q_set_ops,
         "rollup_sales": Q.q_rollup_sales,
+        "cube_sales": Q.q_cube_sales,
         "revenue_by_nation": Q.q_revenue_by_nation,
         "window_events": Q.q_window_events,
         "sessionize": Q.q_sessionize,

@@ -133,6 +133,17 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, returnflag, linestatus
 """
 
+ORACLE["cube_sales"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
 ORACLE["revenue_by_nation"] = """
 SELECT n_name, count(*) AS n_items,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents

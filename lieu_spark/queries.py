@@ -215,6 +215,29 @@ def q_rollup_sales(spark, sf_dir):
     )
 
 
+def q_cube_sales(spark, sf_dir):
+    """A10 grouping sets, CUBE variant: all 2^2 grouping combinations of
+    (returnflag, linestatus) — the cross-classified super-aggregate the
+    rollup query doesn't produce (it omits the linestatus-only set)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_rows",
+            "sum_price_cents",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     """TPC-H Q5-shaped 6-table join: region-filtered revenue per nation
     for one order year. Dims (region, nation) broadcast; fact-fact joins
