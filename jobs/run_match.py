@@ -55,21 +55,29 @@ def main() -> None:
     incoming = spark.read.parquet(args.incoming)
 
     t0 = time.time()
-    matches = match(spark, canonical, incoming, cfg)
-    matches.write.mode("overwrite").parquet(os.path.join(args.output, "matches"))
+    matches_path = os.path.join(args.output, "matches")
+    unique_path = os.path.join(args.output, "unique")
+    match(spark, canonical, incoming, cfg).write.mode("overwrite").parquet(
+        matches_path
+    )
 
+    # read the written parquet back rather than re-running the match
+    # pipeline: deriving unique/ and the summary counts from the live
+    # plan would recompute assembly+features+banding+verification twice
+    # more (~3x job wall for two counters)
+    matches = spark.read.parquet(matches_path)
     matched_ids = matches.filter(
         F.col("status").isin("exact_duplicate", "likely_duplicate")
     ).select(F.col("incoming_id").alias("conv_id"))
     uniq = incoming.select("conv_id").distinct().join(
         matched_ids, "conv_id", "left_anti"
     )
-    uniq.write.mode("overwrite").parquet(os.path.join(args.output, "unique"))
+    uniq.write.mode("overwrite").parquet(unique_path)
 
     summary = {
         "wall_sec": round(time.time() - t0, 2),
         "matches": matches.count(),
-        "unique_incoming": uniq.count(),
+        "unique_incoming": spark.read.parquet(unique_path).count(),
         "config_fingerprint": cfg.fingerprint(),
     }
     print(json.dumps(summary))

@@ -42,6 +42,14 @@ class DedupeConfig:
     simhash_chunks: int = 4     # pigeonhole blocks for hamming<=3
     # --- skew handling ---
     hot_band_cap: int = 2000    # members per band group before sub-splitting
+    # SimHash hot-chunk salting is OPT-IN (None = never split): unlike LSH
+    # bands — where a pair lost to a split group is recovered by b-1 other
+    # bands with high probability — the pigeonhole guarantee ("hamming<=3
+    # collides on >=1 of 4 chunks") is *exactly* 1 colliding chunk in the
+    # worst case, so splitting that one group silently loses the pair.
+    # Set a cap only when a boilerplate-heavy corpus makes a chunk group
+    # quadratic; losses then surface in simhash_chunk_stats (is_hot rows).
+    simhash_hot_chunk_cap: int | None = None
     # cap on turns assembled per conversation (None = unbounded): bounds
     # the collect_list buffer + doc size against a single pathological
     # conversation with millions of turns (assembly analog of

@@ -78,23 +78,36 @@ def hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> np.ndarray:
     return rng.standard_normal((ntables, nbits, dim))
 
 
-def _make_buckets_udf(planes: np.ndarray):
+def _make_buckets_udf(nbits: int, ntables: int, seed: int):
     """pandas UDF: embedding -> array of ntables bucket keys.
 
     One numpy matmul per Arrow batch ((batch x dim) @ (dim x T*nbits)).
     An earlier all-JVM formulation built T*nbits aggregate-over-zip_with
     expressions with literal hyperplane arrays — correct, but Catalyst
     spent ~20 s COMPILING the generated code per query. Codegen size is
-    a real cost dimension; a matmul UDF is the right tool here."""
+    a real cost dimension; a matmul UDF is the right tool here.
+
+    Hyperplanes are a pure function of (seed, dim) and are generated
+    lazily INSIDE the UDF from the batch's own vector width — no Spark
+    action (``.first()``) during plan construction, and every executor
+    derives bit-identical planes from the shared seed."""
     from pyspark.sql.types import ArrayType, LongType
 
-    ntables, nbits, dim = planes.shape
-    w = planes.reshape(ntables * nbits, dim).T.copy()  # (dim, T*nbits)
     powers = (1 << np.arange(nbits, dtype=np.int64))[None, None, :]
+    cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = x.shape[1]
+        w = cache.get(dim)
+        if w is None:
+            w = hyperplanes(dim, nbits, ntables, seed).reshape(
+                ntables * nbits, dim
+            ).T.copy()  # (dim, T*nbits)
+            cache[dim] = w
         proj = x @ w  # (n, T*nbits)
         bits = (proj >= 0).reshape(len(vecs), ntables, nbits)
         keys = (bits * powers).sum(axis=2)  # (n, T)
@@ -116,9 +129,7 @@ def hyperplane_buckets(
     Parameter guide (p_bit = 1 - acos(cos)/pi; hit = 1-(1-p_bit^nbits)^T):
     moderate-similarity top-k (cos ~0.3-0.5): nbits=6, T=16;
     near-duplicate search (cos >= 0.95): nbits=8, T=8 (hit ~0.99)."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, nbits, ntables, seed)
-    udf = _make_buckets_udf(planes)
+    udf = _make_buckets_udf(nbits, ntables, seed)
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return base.select(
         "id", F.posexplode(udf(F.col("vec"))).alias("table", "bucket")

@@ -85,12 +85,15 @@ def assemble_conversations(
         # the turns table shuffles once instead of twice.
         raw = F.array_sort(F.collect_list(struct_cols))
         out = transcripts.groupBy("conv_id").agg(raw.alias("_raw"))
+        # eqNullSafe, not !=: a NULL turn_idx in the previous element would
+        # make != yield NULL and silently drop the first non-null turn
+        # (and diverge from the cap path, whose dropDuplicates treats
+        # NULLs as equal).
         kept = F.filter(
             F.col("_raw"),
             lambda t, i: (i == F.lit(0))
-            | (
-                t["turn_idx"]
-                != F.element_at(F.col("_raw"), i)["turn_idx"]
+            | ~t["turn_idx"].eqNullSafe(
+                F.element_at(F.col("_raw"), i)["turn_idx"]
             ),
         )
         out = (

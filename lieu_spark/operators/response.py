@@ -97,9 +97,15 @@ def dedupe_responses(
     )
     return (
         base.join(cl, "conv_id", "left")
-        .withColumn("is_dupe", F.size("same_as") > 0)
         .withColumn(
             "is_canonical", F.coalesce(F.col("is_canonical"), F.lit(True))
+        )
+        # Reference parity (dedupe_geojson.py:179-198 keys `dupes` on uid1
+        # only): the cluster canonical is is_dupe=False even though its
+        # symmetrized same_as list is non-empty, so the reference's
+        # "keep non-dupes" recipe keeps exactly one record per cluster.
+        .withColumn(
+            "is_dupe", (F.size("same_as") > 0) & ~F.col("is_canonical")
         )
         .withColumn(
             "cluster_id", F.coalesce(F.col("cluster_id"), F.col("conv_id"))

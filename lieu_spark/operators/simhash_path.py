@@ -40,6 +40,21 @@ def simhash_chunk_table(features: DataFrame, cfg: DedupeConfig, id_col: str = "c
     ).select("id", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_bits").alias("chunk_bits"))
 
 
+def simhash_chunk_stats(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") -> DataFrame:
+    """Per-chunk-group metrics (size + hot flag) — the SimHash analog of
+    lsh.band_stats. When ``simhash_hot_chunk_cap`` is set, rows with
+    is_hot=True mark the groups whose pigeonhole guarantee degraded to
+    probabilistic (split groups can lose a pair whose only collision was
+    this chunk)."""
+    cap = cfg.simhash_hot_chunk_cap if cfg.simhash_hot_chunk_cap is not None else (1 << 62)
+    return (
+        simhash_chunk_table(features, cfg, id_col)
+        .groupBy("chunk", "chunk_bits")
+        .agg(F.count("*").alias("bsize"))
+        .withColumn("is_hot", F.col("bsize") > cap)
+    )
+
+
 def simhash_candidate_pairs(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") -> DataFrame:
     """Chunk-collision self-join filtered by exact hamming distance.
 
@@ -47,16 +62,22 @@ def simhash_candidate_pairs(features: DataFrame, cfg: DedupeConfig, id_col: str 
     """
     from .lsh import salted_groups
 
-    # hot-chunk salting, same skew policy as the LSH band path: a
-    # boilerplate-heavy corpus puts thousands of near-identical docs in
-    # one (chunk, chunk_bits) group; without the cap the self-join goes
-    # quadratic in that group. Cross-sub pairs of a split group are
-    # recovered by the doc's other simhash chunks (pigeonhole gives
-    # hamming<=chunks-1 a collision on >=1 chunk).
+    # Hot-chunk salting is OPT-IN here (cfg.simhash_hot_chunk_cap,
+    # default None = never split), unlike the LSH band path where it is
+    # always on: the pigeonhole guarantee is >=1 colliding chunk for
+    # hamming<=chunks-1, and "exactly 1" is realizable — splitting that
+    # single group loses the pair with no other chunk to recover it.
+    # With a cap set, the guarantee becomes probabilistic for split
+    # groups; the hot groups are surfaced in simhash_chunk_stats.
+    cap = (
+        cfg.simhash_hot_chunk_cap
+        if cfg.simhash_hot_chunk_cap is not None
+        else (1 << 62)  # effectively "never split"; keeps one plan shape
+    )
     tbl = salted_groups(
         simhash_chunk_table(features, cfg, id_col),
         ["chunk", "chunk_bits"],
-        cfg.hot_band_cap,
+        cap,
     ).filter(F.col("bsize") > 1).select("chunk", "chunk_bits", "sub", "id")
     left = tbl.select("chunk", "chunk_bits", "sub", F.col("id").alias("id_a"))
     right = tbl.select("chunk", "chunk_bits", "sub", F.col("id").alias("id_b"))

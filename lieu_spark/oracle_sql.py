@@ -65,14 +65,14 @@ ORACLE: dict[str, str] = {}
 ORACLE["agg_lineitem"] = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
 """
 
 ORACLE["join_enrich"] = """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
@@ -127,7 +127,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY gid, returnflag, linestatus
@@ -138,7 +138,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        count(*) AS n_rows,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY gid, returnflag, linestatus
@@ -146,7 +146,7 @@ ORDER BY gid, returnflag, linestatus
 
 ORACLE["revenue_by_nation"] = """
 SELECT n_name, count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -197,7 +197,7 @@ per_sess AS (
     FROM sess GROUP BY user_id, session_id
 )
 SELECT user_id, count(*) AS n_sessions, max(sess_events) AS max_session_events,
-       sum(sess_events) AS n_events
+       CAST(sum(sess_events) AS BIGINT) AS n_events
 FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -208,7 +208,7 @@ FROM documents ORDER BY doc_id
 
 ORACLE["json_extract"] = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -279,8 +279,8 @@ inter AS (
     JOIN tf tb ON tb.doc_id = b.id_b AND tb.token = ta.token
     GROUP BY b.id_a, b.id_b
 )
-SELECT i.id_a, i.id_b, i.inter_tf,
-       sa.total + sb.total - i.inter_tf AS denom_tf,
+SELECT i.id_a, i.id_b, CAST(i.inter_tf AS BIGINT) AS inter_tf,
+       CAST(sa.total + sb.total - i.inter_tf AS BIGINT) AS denom_tf,
        CAST(round(CAST(i.inter_tf AS DOUBLE)
             / (sa.total + sb.total - i.inter_tf) * 1e6) AS BIGINT) AS mj6
 FROM inter i
@@ -321,8 +321,8 @@ inter AS (
     GROUP BY p.id_a, p.id_b
 )
 SELECT p.id_a, p.id_b,
-       coalesce(i.w_inter, 0) AS w_inter,
-       sa.w_tot + sb.w_tot - coalesce(i.w_inter, 0) AS w_union,
+       CAST(coalesce(i.w_inter, 0) AS BIGINT) AS w_inter,
+       CAST(sa.w_tot + sb.w_tot - coalesce(i.w_inter, 0) AS BIGINT) AS w_union,
        CASE WHEN sa.w_tot + sb.w_tot - coalesce(i.w_inter, 0) > 0
             THEN CAST(round(CAST(coalesce(i.w_inter, 0) AS DOUBLE)
                  / (sa.w_tot + sb.w_tot - coalesce(i.w_inter, 0)) * 1e6) AS BIGINT)
@@ -348,7 +348,7 @@ merged AS (
     FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
     GROUP BY token
 )
-SELECT token, df_total, n_batches FROM merged
+SELECT token, CAST(df_total AS BIGINT) AS df_total, n_batches FROM merged
 WHERE df_total >= 4 ORDER BY token
 """
 
@@ -363,7 +363,7 @@ per AS (
 )
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        count(*) AS n_above,
-       sum(order_cents) AS sum_above_cents
+       CAST(sum(order_cents) AS BIGINT) AS sum_above_cents
 FROM o JOIN per USING (o_custkey)
 JOIN customer ON o_custkey = c_custkey
 WHERE 2 * order_cents * n_ord > 3 * sum_cents
@@ -372,10 +372,10 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 
 ORACLE["conditional_agg_shipmodes"] = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
        count(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -394,7 +394,7 @@ bucketed AS (
                AS decile
     FROM o
 )
-SELECT decile, count(*) AS n_orders, sum(order_cents) AS sum_cents,
+SELECT decile, count(*) AS n_orders, CAST(sum(order_cents) AS BIGINT) AS sum_cents,
        min(order_cents) AS min_cents, max(order_cents) AS max_cents
 FROM bucketed GROUP BY decile ORDER BY decile
 """
@@ -523,7 +523,7 @@ SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id ORDER BY doc_
 """
 
 ORACLE["cluster_size_hist"] = f"""
-SELECT cluster_size, count(*) AS n_clusters, sum(cluster_size) AS n_docs
+SELECT cluster_size, count(*) AS n_clusters, CAST(sum(cluster_size) AS BIGINT) AS n_docs
 FROM (
     SELECT cluster_id, count(*) AS cluster_size
     FROM ({ORACLE["dedupe_clusters"]})

@@ -65,8 +65,10 @@ def test_dedupe_responses_shape_and_ordering(spark):
         assert sims == sorted(sims, reverse=True), cid
         psims = [e.similarity for e in r.possibly_same_as]
         assert psims == sorted(psims, reverse=True), cid
-        # is_dupe iff it has a dupe-tier neighbor
-        assert r.is_dupe == (len(r.same_as) > 0)
+        # is_dupe iff it has a dupe-tier neighbor AND is not the cluster
+        # canonical (reference: dedupe_geojson.py keys dupes on uid1 only,
+        # so "keep non-dupes" keeps exactly one record per cluster)
+        assert r.is_dupe == (len(r.same_as) > 0 and not r.is_canonical)
         # canonical <=> cluster representative
         assert r.is_canonical == (r.cluster_id == cid)
         if i % 10 == 7:  # planted exact copy of i-7

@@ -111,6 +111,34 @@ def test_ivf_candidate_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_plan_construction_runs_no_action(spark, monkeypatch):
+    """Building the hyperplane-LSH plan must not trigger a Spark action
+    (.first()/.collect()/.count()): hyperplanes derive from (seed, dim)
+    inside the UDF, so plan construction is pure. (IVF's bounded
+    4096-row training collect is the documented exception.)"""
+    from pyspark.sql import DataFrame
+
+    from lieu_spark.operators.ann import embedding_neardup_pairs, hyperplane_lsh_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def _boom(name):
+        def inner(self, *a, **k):
+            raise AssertionError(f"driver action {name}() during plan construction")
+        return inner
+
+    for name in ("first", "collect", "count", "head", "take"):
+        monkeypatch.setattr(DataFrame, name, _boom(name))
+    t = hyperplane_lsh_topk(e, k=3)
+    nd = embedding_neardup_pairs(e)
+    monkeypatch.undo()
+    assert t.columns == ["id_a", "id_b", "cosine", "rank"]
+    assert nd.columns == ["id_a", "id_b", "cosine"]
+    plan = plan_of(t)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_winnow_plan_reuses_exchange(spark):
     """The winnow stop-filter is a window count over h whose exchange is
     REUSED by both sides of the fingerprint self-join — one hash

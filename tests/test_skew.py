@@ -46,7 +46,7 @@ def test_simhash_hot_chunk_stays_bounded(spark):
     from lieu_spark.functions.text import token_hashes, tokenize
     from lieu_spark.operators.simhash_path import simhash_candidate_pairs
 
-    cfg = DedupeConfig(hot_band_cap=50)
+    cfg = DedupeConfig(simhash_hot_chunk_cap=50)  # opt-in salting
     boiler = "thank you for contacting support your ticket has been received " * 6
     # unique suffix token => distinct text_sha, near-identical simhash
     rows = [(f"c{i:05d}", boiler + f" case{i}") for i in range(800)]
