@@ -4,9 +4,13 @@
 transcripts. ``queries()`` / ``oracle_sql()`` — one entry per operator
 family from SURVEY.md §2 plus the training-data ops (dedup variants,
 ANN, text analysis, multimodal plumbing); DuckDB oracles live in
-lieu_spark/oracle_sql.py. Entries without an oracle are genuinely
-non-SQL-expressible (MinHash signatures / band keys / SimHash /
-suffix-array spans) and are covered by the pure-python-oracle pytest
+lieu_spark/oracle_sql.py. Hash-kernel paths (MinHash bands, SimHash,
+winnow fingerprints, LSH buckets) are oracle-checked through the parquet
+export side-channel (lieu_spark.oracle_export): the kernel output is a
+file both engines read, so the relational halves are value-verified.
+The remaining rows-only entries are genuinely non-SQL-expressible (LCS
+spans, IVF with driver-trained centroids, multimodal decode plumbing,
+xxhash fingerprints) and are covered by the pure-python-oracle pytest
 suite instead (tests/).
 """
 
@@ -32,27 +36,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.q_dedupe_pairs_pipeline(spark, "/root/testdata/sf0.001")
 
 
-# --- non-SQL-expressible extras (rows-only driver check) -------------------
+# --- export-backed oracle entries (lieu_spark.oracle_export) ---------------
+# Each writes its hash-kernel OUTPUT table to a parquet, rebuilds its own
+# result from that file, and the DuckDB oracle reads the same file — so
+# the relational half (grouping / collision joins / pair generation /
+# re-rank) is value-hash-verified; only the numpy/JVM kernels stay
+# pytest-verified (bit-equality suites in tests/).
 
 
 def _q_minhash_band_sizes(spark, sf_dir):
+    """F2 band grouping, oracle-checked via the exported band table."""
     from lieu_spark.functions.minhash import with_minhash
     from lieu_spark.operators.lsh import band_stats, band_table
+    from lieu_spark.oracle_export import export_for_oracle
 
     cfg = DedupeConfig()
     feats = with_minhash(Q.doc_features(spark, sf_dir), cfg)
-    return band_stats(band_table(feats, cfg), cfg).orderBy(
-        "band", "band_hash"
-    )
+    bands = export_for_oracle(spark, band_table(feats, cfg), "minhash_bands")
+    return band_stats(bands, cfg).orderBy("band", "band_hash")
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    """F3 simhash blocking + hamming verify, oracle-checked via the
+    exported (id, simhash) table: DuckDB re-derives chunk collisions with
+    shift/mask bit arithmetic and hamming with bit_count(xor)."""
     from lieu_spark.functions.simhash import with_simhash
     from lieu_spark.operators.simhash_path import simhash_candidate_pairs
+    from lieu_spark.oracle_export import export_for_oracle
 
     cfg = DedupeConfig()
     feats = with_simhash(Q.doc_features(spark, sf_dir), cfg)
-    return simhash_candidate_pairs(feats, cfg).orderBy("id_a", "id_b")
+    sh = export_for_oracle(
+        spark,
+        feats.select(F.col("conv_id").alias("id"), "simhash"),
+        "simhash_values",
+    )
+    return (
+        simhash_candidate_pairs(sh, cfg, id_col="id")
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_span_candidates(spark, sf_dir):
+    """Winnowing span-candidate generation (inverted fingerprint index +
+    stop-shingle filter + >=min_shared pair join), oracle-checked via the
+    exported (id, h) fingerprint table."""
+    from lieu_spark.operators.spans import (
+        winnow_fingerprints,
+        winnow_pairs_from_fingerprints,
+    )
+    from lieu_spark.oracle_export import export_for_oracle
+
+    cfg = DedupeConfig()
+    feats = Q.doc_features(spark, sf_dir)
+    fp = export_for_oracle(
+        spark, winnow_fingerprints(feats, cfg), "winnow_fingerprints"
+    )
+    return winnow_pairs_from_fingerprints(fp, cfg, keep_counts=True).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _q_copied_spans(spark, sf_dir):
@@ -70,17 +113,90 @@ def _q_copied_spans(spark, sf_dir):
     )
 
 
-def _q_ann_lsh_topk(spark, sf_dir):
-    from lieu_spark.operators.ann import hyperplane_lsh_topk
+def _ann_buckets_export(spark, sf_dir):
+    from lieu_spark.operators.ann import hyperplane_buckets
+    from lieu_spark.oracle_export import export_for_oracle
 
     e = Q.load(spark, sf_dir, "embeddings")
-    t = hyperplane_lsh_topk(e, k=5)
-    return t.select(
-        F.col("id_a").alias("vec_id"),
-        "rank",
-        F.col("id_b").alias("nbr_id"),
-        F.round(F.col("cosine") * 1e6).cast("long").alias("cos6"),
-    ).orderBy("vec_id", "rank")
+    return e, export_for_oracle(spark, hyperplane_buckets(e), "ann_buckets")
+
+
+def _bucket_rerank(e, buckets):
+    """Candidates from bucket collisions; exact-cosine re-rank on the
+    ROUNDED value (cos6) with id tie-break so ordering is engine-exact —
+    the same convention as q_ann_topk."""
+    from lieu_spark.functions.vectors import cosine_with_norms, dot, norm
+
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), ["table", "bucket"])
+        .filter(F.col("l.id") != F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = e.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos6",
+            F.round(
+                cosine_with_norms(
+                    dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a"), F.col("nrm_b")
+                )
+                * 1e6
+            ).cast("long"),
+        )
+        .select("id_a", "id_b", "cos6")
+    )
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """Scale-safe ANN (hyperplane LSH buckets, no cartesian), now
+    oracle-checked via the exported bucket table."""
+    from pyspark.sql import Window
+
+    e, buckets = _ann_buckets_export(spark, sf_dir)
+    scored = _bucket_rerank(e, buckets)
+    w = Window.partitionBy("id_a").orderBy(F.col("cos6").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("id_a").alias("vec_id"), "rank", F.col("id_b").alias("nbr_id"), "cos6"
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale-safe embedding near-dup (bucket collisions, cos6 >= 0.95),
+    oracle-checked via the exported bucket table — the value-verified
+    twin of the bounded brute-force embedding_neardup. Runs over emb_aug
+    (25 planted exact-copy vectors) so the check is non-vacuous; an
+    exact copy shares every bucket in every table, so LSH recall on the
+    planted pairs is 1.0 by construction."""
+    from lieu_spark.operators.ann import hyperplane_buckets
+    from lieu_spark.oracle_export import export_for_oracle
+
+    e = Q.emb_aug(spark, sf_dir)
+    buckets = export_for_oracle(
+        spark, hyperplane_buckets(e), "neardup_buckets"
+    )
+    scored = _bucket_rerank(e, buckets)
+    return (
+        scored.filter((F.col("cos6") >= 950000) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "cos6")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
@@ -149,15 +265,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_size_hist": Q.q_cluster_size_hist,
         "response_pairs_ranked": Q.q_response_pairs_ranked,
         "transcript_roundtrip": Q.q_transcript_roundtrip,
-        # embeddings / similarity search
+        # embeddings / similarity search (brute twins are BOUNDED —
+        # queries.BRUTE_ANN_CAP — the scale paths are the _lsh entries)
         "ann_topk": Q.q_ann_topk,
         "embedding_neardup": Q.q_embedding_neardup,
-        # non-SQL-expressible (rows-only): signatures, bands, simhash,
-        # spans, LSH-accelerated ANN, multimodal decode plumbing
+        # export-backed oracles: kernel outputs parquet-exported so the
+        # relational halves are value-verified (lieu_spark.oracle_export)
         "minhash_band_sizes": _q_minhash_band_sizes,
         "simhash_pairs": _q_simhash_pairs,
-        "copied_spans": _q_copied_spans,
+        "span_candidates": _q_span_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        # non-SQL-expressible (rows-only): LCS spans, IVF (driver-trained
+        # centroids), multimodal decode plumbing, xxhash fingerprints
+        "copied_spans": _q_copied_spans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_meta": _q_multimodal_meta,
         "doc_fingerprint": _q_doc_fingerprint,

@@ -205,22 +205,14 @@ def span_candidates(verified: DataFrame, cfg: DedupeConfig) -> DataFrame:
     ).select("id_a", "id_b")
 
 
-def winnow_span_candidates(
+def winnow_fingerprints(
     features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id"
 ) -> DataFrame:
-    """Span-specific blocking: a copied span barely moves whole-doc
-    Jaccard, so LSH bands won't surface it. Instead build an inverted
-    index over a deterministic sample of shingle hashes (winnowing /
-    MOSS-style fingerprinting: keep h where pmod(h, span_sample_mod)==0),
-    drop boilerplate fingerprints seen in > span_stop_docfreq docs (the
-    stop-shingle analog of lieu's geo-bucket sparsity handling), and emit
-    pairs sharing >= span_min_shared sampled shingles.
-
-    A copied span of w words contributes ~(w-k+1)/span_sample_mod sampled
-    shingles, so the default (mod 8, >=2 shared) detects ~40+ word spans
-    with high probability; shorter spans are best-effort.
-    """
-    fp = features.select(
+    """(id, h): the deterministic fingerprint sample of each doc's
+    shingle hashes (winnowing/MOSS-style: keep h where
+    pmod(h, span_sample_mod)==0). Split out so the driver contract can
+    export it for the DuckDB oracle (lieu_spark.oracle_export)."""
+    return features.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(
@@ -229,6 +221,15 @@ def winnow_span_candidates(
             )
         ).alias("h"),
     )
+
+
+def winnow_pairs_from_fingerprints(
+    fp: DataFrame, cfg: DedupeConfig, keep_counts: bool = False
+) -> DataFrame:
+    """(id, h) fingerprints -> candidate pairs sharing >= span_min_shared
+    sampled shingles, after dropping boilerplate fingerprints seen in
+    > span_stop_docfreq docs. ``keep_counts`` retains shared_fp for the
+    oracle-checked driver query."""
     # stop-shingle filter as a WINDOW count, not groupBy+join-back: one
     # exchange on h that stays partitioned for the self-join below, and
     # the identical left/right subplans become a ReusedExchange instead
@@ -247,4 +248,26 @@ def winnow_span_candidates(
         .agg(F.count("*").alias("shared_fp"))
         .filter(F.col("shared_fp") >= cfg.span_min_shared)
     )
+    if keep_counts:
+        return shared.select("id_a", "id_b", "shared_fp")
     return shared.select("id_a", "id_b")
+
+
+def winnow_span_candidates(
+    features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id"
+) -> DataFrame:
+    """Span-specific blocking: a copied span barely moves whole-doc
+    Jaccard, so LSH bands won't surface it. Instead build an inverted
+    index over a deterministic sample of shingle hashes (winnowing /
+    MOSS-style fingerprinting), drop boilerplate fingerprints seen in
+    > span_stop_docfreq docs (the stop-shingle analog of lieu's
+    geo-bucket sparsity handling), and emit pairs sharing >=
+    span_min_shared sampled shingles.
+
+    A copied span of w words contributes ~(w-k+1)/span_sample_mod sampled
+    shingles, so the default (mod 8, >=2 shared) detects ~40+ word spans
+    with high probability; shorter spans are best-effort.
+    """
+    return winnow_pairs_from_fingerprints(
+        winnow_fingerprints(features, cfg, id_col), cfg
+    )

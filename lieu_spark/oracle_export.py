@@ -1,0 +1,52 @@
+"""Oracle export side-channel: materialize kernel outputs for DuckDB.
+
+The engine's hash kernels (xxhash64 banding, OPH MinHash, SimHash bit
+packing, hyperplane bucketing) are not reproducible in DuckDB, which
+used to leave their downstream queries in the weaker rows-only driver
+tier. This module closes that gap: a driver query writes the kernel's
+OUTPUT table (band keys / simhash values / winnow fingerprints / LSH
+buckets — all bounded, a few rows per doc) to a parquet, then builds its
+own result by READING THAT PARQUET BACK, and the DuckDB oracle reads the
+same file with ``read_parquet``. The relational half of each path —
+grouping, collision self-joins, pair generation, re-ranking — is then
+value-hash-verified end to end; only the numpy/JVM kernels themselves
+remain pytest-verified (bit-equality against the pure-python oracle in
+tests/).
+
+Consistency: the Spark result is derived from the exported bytes, so
+spark-vs-oracle can never diverge through export staleness as long as
+the Spark query runs first (both the driver harness and the pytest
+mimics call the queries() entry before executing the oracle SQL).
+Writes are idempotent — the exports are deterministic functions of
+(input tables, DedupeConfig) — and tiny (<= a few rows per document),
+so each call simply overwrites.
+
+This is an oracle-enablement channel, NOT a production path: production
+pipelines checkpoint through lieu_spark.pipeline's stage store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+EXPORT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".oracle_cache",
+    "export",
+)
+
+
+def export_path(name: str) -> str:
+    return os.path.join(EXPORT_DIR, f"{name}.parquet")
+
+
+def export_for_oracle(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    """Write ``df`` to the shared export location and return a frame
+    reading it back (single file: the exports are bounded metadata
+    tables, and one file keeps the DuckDB side trivially addressable).
+    """
+    path = export_path(name)
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

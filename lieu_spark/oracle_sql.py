@@ -611,11 +611,13 @@ SELECT doc_id, count(*) AS n_turns,
 FROM chunks GROUP BY doc_id ORDER BY doc_id
 """
 
+# vec_id < 1000: mirrors queries.BRUTE_ANN_CAP — the brute-force twin is
+# a bounded exactness oracle, never the production plan (see queries.py)
 _COS_PAIRS = """
 WITH ex AS (
     SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
            unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-    FROM embeddings
+    FROM embeddings WHERE vec_id < 1000
 ),
 nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
 dots AS (
@@ -640,8 +642,169 @@ SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
 ) WHERE rank <= 5 ORDER BY vec_id, rank
 """
 
+# vector analog of _DOCS_AUG: 25 planted exact-copy vectors keep the
+# neardup checks non-vacuous (background max cosine ~0.51 at sf0.01)
+_EMB_AUG = """
+emb AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25
+)
+"""
+
+_COS_PAIRS_AUG = f"""
+WITH {_EMB_AUG},
+ex AS (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM emb
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id != b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+cpairs AS (
+    SELECT d.id_a, d.id_b,
+           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
+    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+)
+"""
+
 ORACLE["embedding_neardup"] = f"""
-{_COS_PAIRS}
+{_COS_PAIRS_AUG}
+SELECT id_a, id_b, cos6 FROM cpairs
+WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
+"""
+
+# ---------------------------------------------------------------------------
+# export-backed oracles (lieu_spark.oracle_export): the hash kernels'
+# OUTPUT tables (band keys, simhash values, winnow fingerprints, LSH
+# buckets) are parquet files the driver query writes and DuckDB reads,
+# so the RELATIONAL half of each formerly rows-only path — grouping,
+# collision joins, pair generation, cosine re-rank — is value-verified.
+# ---------------------------------------------------------------------------
+
+from .config import DEFAULT_CONFIG as _CFG  # noqa: E402
+from .oracle_export import export_path as _ep  # noqa: E402
+
+ORACLE["minhash_band_sizes"] = f"""
+SELECT band, band_hash, count(*) AS bsize,
+       count(*) > {_CFG.hot_band_cap} AS is_hot
+FROM read_parquet('{_ep("minhash_bands")}/*.parquet')
+GROUP BY band, band_hash ORDER BY band, band_hash
+"""
+
+_SIM_WIDTH = _CFG.simhash_bits // _CFG.simhash_chunks
+_SIM_MASK = (1 << _SIM_WIDTH) - 1
+
+# (simhash >> k) & mask extracts bits [k, k+width) regardless of DuckDB's
+# arithmetic shift on negative BIGINTs — the mask discards the sign fill,
+# matching Spark's shiftrightunsigned+AND chunking bit for bit.
+ORACLE["simhash_pairs"] = f"""
+WITH sh AS (SELECT id, simhash FROM read_parquet('{_ep("simhash_values")}/*.parquet')),
+ck AS (
+    SELECT id, CAST(i AS BIGINT) AS chunk,
+           (simhash >> (CAST(i AS INT) * {_SIM_WIDTH})) & {_SIM_MASK} AS chunk_bits
+    FROM sh, (SELECT unnest(range({_CFG.simhash_chunks})) AS i)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM ck a JOIN ck b
+      ON a.chunk = b.chunk AND a.chunk_bits = b.chunk_bits AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sh sa ON sa.id = c.id_a
+JOIN sh sb ON sb.id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_CFG.simhash_hamming_max}
+ORDER BY id_a, id_b
+"""
+
+ORACLE["span_candidates"] = f"""
+WITH fp AS (SELECT id, h FROM read_parquet('{_ep("winnow_fingerprints")}/*.parquet')),
+flt AS (
+    SELECT id, h FROM (
+        SELECT id, h, count(*) OVER (PARTITION BY h) AS df FROM fp
+    ) WHERE df <= {_CFG.span_stop_docfreq}
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fp
+FROM flt a JOIN flt b ON a.h = b.h AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= {_CFG.span_min_shared}
+ORDER BY id_a, id_b
+"""
+
+# candidate pairs from the exported LSH bucket table; exact-cosine re-rank
+# on the rounded value with id tie-break (same cos6 convention as ann_topk)
+_ANN_BUCKET_RERANK = f"""
+WITH b AS (SELECT id, "table", bucket FROM read_parquet('{_ep("ann_buckets")}/*.parquet')),
+cand AS (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM b l JOIN b r
+      ON l."table" = r."table" AND l.bucket = r.bucket AND l.id != r.id
+),
+ex AS (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+    SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dp
+    FROM cand c
+    JOIN ex a ON a.vec_id = c.id_a
+    JOIN ex b ON b.vec_id = c.id_b AND b.i = a.i
+    GROUP BY c.id_a, c.id_b
+),
+cpairs AS (
+    SELECT d.id_a, d.id_b,
+           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
+    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+)
+"""
+
+ORACLE["ann_lsh_topk"] = f"""
+{_ANN_BUCKET_RERANK}
+SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
+    SELECT id_a, id_b, cos6,
+           row_number() OVER (PARTITION BY id_a ORDER BY cos6 DESC, id_b ASC) AS rank
+    FROM cpairs
+) WHERE rank <= 5 ORDER BY vec_id, rank
+"""
+
+# LSH near-dup runs over the AUGMENTED vectors (planted exact copies),
+# with its own bucket export; re-rank restricted to exported candidates
+ORACLE["embedding_neardup_lsh"] = f"""
+WITH {_EMB_AUG},
+b AS (SELECT id, "table", bucket FROM read_parquet('{_ep("neardup_buckets")}/*.parquet')),
+cand AS (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM b l JOIN b r
+      ON l."table" = r."table" AND l.bucket = r.bucket AND l.id != r.id
+),
+ex AS (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM emb
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+    SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dp
+    FROM cand c
+    JOIN ex a ON a.vec_id = c.id_a
+    JOIN ex b ON b.vec_id = c.id_b AND b.i = a.i
+    GROUP BY c.id_a, c.id_b
+),
+cpairs AS (
+    SELECT d.id_a, d.id_b,
+           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
+    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+)
 SELECT id_a, id_b, cos6 FROM cpairs
 WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
 """

@@ -883,10 +883,39 @@ def q_transcript_roundtrip(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _cosine_pairs(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+# Hard bound on the brute-force cosine twin: these two queries exist as
+# EXACTNESS ORACLES for the LSH/IVF scale paths, and a cartesian product
+# must never silently become the production plan at a larger corpus.
+# 1000 covers every vector at the driver's sf0.01 gate (500 ids) while
+# capping the pair explosion at 1000^2 anywhere else; the scale-safe
+# value-verified entries are ann_lsh_topk / embedding_neardup_lsh.
+BRUTE_ANN_CAP = 1000
+
+
+def emb_aug(spark, sf_dir) -> DataFrame:
+    """embeddings (bounded) ∪ exact copies (vec_id<25, +100000) — the
+    vector analog of docs_aug: the synthetic embeddings have no natural
+    near-dups (max background cosine ~0.51 at sf0.01), so the neardup
+    queries plant 25 cos=1.0 pairs, SQL-expressible identically, to keep
+    their oracle check non-vacuous."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < BRUTE_ANN_CAP)
+    copies = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
+    return e.select("vec_id", "embedding").unionByName(copies)
+
+
+def _cosine_pairs(spark, sf_dir, aug: bool = False):
+    if aug:
+        e = emb_aug(spark, sf_dir).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+    else:
+        e = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < BRUTE_ANN_CAP
+        ).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
     e = e.withColumn("nrm", norm(F.col("vec")))
     a = e.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
@@ -924,7 +953,9 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    pairs = _cosine_pairs(spark, sf_dir)
+    """Brute-force near-dup sweep over emb_aug (25 planted cos=1.0
+    pairs): the bounded exactness oracle for embedding_neardup_lsh."""
+    pairs = _cosine_pairs(spark, sf_dir, aug=True)
     return (
         pairs.filter((F.col("cos6") >= 950000) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", "cos6")
