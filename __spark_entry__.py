@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "multiset_jaccard": Q.q_multiset_jaccard,
         "weighted_jaccard": Q.q_weighted_jaccard,
+        "soft_tfidf_pairs": Q.q_soft_tfidf_pairs,
+        "cjk_neardup_pairs": Q.q_cjk_neardup_pairs,
         "order_price_quantiles": Q.q_order_price_quantiles,
         "above_avg_orders": Q.q_above_avg_orders,
         "ntile_price_deciles": Q.q_ntile_price_deciles,

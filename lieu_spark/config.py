@@ -29,6 +29,14 @@ class DedupeConfig:
 
     # --- shingling ---
     shingle_k: int = 5          # words per shingle
+    # no-space-script (CJK) fallback: docs whose mean chars-per-token
+    # ratio >= char_fallback_avg_len switch from word shingles to char
+    # k-grams over the space-stripped canonical text (the reference
+    # delegates to libpostal's language-aware tokenizer,
+    # lib/lieu/dedupe.py:328-331; functions/text.char_kgram_hash_set).
+    # Latin corpora sit at ~5-6 chars/token and are untouched.
+    char_kgram_k: int = 12      # chars per gram (~2-3 latin words)
+    char_fallback_avg_len: float = 10.0
     # --- MinHash / LSH (one-permutation hashing; see functions/minhash.py)
     num_perm: int = 128         # OPH bins; must be a power of two
     lsh_bands: int = 32         # b
@@ -70,7 +78,17 @@ class DedupeConfig:
     # "signatures": estimated Jaccard = fraction of agreeing MinHash
     #             components (cheaper at 100 TB: 1 KB/row instead of the
     #             full shingle set)
+    # "soft_tfidf": lieu's token-edit-tolerant Soft-TFIDF
+    #             (similarity.py:14-60, functions/softtfidf.py) — the
+    #             tier for per-token typos that tank set Jaccard; the
+    #             similarity column then holds the Soft-TFIDF score
     verify_mode: str = "shingles"
+    # Soft-TFIDF knobs (verify_mode="soft_tfidf"): token-level
+    # Jaro-Winkler threshold (quantized x1e6; lieu's theta=0.95) and the
+    # per-doc cap on iterated tokens (the max_tokens RAREST by integer
+    # (df, -tf, token) rank — bounds the per-pair O(k^2) JW cost)
+    soft_theta6: int = 950_000
+    soft_max_tokens: int = 64
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:

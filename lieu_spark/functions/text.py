@@ -72,6 +72,52 @@ def shingle_hash_set(tok_hashes: Column, k: int) -> Column:
     )
 
 
+def canon_nospace(text: Column) -> Column:
+    """Canonical text with spaces stripped — the unit char k-grams run
+    over (re-joins punctuation-split CJK clauses into one stream)."""
+    return F.regexp_replace(canonicalize(text), " ", "")
+
+
+def char_kgram_hash_set(c: Column, k: int) -> Column:
+    """Distinct xxhash64 of character k-grams over a *staged*
+    space-stripped canonical column — array<long>, sorted.
+
+    The no-space-script fallback: an unpunctuated CJK sentence is ONE
+    token under the ``[^\\p{L}\\p{N}]+`` split (the reference leans on
+    libpostal's language-aware tokenizer here,
+    /root/reference/lib/lieu/dedupe.py:328-331), so word-shingle
+    near-dup detection degenerates to exact match. Char k-grams restore
+    sub-document granularity. Oracle twin: oracle.char_kgram_hashes
+    (xxh64 over the UTF-8 bytes of each window).
+
+    Pass a materialized column, not an inline expression (the
+    shingle_hash_set staging rule — HOF lambdas re-evaluate outer
+    computed expressions per element).
+
+    <k chars -> one gram of everything; 0 -> [].
+    """
+    n = F.length(c)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k) + 1),
+        lambda i: F.xxhash64(F.substring(c, i, F.lit(k))),
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<long>"))
+        .when(n < k, F.array(F.xxhash64(c)))
+        .otherwise(F.array_sort(F.array_distinct(windows)))
+    )
+
+
+def char_fallback_cond(canon_ns: Column, toks: Column, avg_len: float) -> Column:
+    """True when the doc should use char k-grams: non-empty and the mean
+    chars-per-token ratio >= avg_len (latin text sits ~5-6; unsegmented
+    CJK clauses are 10+). Oracle twin: oracle.use_char_fallback."""
+    nt = F.size(toks)
+    return (nt > 0) & (
+        (F.length(canon_ns).cast("double") / nt.cast("double")) >= F.lit(avg_len)
+    )
+
+
 def with_text_features(df, text_col: str, k: int):
     """Attach tokens / token_hashes / shingle_hashes in staged columns
     (staging matters — see shingle_hash_set docstring)."""

@@ -11,6 +11,9 @@ shingle-hash sets, computed entirely JVM-side:
 ``verify_mode="signatures"`` swaps in the MinHash-agreement estimator
 (zip_with equality fraction) — 1 KB/row instead of full shingle sets, the
 knob to flip at 100 TB when shingle arrays dominate shuffle volume.
+``verify_mode="soft_tfidf"`` swaps in lieu's token-edit-tolerant
+Soft-TFIDF tier (lib/lieu/similarity.py:14-60, functions/softtfidf.py)
+for corpora where per-token typos tank set-based Jaccard.
 
 The pair enrichment join is the reference's ``IDPairRDD.join_pairs``
 double-join (lib/lieu/spark/utils.py:5-24) re-expressed as two DataFrame
@@ -83,7 +86,29 @@ def verify_pairs(
     EXACT/LIKELY for clustering (P5 parity, lib/lieu/spark/dedupe.py:45).
     """
     passthrough = [c for c in pairs.columns if c not in ("id_a", "id_b")]
-    if cfg.verify_mode == "signatures":
+    if cfg.verify_mode == "soft_tfidf":
+        # lieu's token-edit-tolerant tier (similarity.py:14-60): the
+        # similarity column holds the Soft-TFIDF score instead of set
+        # Jaccard. Corpus-level TF-IDF comes from the feature table's
+        # tokens (build_features keeps them in this mode).
+        from ..functions.softtfidf import soft_tfidf_for_pairs
+
+        docs_tokens = features.select(F.col("conv_id").alias("doc_id"), "tokens")
+        scored = soft_tfidf_for_pairs(
+            pairs.select("id_a", "id_b"),
+            docs_tokens,
+            theta6=cfg.soft_theta6,
+            max_tokens=cfg.soft_max_tokens,
+        ).select("id_a", "id_b", "soft6")
+        sha = features.select(
+            F.col("conv_id").alias("id_a"), F.col("text_sha").alias("text_sha_a")
+        )
+        shb = features.select(
+            F.col("conv_id").alias("id_b"), F.col("text_sha").alias("text_sha_b")
+        )
+        enriched = pairs.join(scored, ["id_a", "id_b"]).join(sha, "id_a").join(shb, "id_b")
+        j = F.col("soft6").cast("double") / F.lit(1e6)
+    elif cfg.verify_mode == "signatures":
         cols = ["sig", "text_sha"]
         enriched = join_pair_features(pairs, features, cols)
         j = signature_agreement(F.col("sig_a"), F.col("sig_b"), cfg.num_perm)

@@ -70,6 +70,35 @@ def shingle_hashes(text: str | None, k: int) -> list[int]:
     return sorted({xxh64_chain([th[i : i + k]]) for i in range(len(th) - k + 1)})
 
 
+def char_kgram_hashes(text: str | None, k: int) -> list[int]:
+    """Distinct char-k-gram hashes over the space-stripped canonical
+    text, sorted — twin of functions/text.char_kgram_hash_set
+    (xxhash64 of each window's UTF-8 string)."""
+    c = canonicalize(text).replace(" ", "")
+    if not c:
+        return []
+    if len(c) < k:
+        return [xxh64_string(c)]
+    return sorted({xxh64_string(c[i : i + k]) for i in range(len(c) - k + 1)})
+
+
+def use_char_fallback(text: str | None, cfg: DedupeConfig) -> bool:
+    """Twin of functions/text.char_fallback_cond."""
+    t = tokens(text)
+    if not t:
+        return False
+    c = canonicalize(text).replace(" ", "")
+    return len(c) / len(t) >= cfg.char_fallback_avg_len
+
+
+def adaptive_shingle_hashes(text: str | None, cfg: DedupeConfig) -> list[int]:
+    """Twin of the build_features shingle column: char k-grams for
+    no-space-script docs, word shingles otherwise."""
+    if use_char_fallback(text, cfg):
+        return char_kgram_hashes(text, cfg.char_kgram_k)
+    return shingle_hashes(text, cfg.shingle_k)
+
+
 # ---------------------------------------------------------------------------
 # MinHash / LSH
 # ---------------------------------------------------------------------------

@@ -334,6 +334,153 @@ JOIN per sb ON sb.doc_id = p.id_b
 ORDER BY p.id_a
 """
 
+# Soft-TFIDF (lieu similarity.py:14-60): full-kernel oracle — DuckDB's
+# jaro_winkler_similarity IS the reference for the Spark-side numpy JW
+# (byte-level, boost iff jaro > 0.7, prefix cap 4, floored half-
+# transpositions; all probed + fuzz-matched at sim6 quantization).
+# Top-64 rarest tokens per doc ranked by integers (df ASC, tf DESC,
+# token ASC); L2 norm over the FULL vector; iteration side = fewer kept
+# tokens (strict swap), argmax ties -> larger j.
+ORACLE["soft_tfidf_pairs"] = f"""
+WITH entbase AS (
+    SELECT doc_id,
+           text || ' ' || array_to_string(
+             list_transform(range(0, 6),
+               k -> 'entity' || lpad(CAST(doc_id * 10 + k AS VARCHAR), 6, '0')),
+             ' ') AS text
+    FROM documents
+),
+typo AS (
+    SELECT doc_id, text FROM entbase
+    UNION ALL
+    SELECT doc_id + 300000,
+           array_to_string(
+             list_transform({_TOKS},
+               t -> CASE WHEN length(t) >= 5
+                         THEN t[1:2] || t[4:4] || t[3:3] || t[5:]
+                         ELSE t END),
+             ' ') AS text
+    FROM entbase WHERE doc_id < 25
+),
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM typo),
+n AS (SELECT count(*) AS n_docs FROM tok),
+tfc AS (SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS token FROM tok)
+        GROUP BY doc_id, token),
+dfc AS (SELECT token, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM tok)
+        GROUP BY token),
+scored AS (
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           ln(t.tf + 1.0) * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+    FROM tfc t JOIN dfc d USING (token) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(score * score)) AS l2, count(*) AS n_distinct
+          FROM scored GROUP BY doc_id),
+normed AS (
+    SELECT s.doc_id, s.token, s.tf, s.df,
+           CASE WHEN nm.l2 > 0 THEN s.score / nm.l2
+                ELSE 1.0 / sqrt(nm.n_distinct) END AS score_norm
+    FROM scored s JOIN norms nm USING (doc_id)
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY df ASC, tf DESC, token ASC) AS rk FROM normed),
+side AS (
+    SELECT doc_id, token, score_norm,
+           row_number() OVER (PARTITION BY doc_id ORDER BY token ASC) - 1 AS j,
+           count(*) OVER (PARTITION BY doc_id) AS n_tok
+    FROM ranked WHERE rk <= 64
+),
+pairs AS (SELECT doc_id AS id_a, doc_id + 300000 AS id_b
+          FROM documents WHERE doc_id < 25),
+nt AS (SELECT DISTINCT doc_id, n_tok FROM side),
+orient AS (
+    SELECT p.id_a, p.id_b, sa.n_tok AS n_a, sb.n_tok AS n_b,
+           CASE WHEN sb.n_tok < sa.n_tok THEN p.id_b ELSE p.id_a END AS id_1,
+           CASE WHEN sb.n_tok < sa.n_tok THEN p.id_a ELSE p.id_b END AS id_2
+    FROM pairs p JOIN nt sa ON sa.doc_id = p.id_a
+                 JOIN nt sb ON sb.doc_id = p.id_b
+),
+combos AS (
+    SELECT o.id_a, o.id_b, o.n_a, o.n_b, t1.token AS tok1,
+           t1.score_norm AS s1, t2.score_norm AS s2, t2.j AS j2,
+           CAST(round(jaro_winkler_similarity(t1.token, t2.token) * 1e6)
+                AS BIGINT) AS sim6
+    FROM orient o JOIN side t1 ON t1.doc_id = o.id_1
+                  JOIN side t2 ON t2.doc_id = o.id_2
+),
+best AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, tok1
+                    ORDER BY sim6 DESC, j2 DESC) AS rn FROM combos),
+soft AS (
+    SELECT id_a, id_b, CAST(max(n_a) AS INT) AS n_a, CAST(max(n_b) AS INT) AS n_b,
+           CAST(count(*) FILTER (WHERE sim6 >= 950000) AS INT) AS n_close,
+           CAST(round(1e6 * coalesce(
+               sum(CASE WHEN sim6 >= 950000 THEN sim6 / 1e6 * s1 * s2 END), 0))
+               AS BIGINT) AS soft6
+    FROM best WHERE rn = 1 GROUP BY id_a, id_b
+),
+shl AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM tok),
+ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM shl),
+sj AS (
+    SELECT p.id_a, p.id_b, max(a.n_sh) AS na, max(b.n_sh) AS nb,
+           count(*) AS inter
+    FROM pairs p JOIN ex a ON a.doc_id = p.id_a
+                 JOIN ex b ON b.doc_id = p.id_b AND b.sh = a.sh
+    GROUP BY p.id_a, p.id_b
+)
+SELECT s.id_a, s.id_b, s.n_a, s.n_b, s.n_close, s.soft6,
+       CAST(coalesce(round(CAST(sj.inter AS DOUBLE)
+            / (sj.na + sj.nb - sj.inter) * 1e6), 0) AS BIGINT) AS shingle_j6
+FROM soft s LEFT JOIN sj ON sj.id_a = s.id_a AND sj.id_b = s.id_b
+ORDER BY s.id_a
+"""
+
+# No-space-script fallback (functions/text.char_kgram_hash_set): word
+# tokenizer degenerates to ONE token on unsegmented CJK -> word-shingle
+# tier is exact-match-only (token_j6 = 0), char 12-grams separate.
+ORACLE["cjk_neardup_pairs"] = """
+WITH src AS (
+    SELECT doc_id,
+           translate(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                     'abcdefghijklmnopqrstuvwxyz0123456789 ',
+                     '零一二三四五六七八九十百千万億兆京垓壱弐参肆伍陸漆捌玖拾佰仟萬田中山川木水') AS t
+    FROM documents WHERE doc_id < 25
+),
+aug AS (
+    SELECT doc_id, t FROM src
+    UNION ALL
+    SELECT doc_id + 400000, t || '馬鹿' FROM src
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+                WHEN length(t) < 12 THEN [t]
+                ELSE list_transform(range(1, length(t) - 10), i -> t[i:i+11]) END) AS gs,
+           list_distinct(CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+                ELSE [t] END) AS toksh
+    FROM aug
+),
+pairs AS (SELECT doc_id AS id_a, doc_id + 400000 AS id_b
+          FROM documents WHERE doc_id < 25),
+j AS (
+    SELECT p.id_a, p.id_b,
+           len(a.gs) AS n_grams_a, len(b.gs) AS n_grams_b,
+           len(list_intersect(a.gs, b.gs)) AS ci,
+           len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS cu,
+           len(list_intersect(a.toksh, b.toksh)) AS ti,
+           len(a.toksh) + len(b.toksh) - len(list_intersect(a.toksh, b.toksh)) AS tu
+    FROM pairs p JOIN grams a ON a.doc_id = p.id_a
+                 JOIN grams b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b, CAST(n_grams_a AS INT) AS n_grams_a,
+       CAST(n_grams_b AS INT) AS n_grams_b,
+       CASE WHEN cu > 0 THEN CAST(round(CAST(ci AS DOUBLE) / cu * 1e6) AS BIGINT)
+            ELSE 0 END AS char_j6,
+       CASE WHEN tu > 0 THEN CAST(round(CAST(ti AS DOUBLE) / tu * 1e6) AS BIGINT)
+            ELSE 0 END AS token_j6
+FROM j ORDER BY id_a
+"""
+
 ORACLE["index_merge_batches"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 d AS (

@@ -29,7 +29,14 @@ from .checkpoint import StageStore
 from .config import DEFAULT_CONFIG, DedupeConfig
 from .functions.minhash import with_minhash
 from .functions.simhash import make_simhash_udf
-from .functions.text import shingle_hash_set, token_hashes, tokenize
+from .functions.text import (
+    canon_nospace,
+    char_fallback_cond,
+    char_kgram_hash_set,
+    shingle_hash_set,
+    token_hashes,
+    tokenize,
+)
 from .metrics import record_stage
 from .operators.assemble import assemble_conversations
 from .operators.cluster import clusters_with_singletons, connected_components
@@ -73,14 +80,27 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
     df = df.withColumn("tokens", tokenize(F.col("doc")))
     # one string-hash pass feeds both shingling and SimHash
     df = df.withColumn("token_hashes", token_hashes(F.col("tokens")))
+    # no-space-script (CJK) docs fall back to char k-grams — staged
+    # column per the HOF re-evaluation rule; CASE WHEN evaluates only
+    # the taken branch, so latin rows never pay the char-gram pass
+    df = df.withColumn("_canon_ns", canon_nospace(F.col("doc")))
     df = df.withColumn(
-        "shingle_hashes", shingle_hash_set(F.col("token_hashes"), cfg.shingle_k)
+        "shingle_hashes",
+        F.when(
+            char_fallback_cond(
+                F.col("_canon_ns"), F.col("tokens"), cfg.char_fallback_avg_len
+            ),
+            char_kgram_hash_set(F.col("_canon_ns"), cfg.char_kgram_k),
+        ).otherwise(shingle_hash_set(F.col("token_hashes"), cfg.shingle_k)),
     )
     df = with_minhash(df, cfg)
     df = df.withColumn("simhash", make_simhash_udf()(F.col("token_hashes")))
-    return df.select(
-        "conv_id", "n_turns", "text_sha", "shingle_hashes", "sig", "simhash"
-    )
+    keep = ["conv_id", "n_turns", "text_sha", "shingle_hashes", "sig", "simhash"]
+    if cfg.verify_mode == "soft_tfidf":
+        # the soft verifier needs raw tokens; other modes keep the
+        # feature table narrow (shuffle volume at scale)
+        keep.insert(3, "tokens")
+    return df.select(*keep)
 
 
 def run_pipeline(
@@ -131,7 +151,10 @@ def run_pipeline(
     )
     features = stage("features", lambda: build_features(conversations, cfg), cache=True)
 
-    feat_slim = features.select("conv_id", "text_sha", "shingle_hashes", "sig", "simhash")
+    slim_cols = ["conv_id", "text_sha", "shingle_hashes", "sig", "simhash"]
+    if cfg.verify_mode == "soft_tfidf":
+        slim_cols.insert(2, "tokens")
+    feat_slim = features.select(*slim_cols)
     # content-empty conversations take no part in similarity blocking
     # (P3 parity: the reference drops geo-less docs, spark/tfidf.py:67);
     # byte-identical ones are still caught by the exact-sha star path.

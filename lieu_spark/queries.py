@@ -61,6 +61,56 @@ def docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(near)
 
 
+def typo_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ per-token-typo copies (doc_id < 25, +300000): every
+    token with >= 5 chars gets chars 3 and 4 swapped ("receive" ->
+    "reecive"). Per-token edits tank shingle Jaccard (every k-window
+    containing an edited token differs) while Jaro-Winkler stays ~0.97
+    per token — the exact case lieu's Soft-TFIDF tier exists for. The
+    edit rule is expressible identically in DuckDB string slicing (the
+    affected docs are ASCII, so codepoint vs byte slicing agree).
+
+    Every doc first gets 6 deterministic ENTITY tokens appended
+    ("entity000030".."entity000035" for doc 3): the synthetic corpus is
+    a ~50-common-word soup in which every doc shares most tokens
+    exactly, so no bag-of-tokens metric separates dup pairs from random
+    pairs — real transcripts carry distinctive entity mentions (names,
+    ids, paths), which is precisely the rare-token mass Soft-TFIDF
+    weights. The df=1 entity tokens dominate both sides' L2 norms; a
+    typo'd entity still matches its twin at jw~0.978 >= theta, while
+    cross-doc entities stay below theta."""
+    d = load(spark, sf_dir, "documents")
+    ents = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(5)),
+            lambda k: F.concat(
+                F.lit("entity"),
+                F.lpad((F.col("doc_id") * 10 + k).cast("string"), 6, "0"),
+            ),
+        ),
+    )
+    d = d.select("doc_id", F.concat_ws(" ", F.col("text"), ents).alias("text"))
+    toks = T.tokenize(F.col("text"))
+    typo = F.transform(
+        toks,
+        lambda t: F.when(
+            F.length(t) >= 5,
+            F.concat(
+                t.substr(F.lit(1), F.lit(2)),
+                t.substr(F.lit(4), F.lit(1)),
+                t.substr(F.lit(3), F.lit(1)),
+                t.substr(F.lit(5), F.length(t)),
+            ),
+        ).otherwise(t),
+    )
+    typod = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(typo, " ").alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(typod)
+
+
 def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_aug as degenerate one-turn conversations -> feature table."""
     d = docs_aug(spark, sf_dir)
@@ -600,6 +650,120 @@ def q_weighted_jaccard(spark, sf_dir):
     )
     pairs = exact.unionByName(near)
     return weighted_jaccard_for_pairs(pairs, docs_tokens, weights).orderBy("id_a")
+
+
+def q_soft_tfidf_pairs(spark, sf_dir):
+    """F4/F5 closed: lieu's token-edit-tolerant Soft-TFIDF verifier
+    (/root/reference/lib/lieu/similarity.py:14-60) over planted
+    per-token-typo pairs — the case the set-based shingle tier
+    misclassifies (shingle_j6 ~ 0) and Soft-TFIDF catches (soft6 high).
+
+    Fully DuckDB-oracle-checked INCLUDING the Jaro-Winkler kernel:
+    functions/softtfidf.py matches DuckDB's jaro_winkler_similarity
+    bit-for-bit at sim6 quantization (byte-level matching, boost iff
+    jaro > 0.7, floored half-transpositions — all probed)."""
+    from .functions.softtfidf import soft_tfidf_for_pairs
+
+    d = typo_aug(spark, sf_dir)
+    docs_tokens = d.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
+    base = load(spark, sf_dir, "documents")
+    pairs = base.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 300000).alias("id_b")
+    )
+    soft = soft_tfidf_for_pairs(pairs, docs_tokens)
+    # the shingle-tier verdict on the same pairs, as the contrast column
+    f = d.withColumn("tokens", T.tokenize(F.col("text")))
+    f = f.withColumn("th", T.token_hashes(F.col("tokens")))
+    f = f.withColumn("sh", T.shingle_hash_set(F.col("th"), K))
+    sa = f.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"),
+        F.size("sh").alias("na"),
+    )
+    sb = f.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"),
+        F.size("sh").alias("nb"),
+    )
+    shj = pairs.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.col("na") + F.col("nb") - inter
+    shj = shj.select(
+        "id_a",
+        "id_b",
+        F.when(
+            uni > 0, F.round(inter.cast("double") / uni.cast("double") * 1e6)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("shingle_j6"),
+    )
+    return soft.join(shj, ["id_a", "id_b"]).orderBy("id_a")
+
+
+# no-space-script synth: 37 CJK chars covering [a-z0-9 ] under translate()
+CJK37 = "零一二三四五六七八九十百千万億兆京垓壱弐参肆伍陸漆捌玖拾佰仟萬田中山川木水"
+LATIN37 = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def cjk_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsegmented-CJK synth corpus: canonical latin docs (doc_id < 25)
+    translated char-for-char into a CJK stream (space maps to a CJK char
+    too, so the whole doc is ONE token under the word tokenizer), plus
+    near-dup copies (+400000) with a 2-char suffix appended. Both
+    engines express translate() identically."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    cjk = F.translate(T.canonicalize(F.col("text")), LATIN37, CJK37)
+    base = d.select("doc_id", cjk.alias("text"))
+    near = base.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("馬鹿")).alias("text"),
+    )
+    return base.unionByName(near)
+
+
+def q_cjk_neardup_pairs(spark, sf_dir):
+    """No-space-script near-dup detection (the libpostal-tokenizer gap,
+    /root/reference/lib/lieu/dedupe.py:328-331): on unsegmented CJK the
+    word tokenizer yields ONE token, so the word-shingle tier
+    degenerates to exact match (token_j6 = 0 on every planted near-dup)
+    while the char-k-gram fallback tier separates them (char_j6 high).
+    Both tiers DuckDB-oracle-checked via string grams."""
+    d = cjk_aug(spark, sf_dir)
+    f = d.withColumn("tokens", T.tokenize(F.col("text")))
+    f = f.withColumn("th", T.token_hashes(F.col("tokens")))
+    f = f.withColumn("tok_sh", T.shingle_hash_set(F.col("th"), K))
+    f = f.withColumn("cns", T.canon_nospace(F.col("text")))
+    f = f.withColumn("chr_sh", T.char_kgram_hash_set(F.col("cns"), CFG.char_kgram_k))
+    base = load(spark, sf_dir, "documents")
+    pairs = base.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 400000).alias("id_b")
+    )
+    sa = f.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("tok_sh").alias("tok_a"), F.col("chr_sh").alias("chr_a"),
+    )
+    sb = f.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("tok_sh").alias("tok_b"), F.col("chr_sh").alias("chr_b"),
+    )
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+
+    def j6(a, b):
+        inter = F.size(F.array_intersect(a, b))
+        uni = F.size(a) + F.size(b) - inter
+        return (
+            F.when(uni > 0, F.round(inter.cast("double") / uni.cast("double") * 1e6))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return j.select(
+        "id_a",
+        "id_b",
+        F.size("chr_a").alias("n_grams_a"),
+        F.size("chr_b").alias("n_grams_b"),
+        j6(F.col("chr_a"), F.col("chr_b")).alias("char_j6"),
+        j6(F.col("tok_a"), F.col("tok_b")).alias("token_j6"),
+    ).orderBy("id_a")
 
 
 # ---------------------------------------------------------------------------
