@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiset_jaccard": Q.q_multiset_jaccard,
         "weighted_jaccard": Q.q_weighted_jaccard,
         "soft_tfidf_pairs": Q.q_soft_tfidf_pairs,
+        "bucketed_weighted_jaccard": Q.q_bucketed_weighted_jaccard,
         "cjk_neardup_pairs": Q.q_cjk_neardup_pairs,
         "order_price_quantiles": Q.q_order_price_quantiles,
         "above_avg_orders": Q.q_above_avg_orders,

@@ -65,7 +65,13 @@ def ensure_corpus(sf: float, n_convs: int) -> Path:
     return path
 
 
-def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None:
+def run_one(
+    cores: int,
+    sf_dir: str,
+    corpus_parquet: str,
+    out_json: str,
+    stream_parity: bool = False,
+) -> None:
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
 
@@ -145,6 +151,47 @@ def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None
     ann = hyperplane_lsh_topk(Q.load(spark, sf_dir, "embeddings"), k=5).count()
     timings["ann_lsh_topk"] = time.time() - t2
 
+    # streaming<->batch parity at bench scale (headline run only): the
+    # corpus arrives as 3 deterministic chunks of complete conversations
+    # through the foreachBatch incremental path; connected components
+    # over the accumulated stream pairs must equal the batch clusters
+    # byte-for-byte (VERDICT r1 #9)
+    stream_equal = None
+    if stream_parity:
+        import shutil as _sh
+
+        from lieu_spark.operators.cluster import (
+            clusters_with_singletons,
+            connected_components,
+        )
+        from lieu_spark.streaming.ingest import run_stream
+
+        t3 = time.time()
+        sp_root = CACHE / f"stream_parity_{cores}"
+        if sp_root.exists():
+            _sh.rmtree(sp_root)
+        in_dir = sp_root / "in"
+        in_dir.mkdir(parents=True)
+        chunk = (F.abs(F.xxhash64("conv_id")) % 3).alias("chunk")
+        for c in range(3):
+            tdf.withColumn("chunk", chunk).filter(F.col("chunk") == c).drop(
+                "chunk"
+            ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        run_stream(
+            spark, str(in_dir), str(sp_root / "work"), cfg,
+            available_now=True, files_per_trigger=1,
+        )
+        stream_pairs = dupe_pairs(spark.read.parquet(str(sp_root / "work/pairs")))
+        sc_df = clusters_with_singletons(
+            res.conversations, connected_components(stream_pairs)
+        ).select("conv_id", "cluster_id")
+        bc_df = res.clusters.select("conv_id", "cluster_id")
+        stream_equal = (
+            sc_df.exceptAll(bc_df).count() == 0
+            and bc_df.exceptAll(sc_df).count() == 0
+        )
+        timings["stream_parity"] = time.time() - t3
+
     spark.stop()
     payload = {
         "cores": cores,
@@ -164,13 +211,20 @@ def run_one(cores: int, sf_dir: str, corpus_parquet: str, out_json: str) -> None
         "found_dup_pairs": n_found,
         "doc_dedupe_pairs": doc_pairs,
         "ann_rows": ann,
+        "stream_parity_equal": stream_equal,
+        "stream_batches": 3 if stream_parity else None,
         "stage_sec": {k: round(v, 3) for k, v in timings.items()},
     }
     Path(out_json).write_text(json.dumps(payload))
 
 
 def submit(
-    cores: int, sf_dir: str, corpus_parquet: str, out_json: str, repeats: int = 1
+    cores: int,
+    sf_dir: str,
+    corpus_parquet: str,
+    out_json: str,
+    repeats: int = 1,
+    stream_parity: bool = False,
 ) -> dict:
     """Launch one measured run via spark-submit --py-files (falls back to
     plain python if spark-submit is unavailable). repeats>1: rerun and
@@ -185,7 +239,8 @@ def submit(
         Path(out_json).write_text(json.dumps(best))
         return best
     pyfiles = str(CACHE / "lieu_spark.zip")
-    if not Path(pyfiles).exists():
+    src_mtime = max(p.stat().st_mtime for p in (REPO / "lieu_spark").rglob("*.py"))
+    if not Path(pyfiles).exists() or Path(pyfiles).stat().st_mtime < src_mtime:
         CACHE.mkdir(exist_ok=True)
         shutil.make_archive(pyfiles[:-4], "zip", REPO, "lieu_spark")
     args = [
@@ -196,6 +251,8 @@ def submit(
         "--corpus", corpus_parquet,
         "--out", out_json,
     ]
+    if stream_parity:
+        args.append("--stream-parity")
     spark_submit = shutil.which("spark-submit")
     if spark_submit:
         cmd = [
@@ -227,10 +284,14 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--n-convs", type=int, default=None)
     ap.add_argument("--skip-scaling", action="store_true")
+    ap.add_argument("--stream-parity", action="store_true")
     args = ap.parse_args()
 
     if args.run_one:
-        run_one(args.cores, args.sf_dir, args.corpus, args.out)
+        run_one(
+            args.cores, args.sf_dir, args.corpus, args.out,
+            stream_parity=args.stream_parity,
+        )
         return
 
     sf = sf_of(args.sf_dir)
@@ -249,8 +310,13 @@ def main() -> None:
     p2 = int(os.environ.get("SPARK_GRAFT_BENCH_P2", "8"))
     CACHE.mkdir(exist_ok=True)
 
+    # headline run carries the streaming-parity stage (separate process,
+    # so the interleaved scaling pairs below stay uncontaminated)
     r2 = (
-        submit(native, args.sf_dir, corpus_parquet, str(CACHE / f"run_p{native}.json"))
+        submit(
+            native, args.sf_dir, corpus_parquet,
+            str(CACHE / f"run_p{native}.json"), stream_parity=True,
+        )
         if native != p2
         else None
     )
@@ -357,6 +423,8 @@ def main() -> None:
         "clusters": r2["clusters"],
         "dup_pair_recall": r2.get("dup_pair_recall"),
         "true_dup_pairs": r2.get("true_dup_pairs"),
+        "stream_parity_equal": r2.get("stream_parity_equal"),
+        "stream_batches": r2.get("stream_batches"),
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -132,6 +132,156 @@ def weighted_jaccard_for_pairs(
     )
 
 
+def bucket_aliases(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    src_col: str = "source",
+    min_docs: int = 5,
+) -> DataFrame:
+    """(lang, source) -> eff_source: sparse cells alias into the densest
+    same-lang cell that clears min_docs (ties: source ASC); a sparse
+    cell with no dense sibling keeps itself.
+
+    Transcript analog of the reference's sparse-geohash alias merge
+    (lib/lieu/spark/geo_word_index.py:18-26): geo neighbors become
+    same-lang sibling cells — the statistics a sparse source can borrow
+    without crossing a language boundary. All integer/deterministic, so
+    the DuckDB oracle reproduces the map exactly."""
+    counts = docs.groupBy(lang_col, src_col).agg(F.count("*").alias("n"))
+    dense = counts.filter(F.col("n") >= min_docs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(F.col("n").desc(), F.col(src_col).asc())
+    target = (
+        dense.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(lang_col, F.col(src_col).alias("_tgt"))
+    )
+    return counts.join(target, lang_col, "left").select(
+        lang_col,
+        src_col,
+        F.when(
+            (F.col("n") < min_docs) & F.col("_tgt").isNotNull(), F.col("_tgt")
+        )
+        .otherwise(F.col(src_col))
+        .alias("eff_source"),
+    )
+
+
+def bucketed_idf_weights(
+    docs_tokens: DataFrame,
+    aliases: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    src_col: str = "source",
+) -> DataFrame:
+    """(lang, eff_source, token, w6): integer-quantized IDF computed
+    within each effective bucket — round(1e6 * ln(n_bucket / df_bucket)).
+    The per-bucket twin of idf_weights (reference: per-geo doc
+    frequencies, lib/lieu/spark/tfidf.py via geo_word_index)."""
+    bucketed = docs_tokens.join(aliases, [lang_col, src_col]).select(
+        id_col, "eff_source", F.col(lang_col).alias("lang"), "tokens"
+    )
+    n_bucket = bucketed.groupBy("lang", "eff_source").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    df = (
+        bucketed.select(
+            "lang", "eff_source", id_col,
+            F.explode(F.array_distinct("tokens")).alias("token"),
+        )
+        .groupBy("lang", "eff_source", "token")
+        .agg(F.count("*").alias("df"))
+    )
+    return df.join(n_bucket, ["lang", "eff_source"]).select(
+        "lang",
+        "eff_source",
+        "token",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df")) * 1e6
+        )
+        .cast("long")
+        .alias("w6"),
+    )
+
+
+def blended_weighted_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    docs_tokens: DataFrame,
+    min_docs: int = 5,
+    proportion_num: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-pair weighted Jaccard under BUCKET weights and GLOBAL weights,
+    blended bucket-heavy: blended6 = floor((p*bj6 + (10-p)*gj6 + 5)/10)
+    with p = proportion_num (default 6 — the reference's 0.6 geo-model
+    proportion, lib/lieu/spark/dedupe.py:118-161, expressed in integer
+    tenths so the blend is bit-reproducible cross-engine).
+
+    Pairs are assumed within-bucket (planted dupes share lang/source);
+    the pair's bucket weights are the id_a side's effective bucket.
+    Output: (id_a, id_b, lang, eff_source, wj6_bucket, wj6_global,
+    blended6)."""
+    aliases = bucket_aliases(docs, min_docs=min_docs)
+    meta = docs.select(id_col, "lang", "source")
+    toks = docs_tokens.join(meta, id_col)
+    bweights = bucketed_idf_weights(toks, aliases, id_col=id_col)
+    gweights = idf_weights(docs_tokens, id_col=id_col)
+
+    g = weighted_jaccard_for_pairs(pairs, docs_tokens, gweights, id_col=id_col)
+    # bucket half: same relational shape, weights keyed by (bucket, token)
+    eff = toks.join(aliases, ["lang", "source"]).select(
+        F.col(id_col).alias("id"), "lang", "eff_source",
+        F.explode(F.array_distinct("tokens")).alias("token"),
+    )
+    tw = eff.join(bweights, ["lang", "eff_source", "token"])
+    per_doc = tw.groupBy("id").agg(F.sum("w6").alias("w_tot"))
+    ta = tw.select(F.col("id").alias("id_a"), "token", F.col("w6").alias("w6_a"))
+    tb = tw.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w6_a").alias("w_inter"))
+    )
+    bucket_of = (
+        eff.select("id", "lang", "eff_source")
+        .dropDuplicates(["id"])
+        .select(F.col("id").alias("id_a"), "lang", "eff_source")
+    )
+    sa = per_doc.select(F.col("id").alias("id_a"), F.col("w_tot").alias("w_a"))
+    sb = per_doc.select(F.col("id").alias("id_b"), F.col("w_tot").alias("w_b"))
+    b = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"w_inter": 0})
+        .join(bucket_of, "id_a")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("w_union", F.col("w_a") + F.col("w_b") - F.col("w_inter"))
+        .select(
+            "id_a", "id_b", "lang", "eff_source",
+            F.when(
+                F.col("w_union") > 0,
+                F.round(
+                    F.col("w_inter").cast("double")
+                    / F.col("w_union").cast("double") * 1e6
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("wj6_bucket"),
+        )
+    )
+    out = b.join(g.select("id_a", "id_b", F.col("wj6").alias("wj6_global")),
+                 ["id_a", "id_b"])
+    p = proportion_num
+    blended = F.floor(
+        (F.lit(p) * F.col("wj6_bucket") + F.lit(10 - p) * F.col("wj6_global") + 5)
+        / F.lit(10)
+    ).cast("long")
+    return out.withColumn("blended6", blended)
+
+
 def information_gain(
     docs_tokens: DataFrame, id_col: str = "doc_id", min_count: int = 1
 ) -> DataFrame:

@@ -334,6 +334,93 @@ JOIN per sb ON sb.doc_id = p.id_b
 ORDER BY p.id_a
 """
 
+# Bucketed word index + blended verifier (geo_word_index.py:18-26 /
+# spark/dedupe.py:118-161 analog): (lang, source) cells, sparse cells
+# alias to the densest same-lang sibling (>= 5 docs, ties source ASC),
+# per-bucket integer IDF, blend floor((6*bucket + 4*global + 5)/10).
+ORACLE["bucketed_weighted_jaccard"] = f"""
+WITH {_DOCS_AUG},
+counts AS (SELECT lang, source, count(*) AS n FROM aug GROUP BY lang, source),
+tgt AS (
+    SELECT lang, source AS _tgt FROM (
+        SELECT lang, source,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, source ASC) AS rk
+        FROM counts WHERE n >= 5)
+    WHERE rk = 1
+),
+alias_map AS (
+    SELECT c.lang, c.source,
+           CASE WHEN c.n < 5 AND t._tgt IS NOT NULL THEN t._tgt
+                ELSE c.source END AS eff_source
+    FROM counts c LEFT JOIN tgt t USING (lang)
+),
+t AS (SELECT doc_id, lang, source, {_TOKS} AS toks FROM aug),
+tok AS (SELECT doc_id, lang, source, unnest(list_distinct(toks)) AS token FROM t),
+eff AS (
+    SELECT tok.doc_id, tok.token, a.lang, a.eff_source
+    FROM tok JOIN alias_map a USING (lang, source)
+),
+nb AS (SELECT lang, eff_source, count(DISTINCT doc_id) AS n_docs
+       FROM eff GROUP BY lang, eff_source),
+bdf AS (SELECT lang, eff_source, token, count(*) AS df
+        FROM eff GROUP BY lang, eff_source, token),
+bw AS (
+    SELECT b.lang, b.eff_source, b.token,
+           CAST(round(ln(CAST(n.n_docs AS DOUBLE) / b.df) * 1e6) AS BIGINT) AS w6
+    FROM bdf b JOIN nb n USING (lang, eff_source)
+),
+tw AS (SELECT e.doc_id, e.lang, e.eff_source, e.token, w.w6
+       FROM eff e JOIN bw w USING (lang, eff_source, token)),
+per AS (SELECT doc_id, sum(w6) AS w_tot FROM tw GROUP BY doc_id),
+gw AS (
+    SELECT token,
+           CAST(round(ln(CAST((SELECT count(*) FROM aug) AS DOUBLE) / count(*)) * 1e6) AS BIGINT) AS w6
+    FROM tok GROUP BY token
+),
+gtw AS (SELECT tok.doc_id, tok.token, gw.w6 FROM tok JOIN gw USING (token)),
+gper AS (SELECT doc_id, sum(w6) AS w_tot FROM gtw GROUP BY doc_id),
+pairs AS (
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents WHERE doc_id < 25
+    UNION ALL
+    SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id >= 25 AND doc_id < 50
+),
+binter AS (
+    SELECT p.id_a, p.id_b, sum(a.w6) AS w_inter
+    FROM pairs p JOIN tw a ON a.doc_id = p.id_a
+                 JOIN tw b2 ON b2.doc_id = p.id_b AND b2.token = a.token
+    GROUP BY p.id_a, p.id_b
+),
+ginter AS (
+    SELECT p.id_a, p.id_b, sum(a.w6) AS w_inter
+    FROM pairs p JOIN gtw a ON a.doc_id = p.id_a
+                 JOIN gtw b2 ON b2.doc_id = p.id_b AND b2.token = a.token
+    GROUP BY p.id_a, p.id_b
+),
+bucket_of AS (SELECT DISTINCT doc_id AS id_a, lang, eff_source FROM eff),
+scored AS (
+    SELECT p.id_a, p.id_b, bo.lang, bo.eff_source,
+           CASE WHEN sa.w_tot + sb.w_tot - coalesce(bi.w_inter, 0) > 0
+                THEN CAST(round(CAST(coalesce(bi.w_inter, 0) AS DOUBLE)
+                     / (sa.w_tot + sb.w_tot - coalesce(bi.w_inter, 0)) * 1e6) AS BIGINT)
+                ELSE 0 END AS wj6_bucket,
+           CASE WHEN ga.w_tot + gb.w_tot - coalesce(gi.w_inter, 0) > 0
+                THEN CAST(round(CAST(coalesce(gi.w_inter, 0) AS DOUBLE)
+                     / (ga.w_tot + gb.w_tot - coalesce(gi.w_inter, 0)) * 1e6) AS BIGINT)
+                ELSE 0 END AS wj6_global
+    FROM pairs p
+    LEFT JOIN binter bi ON bi.id_a = p.id_a AND bi.id_b = p.id_b
+    LEFT JOIN ginter gi ON gi.id_a = p.id_a AND gi.id_b = p.id_b
+    JOIN bucket_of bo ON bo.id_a = p.id_a
+    JOIN per sa ON sa.doc_id = p.id_a
+    JOIN per sb ON sb.doc_id = p.id_b
+    JOIN gper ga ON ga.doc_id = p.id_a
+    JOIN gper gb ON gb.doc_id = p.id_b
+)
+SELECT id_a, id_b, lang, eff_source, wj6_bucket, wj6_global,
+       CAST(floor((6 * wj6_bucket + 4 * wj6_global + 5) / 10.0) AS BIGINT) AS blended6
+FROM scored ORDER BY id_a
+"""
+
 # Soft-TFIDF (lieu similarity.py:14-60): full-kernel oracle — DuckDB's
 # jaro_winkler_similarity IS the reference for the Spark-side numpy JW
 # (byte-level, boost iff jaro > 0.7, prefix cap 4, floored half-

@@ -652,6 +652,31 @@ def q_weighted_jaccard(spark, sf_dir):
     return weighted_jaccard_for_pairs(pairs, docs_tokens, weights).orderBy("id_a")
 
 
+def q_bucketed_weighted_jaccard(spark, sf_dir):
+    """Bucketed word index + blended verifier — the transcript analog of
+    the reference's per-geo statistics: (lang, source) cells with sparse
+    cells alias-merged into the densest same-lang sibling
+    (lib/lieu/spark/geo_word_index.py:18-26), per-bucket IDF, and a
+    bucket-heavy blend 0.6*bucket + 0.4*global
+    (lib/lieu/spark/dedupe.py:118-161) in integer tenths. Planted pairs
+    as in weighted_jaccard; DuckDB-matched end to end."""
+    from .functions.weighting import blended_weighted_jaccard
+
+    d = docs_aug(spark, sf_dir)
+    docs_tokens = d.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
+    base = load(spark, sf_dir, "documents")
+    exact = base.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    near = base.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+    )
+    pairs = exact.unionByName(near)
+    return blended_weighted_jaccard(
+        pairs, d, docs_tokens, min_docs=5
+    ).orderBy("id_a")
+
+
 def q_soft_tfidf_pairs(spark, sf_dir):
     """F4/F5 closed: lieu's token-edit-tolerant Soft-TFIDF verifier
     (/root/reference/lib/lieu/similarity.py:14-60) over planted

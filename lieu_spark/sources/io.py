@@ -37,6 +37,52 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
+# Alias-map ingest (reference: lib/lieu/address.py:41-169 — 100+
+# source-key aliases coalesced into canonical components, first key in
+# declared priority order wins, an existing canonical key outranks all
+# aliases). Heterogeneous multi-source exports land on TRANSCRIPT_SCHEMA
+# through one select; per-row F.coalesce across the present alias
+# columns generalizes the reference's per-record dict replace.
+TRANSCRIPT_ALIASES: dict[str, list[str]] = {
+    "conv_id": ["conv_id", "conversation_id", "session_id", "thread_id", "dialog_id"],
+    "turn_idx": ["turn_idx", "turn_index", "turn", "message_idx", "seq", "position"],
+    "role": ["role", "speaker", "author", "sender"],
+    "text": ["text", "content", "message", "body", "utterance"],
+    "tool": ["tool", "tool_name", "function", "tool_call"],
+    "ts": ["ts", "timestamp", "time", "created_at", "event_time"],
+}
+
+
+def coalesce_aliases(
+    df: DataFrame, extra_aliases: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """Heterogeneous-column transcript ingest -> TRANSCRIPT_SCHEMA.
+
+    For each canonical field, the present alias columns are coalesced in
+    priority order (canonical name first — the reference's rule that an
+    existing canonical key is never overwritten) and try_cast to the
+    canonical type, so a malformed value (non-numeric turn, unparseable
+    timestamp) degrades to NULL instead of failing the job under ANSI
+    mode. Rows with null conv_id or turn_idx are dropped — the same
+    malformed-row policy as parse_transcript_lines. Unknown columns are
+    discarded. ``extra_aliases`` appends per-deployment names after the
+    built-ins."""
+    alias_map = {k: list(v) for k, v in TRANSCRIPT_ALIASES.items()}
+    for k, names in (extra_aliases or {}).items():
+        alias_map.setdefault(k, []).extend(n for n in names if n not in alias_map[k])
+    cols = set(df.columns)
+    out = []
+    for field in TRANSCRIPT_SCHEMA.fields:
+        present = [n for n in alias_map[field.name] if n in cols]
+        if present:
+            c = F.coalesce(*[F.col(n) for n in present])
+        else:
+            c = F.lit(None)
+        out.append(c.try_cast(field.dataType).alias(field.name))
+    res = df.select(*out)
+    return res.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+
+
 def read_transcripts_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
 

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, DedupeConfig
 from ..operators.assemble import assemble_conversations
-from ..operators.lsh import band_table, match_pairs
+from ..operators.exact import exact_star_pairs
+from ..operators.lsh import band_table, candidate_pairs, match_pairs
 from ..operators.verify import verify_pairs
 from ..pipeline import build_features
 
@@ -35,13 +36,17 @@ TRANSCRIPT_DDL = (
 )
 
 
-def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of turn rows (parquet files landing in a dir).
     In production this is a Kafka/Iceberg CDC source with a watermark on
-    ``ts``; the file source keeps the container test hermetic."""
+    ``ts``; the file source keeps the container test hermetic.
+    files_per_trigger=1 with one file per chunk gives deterministic
+    batch boundaries (the parity test's arrival schedule)."""
     return (
         spark.readStream.schema(TRANSCRIPT_DDL)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -70,31 +75,45 @@ class IncrementalDeduper:
             return None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Candidates = within-batch self-pairs (LSH bands + exact-sha
+        star — the same families as the batch pipeline, so a batch's OWN
+        near-dups pair here, not just batch-vs-index) ∪ incoming-vs-index
+        match pairs. Verified edges append to pairs_dir; dupe members
+        (the id_b side — min-id canonical stays) are withheld from the
+        index fold, so connected components over the accumulated pairs
+        reproduces the batch pipeline's clusters (parity asserted at
+        sf-scale in tests/test_streaming.py and timed in bench.py)."""
         convs = assemble_conversations(batch_df)
         feats = build_features(convs, self.cfg).persist()
+        feat_bands = band_table(feats, self.cfg)
+        within = candidate_pairs(feat_bands, self.cfg).unionByName(
+            exact_star_pairs(feats)
+        )
         index = self._load_index()
         if index is not None:
-            cand = match_pairs(
-                band_table(index, self.cfg), band_table(feats, self.cfg), self.cfg
+            cross = match_pairs(
+                band_table(index, self.cfg), feat_bands, self.cfg
             ).select(
                 F.col("canonical_id").alias("id_a"),
                 F.col("incoming_id").alias("id_b"),
             )
+            cand = within.unionByName(cross).dropDuplicates(["id_a", "id_b"])
             all_feats = index.unionByName(feats)
-            verified = verify_pairs(cand, all_feats, self.cfg, method="stream_match")
-            verified.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(self.pairs_dir)
-            dupe_ids = (
-                verified.filter(
-                    F.col("status").isin("exact_duplicate", "likely_duplicate")
-                )
-                .select(F.col("id_b").alias("conv_id"))
-                .distinct()
-            )
-            new_uniques = feats.join(dupe_ids, "conv_id", "left_anti")
         else:
-            new_uniques = feats
+            cand = within.dropDuplicates(["id_a", "id_b"])
+            all_feats = feats
+        verified = verify_pairs(cand, all_feats, self.cfg, method="stream_match")
+        verified.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(self.pairs_dir)
+        dupe_ids = (
+            verified.filter(
+                F.col("status").isin("exact_duplicate", "likely_duplicate")
+            )
+            .select(F.col("id_b").alias("conv_id"))
+            .distinct()
+        )
+        new_uniques = feats.join(dupe_ids, "conv_id", "left_anti")
         # S8 parity: fold this batch's uniques into the canonical index
         new_uniques.write.mode("append").parquet(self.index_dir)
         feats.unpersist()
@@ -106,13 +125,14 @@ def run_stream(
     work_dir: str,
     cfg: DedupeConfig = DEFAULT_CONFIG,
     available_now: bool = True,
+    files_per_trigger: int = 8,
 ):
     """Wire the stream; with available_now=True drains what's on disk and
     stops (test mode / catch-up mode)."""
     dedupe = IncrementalDeduper(
         spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg
     )
-    stream = stream_transcripts(spark, input_dir)
+    stream = stream_transcripts(spark, input_dir, files_per_trigger)
     writer = (
         stream.writeStream.foreachBatch(dedupe.process_batch)
         .option("checkpointLocation", f"{work_dir}/_stream_checkpoint")

@@ -91,3 +91,48 @@ def test_parquet_and_sinks_roundtrip(spark, tmp_path):
         spark.read.option("sep", "\t").option("header", "true").csv(str(tmp_path / "tsv"))
     )
     assert tsv.count() == df.count()
+
+
+def test_alias_map_ingest_roundtrip(spark):
+    """Heterogeneous multi-source export ingests to TRANSCRIPT_SCHEMA
+    (lib/lieu/address.py:41-169 analog): aliases coalesce in priority
+    order, canonical names win, malformed values degrade to NULL (row
+    dropped when the null hits conv_id/turn_idx), junk columns vanish."""
+    from lieu_spark.operators.assemble import assemble_conversations
+    from lieu_spark.sources.io import TRANSCRIPT_SCHEMA, coalesce_aliases
+
+    rows = [
+        # source A: session_id/turn/speaker/content/created_at + junk
+        {"session_id": "s1", "turn": "0", "speaker": "user",
+         "content": "hello there", "created_at": "2026-01-01 10:00:00",
+         "junk": "zzz"},
+        {"session_id": "s1", "turn": "1", "speaker": "assistant",
+         "content": "hi back", "created_at": "2026-01-01 10:00:05",
+         "junk": "zzz"},
+        # canonical name outranks alias: text wins over content
+        {"session_id": "s2", "turn": "0", "speaker": "user",
+         "content": "WRONG", "text": "right text",
+         "created_at": "2026-01-01 11:00:00", "junk": None},
+        # malformed turn -> try_cast NULL -> row dropped
+        {"session_id": "s3", "turn": "not-a-number", "speaker": "user",
+         "content": "dropped row", "created_at": "bad ts", "junk": None},
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "session_id string, turn string, speaker string, content string, "
+        "text string, created_at string, junk string",
+    )
+    got = coalesce_aliases(df)
+    assert got.schema == TRANSCRIPT_SCHEMA or [
+        (f.name, f.dataType) for f in got.schema.fields
+    ] == [(f.name, f.dataType) for f in TRANSCRIPT_SCHEMA.fields]
+    out = {(r.conv_id, r.turn_idx): r for r in got.collect()}
+    assert set(out) == {("s1", 0), ("s1", 1), ("s2", 0)}
+    assert out[("s1", 0)].text == "hello there"
+    assert out[("s1", 0)].role == "user"
+    assert out[("s1", 0)].ts is not None
+    assert out[("s2", 0)].text == "right text"
+    # the ingested frame drives assembly directly
+    conv = {r.conv_id: r.doc for r in
+            assemble_conversations(got).select("conv_id", "doc").collect()}
+    assert conv[("s1")] == "hello there\nhi back"

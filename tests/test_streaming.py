@@ -42,10 +42,72 @@ def test_incremental_stream_dedupe(spark, tmp_path):
         (r.id_a, r.id_b)
         for r in pairs.filter("status = 'exact_duplicate'").collect()
     }
+    # batch 1 now self-dedupes (within-batch LSH + exact star), so the
+    # index holds only canonicals: each z_i (byte-copy of conv i) must
+    # land a dupe-class match — exact when conv i itself survived as a
+    # canonical, likely when z_i could only meet conv i's near-dup
+    # canonical (the reference's match-against-index semantics,
+    # lib/lieu/spark/dedupe.py:24-48)
+    dupe_hits = {
+        r.id_b
+        for r in pairs.filter(
+            "status in ('exact_duplicate', 'likely_duplicate')"
+        ).collect()
+    }
     for i in range(10):
-        assert (corpus.conv_id_str(i), f"z{i:09d}") in matched, sorted(matched)[:5]
+        assert f"z{i:09d}" in dupe_hits, (i, sorted(dupe_hits))
+    assert matched, "no exact matches at all"
 
     # dupes must NOT have been folded into the index
     index2 = spark.read.parquet(f"{work}/index")
     zs = [r.conv_id for r in index2.collect() if r.conv_id.startswith("z")]
     assert zs == []
+
+
+@pytest.mark.slow
+def test_stream_batch_cluster_parity(spark, tmp_path):
+    """The foreachBatch incremental path over the corpus chunked into 3
+    batches yields byte-identical cluster assignments to the batch
+    pipeline (VERDICT r1 #9). Within-batch self-pairs + vs-index match
+    pairs accumulate an edge set whose connected components equal the
+    batch pipeline's (dupes withheld from the index chain to their
+    canonical via CC)."""
+    from pyspark.sql import functions as F
+
+    from lieu_spark.operators.cluster import (
+        clusters_with_singletons,
+        connected_components,
+    )
+    from lieu_spark.operators.verify import dupe_pairs
+    from lieu_spark.pipeline import run_pipeline
+
+    n_convs = 400
+    tdf = corpus.generate_df(spark, 7, n_convs).persist()
+
+    in_dir = tmp_path / "in3"
+    work = tmp_path / "work3"
+    in_dir.mkdir()
+    # 3 deterministic chunks of complete conversations, one file each
+    chunk = (F.abs(F.xxhash64("conv_id")) % 3).alias("chunk")
+    for c in range(3):
+        tdf.withColumn("chunk", chunk).filter(F.col("chunk") == c).drop(
+            "chunk"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_stream(spark, str(in_dir), str(work), CFG, available_now=True,
+               files_per_trigger=1)
+
+    stream_pairs = dupe_pairs(spark.read.parquet(f"{work}/pairs"))
+    convs_all = run_pipeline(
+        spark, tdf, CFG, with_spans=False
+    )  # batch reference
+    stream_clusters = {
+        r.conv_id: r.cluster_id
+        for r in clusters_with_singletons(
+            convs_all.conversations, connected_components(stream_pairs)
+        ).collect()
+    }
+    batch_clusters = {
+        r.conv_id: r.cluster_id for r in convs_all.clusters.collect()
+    }
+    assert stream_clusters == batch_clusters
+    tdf.unpersist()

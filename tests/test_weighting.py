@@ -101,3 +101,33 @@ def test_weighted_jaccard_ranks_rare_overlap_above_boilerplate(spark):
     wi = sum(w6[t] for t in a & b)
     wu = sum(w6[t] for t in a | b)
     assert got[(3, 4)] == (round(wi / wu * 1e6), wi)
+
+
+def test_bucket_aliases_semantics(spark):
+    """Sparse (lang, source) cells alias to the densest same-lang cell
+    clearing min_docs (ties: source ASC); dense cells and sparse cells
+    with no dense sibling keep themselves (geo_word_index.py:18-26
+    analog)."""
+    from lieu_spark.functions.weighting import bucket_aliases
+
+    rows = (
+        [("en", "s1")] * 6      # dense
+        + [("en", "s2")] * 6    # dense (tie with s1 -> target is s1)
+        + [("en", "s3")] * 2    # sparse -> aliases to en/s1
+        + [("fr", "s1")] * 2    # sparse, no dense fr sibling -> keeps self
+        + [("fr", "s2")] * 1    # sparse, keeps self
+    )
+    docs = spark.createDataFrame(
+        [(i, l, s) for i, (l, s) in enumerate(rows)], ["doc_id", "lang", "source"]
+    )
+    got = {
+        (r.lang, r.source): r.eff_source
+        for r in bucket_aliases(docs, min_docs=5).collect()
+    }
+    assert got == {
+        ("en", "s1"): "s1",
+        ("en", "s2"): "s2",
+        ("en", "s3"): "s1",
+        ("fr", "s1"): "s1",
+        ("fr", "s2"): "s2",
+    }
