@@ -125,8 +125,6 @@ def _bucket_rerank(e, buckets):
     """Candidates from bucket collisions; exact-cosine re-rank on the
     ROUNDED value (cos6) with id tie-break so ordering is engine-exact —
     the same convention as q_ann_topk."""
-    from lieu_spark.functions.vectors import cosine_with_norms, dot, norm
-
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), ["table", "bucket"])
@@ -134,6 +132,14 @@ def _bucket_rerank(e, buckets):
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _cos6_rerank(e, cand)
+
+
+def _cos6_rerank(e, cand):
+    """Exact cosine over a candidate pair set, quantized to cos6 (the
+    cross-engine ordering key)."""
+    from lieu_spark.functions.vectors import cosine_with_norms, dot, norm
+
     base = e.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
@@ -200,16 +206,43 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    from lieu_spark.operators.ann import ivf_topk
+    """IVF ANN, oracle-checked via the exported cell-assignment table:
+    the k-means quantizer (the only non-SQL kernel — ann.py:193) writes
+    (id, probe_rank, cell) once; candidate generation (probe-list join
+    member-list on cell), the exact-cosine re-rank, and the top-k window
+    are rebuilt from that export by BOTH engines, ranking on the rounded
+    cos6 with id tie-break (same engine-exact convention as
+    ann_lsh_topk). Same non-cartesian scale shape as ivf_topk."""
+    from pyspark.sql import Window
+
+    from lieu_spark.operators.ann import ivf_cells, ivf_centroids
+    from lieu_spark.oracle_export import export_for_oracle
 
     e = Q.load(spark, sf_dir, "embeddings")
-    t = ivf_topk(e, k=5, ncentroids=16, nprobe=6)
-    return t.select(
-        F.col("id_a").alias("vec_id"),
-        "rank",
-        F.col("id_b").alias("nbr_id"),
-        F.round(F.col("cosine") * 1e6).cast("long").alias("cos6"),
-    ).orderBy("vec_id", "rank")
+    cents = ivf_centroids(e, ncentroids=16)
+    cells = export_for_oracle(
+        spark, ivf_cells(e, cents, nprobe=6), "ivf_cells"
+    )
+    members = cells.filter(F.col("probe_rank") == 0).select(
+        F.col("id").alias("id_b"), "cell"
+    )
+    probes = cells.select(F.col("id").alias("id_a"), "cell")
+    cand = (
+        probes.join(members, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = _cos6_rerank(e, cand)
+    w = Window.partitionBy("id_a").orderBy(F.col("cos6").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("id_a").alias("vec_id"), "rank", F.col("id_b").alias("nbr_id"), "cos6"
+        )
+        .orderBy("vec_id", "rank")
+    )
 
 
 def _q_multimodal_meta(spark, sf_dir):
@@ -246,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": Q.q_weighted_jaccard,
         "soft_tfidf_pairs": Q.q_soft_tfidf_pairs,
         "bucketed_weighted_jaccard": Q.q_bucketed_weighted_jaccard,
+        "ref_code_blocking": Q.q_ref_code_blocking,
         "cjk_neardup_pairs": Q.q_cjk_neardup_pairs,
         "order_price_quantiles": Q.q_order_price_quantiles,
         "above_avg_orders": Q.q_above_avg_orders,

@@ -692,6 +692,24 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+# F15 zip5 analog: regex-normalized structured codes as blocking keys
+# (lieu dedupe.py:76-78 us_zip5_pattern / use_zip5)
+ORACLE["ref_code_blocking"] = """
+WITH coded AS (
+    SELECT doc_id,
+           printf('REF-%05d-%04d', doc_id % 200, doc_id % 10000) AS code
+    FROM documents
+),
+normed AS (
+    SELECT doc_id,
+           regexp_extract(code, '^REF-([0-9]{5})-?([0-9]{4})$', 1) AS block_key
+    FROM coded
+)
+SELECT block_key, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS rep_id
+FROM normed GROUP BY block_key HAVING count(*) > 1 ORDER BY block_key
+"""
+
 ORACLE["exact_dup_groups"] = f"""
 WITH {_DOCS_AUG}
 SELECT sha256(text) AS text_sha, count(*) AS group_size, min(doc_id) AS rep_id
@@ -1003,6 +1021,41 @@ cpairs AS (
 
 ORACLE["ann_lsh_topk"] = f"""
 {_ANN_BUCKET_RERANK}
+SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
+    SELECT id_a, id_b, cos6,
+           row_number() OVER (PARTITION BY id_a ORDER BY cos6 DESC, id_b ASC) AS rank
+    FROM cpairs
+) WHERE rank <= 5 ORDER BY vec_id, rank
+"""
+
+# IVF ANN from the exported (id, probe_rank, cell) assignment table:
+# members are probe_rank = 0 rows, a query's candidates are the members
+# of its probed cells; exact-cosine re-rank + top-5 on (cos6 desc, id)
+ORACLE["ann_ivf_topk"] = f"""
+WITH c AS (SELECT id, probe_rank, cell FROM read_parquet('{_ep("ivf_cells")}/*.parquet')),
+cand AS (
+    SELECT DISTINCT p.id AS id_a, m.id AS id_b
+    FROM c p JOIN c m ON m.cell = p.cell AND m.probe_rank = 0 AND m.id != p.id
+),
+ex AS (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM embeddings
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+    SELECT c2.id_a, c2.id_b, sum(a.v * b.v) AS dp
+    FROM cand c2
+    JOIN ex a ON a.vec_id = c2.id_a
+    JOIN ex b ON b.vec_id = c2.id_b AND b.i = a.i
+    GROUP BY c2.id_a, c2.id_b
+),
+cpairs AS (
+    SELECT d.id_a, d.id_b,
+           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
+    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+)
 SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
     SELECT id_a, id_b, cos6,
            row_number() OVER (PARTITION BY id_a ORDER BY cos6 DESC, id_b ASC) AS rank

@@ -826,6 +826,41 @@ def q_doc_langid(spark, sf_dir):
     )
 
 
+def q_ref_code_blocking(spark, sf_dir):
+    """F15 closed: the reference normalizes US zips 'NNNNN-NNNN' to the
+    5-digit prefix before using them as blocking keys
+    (/root/reference/lib/lieu/dedupe.py:76-78,240-246 us_zip5_pattern /
+    use_zip5). Transcript analog: structured ref-codes are normalized
+    with regexp_extract to their stable prefix and grouped into blocking
+    cells. Codes are synthesized deterministically from doc_id (the
+    corpus carries no structured IDs) so both engines build the same
+    input SQL-expressibly; doc_id mod 200 gives ~2-3 docs per cell at
+    sf0.01 — non-vacuous groups."""
+    d = load(spark, sf_dir, "documents")
+    coded = d.select(
+        "doc_id",
+        F.format_string(
+            "REF-%05d-%04d", (F.col("doc_id") % 200).cast("int"),
+            (F.col("doc_id") % 10000).cast("int"),
+        ).alias("code"),
+    )
+    normed = coded.select(
+        "doc_id",
+        F.regexp_extract(F.col("code"), r"^REF-([0-9]{5})-?([0-9]{4})$", 1).alias(
+            "block_key"
+        ),
+    )
+    return (
+        normed.groupBy("block_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("rep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("block_key")
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     # rows-only check (xxhash64 not reproducible in DuckDB); pytest
     # verifies against the pure-python oracle instead

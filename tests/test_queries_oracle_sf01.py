@@ -17,7 +17,10 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-SKIP = {"ann_topk", "embedding_neardup"}  # quadratic DuckDB oracle
+# quadratic DuckDB oracles, plus ivf (its unnest-join re-rank is ~4 min
+# in DuckDB at sf0.1 — verified matching once by hand; sf0.01 covers it
+# every run)
+SKIP = {"ann_topk", "embedding_neardup", "ann_ivf_topk"}
 
 
 @pytest.fixture(scope="module")
