@@ -63,6 +63,13 @@ def test_incremental_stream_dedupe(spark, tmp_path):
     zs = [r.conv_id for r in index2.collect() if r.conv_id.startswith("z")]
     assert zs == []
 
+    # checkpoint resume: the second run_stream reused the first run's
+    # checkpoint, so batch-1 files were NOT reprocessed — reprocessing
+    # would append batch-1 canonicals to the index a second time
+    ids = [r.conv_id for r in index2.collect()]
+    assert len(ids) == len(set(ids)), "index has duplicate conv_ids (reprocessed)"
+    assert index2.count() == n1  # batch 2 was all dupes; nothing new folded
+
 
 @pytest.mark.slow
 def test_stream_batch_cluster_parity(spark, tmp_path):
