@@ -45,17 +45,21 @@ def tfidf_scores(
     norm  = score / sqrt(sum score^2 per doc); all-zero doc -> uniform
             1/sqrt(n_distinct_tokens) (lib/lieu/word_index.py:14-36).
     """
-    n_docs = docs_tokens.count()
+    # N as a lazy broadcast scalar, not a driver-side count(): a count
+    # here is a Spark action during PLAN CONSTRUCTION — it materializes
+    # the full upstream lineage before the real job runs (and in
+    # streaming foreachBatch it would fire per micro-batch).
+    n = docs_tokens.agg(F.count("*").cast("double").alias("_n_docs"))
     tf = (
         docs_tokens.select(id_col, F.explode("tokens").alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
     )
     df = doc_frequencies(docs_tokens, id_col).filter(F.col("df") >= min_df)
-    scored = tf.join(df, "token").withColumn(
+    scored = tf.join(df, "token").crossJoin(F.broadcast(n)).withColumn(
         "score",
-        F.log(F.col("tf") + 1.0) * F.log(F.lit(float(n_docs)) / F.col("df")),
-    )
+        F.log(F.col("tf") + 1.0) * F.log(F.col("_n_docs") / F.col("df")),
+    ).drop("_n_docs")
     norms = scored.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("l2"),
         F.count("*").alias("n_tokens_distinct"),
@@ -74,12 +78,17 @@ def idf_weights(docs_tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Quantizing to bigint BEFORE any pair arithmetic makes every
     downstream sum/ratio bit-reproducible across engines and partition
     counts (doubles summed in different orders are not)."""
-    n_docs = docs_tokens.count()
-    return doc_frequencies(docs_tokens, id_col).select(
-        "token",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6)
-        .cast("long")
-        .alias("w6"),
+    # lazy broadcast scalar for N — same rationale as tfidf_scores
+    n = docs_tokens.agg(F.count("*").cast("double").alias("_n_docs"))
+    return (
+        doc_frequencies(docs_tokens, id_col)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.round(F.log(F.col("_n_docs") / F.col("df")) * 1e6)
+            .cast("long")
+            .alias("w6"),
+        )
     )
 
 

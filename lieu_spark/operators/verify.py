@@ -106,7 +106,17 @@ def verify_pairs(
         shb = features.select(
             F.col("conv_id").alias("id_b"), F.col("text_sha").alias("text_sha_b")
         )
-        enriched = pairs.join(scored, ["id_a", "id_b"]).join(sha, "id_a").join(shb, "id_b")
+        # LEFT join + 0-fill: soft scores exist only for pairs where both
+        # sides tokenize non-empty AND share >= 1 fuzzy token match; an
+        # inner join would silently drop the rest — including exact-sha
+        # pairs of token-less docs (punctuation-only text), which every
+        # other mode classifies EXACT via the text_sha comparison below.
+        enriched = (
+            pairs.join(scored, ["id_a", "id_b"], "left")
+            .na.fill({"soft6": 0})
+            .join(sha, "id_a")
+            .join(shb, "id_b")
+        )
         j = F.col("soft6").cast("double") / F.lit(1e6)
     elif cfg.verify_mode == "signatures":
         cols = ["sig", "text_sha"]

@@ -31,7 +31,15 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-EXPORT_DIR = os.path.join(
+# Override with $SPARK_GRAFT_EXPORT_DIR (set BEFORE importing
+# lieu_spark.oracle_sql — the oracle SQL strings interpolate these paths
+# at import time) when two processes would otherwise share exports, e.g.
+# a bench run concurrent with the oracle pytest suite at a different SF:
+# an overwrite from one process deletes the files the other's DuckDB
+# scan is reading. Within one process, query-before-oracle ordering
+# (which both the driver harness and the pytest mimics follow) keeps
+# the shared default consistent.
+EXPORT_DIR = os.environ.get("SPARK_GRAFT_EXPORT_DIR") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".oracle_cache",
     "export",

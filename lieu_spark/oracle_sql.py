@@ -12,6 +12,8 @@ Engine-parity rules embodied here:
 
 from __future__ import annotations
 
+from .config import DEFAULT_CONFIG as _CFG
+
 # canonical tokens of column ``text`` (alias: toks)
 _TOKS = (
     "CASE WHEN trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) = '' "
@@ -360,8 +362,13 @@ eff AS (
     SELECT tok.doc_id, tok.token, a.lang, a.eff_source
     FROM tok JOIN alias_map a USING (lang, source)
 ),
-nb AS (SELECT lang, eff_source, count(DISTINCT doc_id) AS n_docs
-       FROM eff GROUP BY lang, eff_source),
+-- doc-level (from t, not eff): a doc whose text tokenizes empty still
+-- belongs to its bucket and counts toward n_docs — the Spark side's
+-- countDistinct over ALL bucketed docs, and the same convention as the
+-- global N
+nb AS (SELECT a.lang, a.eff_source, count(DISTINCT t2.doc_id) AS n_docs
+       FROM t t2 JOIN alias_map a USING (lang, source)
+       GROUP BY a.lang, a.eff_source),
 bdf AS (SELECT lang, eff_source, token, count(*) AS df
         FROM eff GROUP BY lang, eff_source, token),
 bw AS (
@@ -428,6 +435,14 @@ FROM scored ORDER BY id_a
 # Top-64 rarest tokens per doc ranked by integers (df ASC, tf DESC,
 # token ASC); L2 norm over the FULL vector; iteration side = fewer kept
 # tokens (strict swap), argmax ties -> larger j.
+# Quantization boundary note: JW similarities are quantized to sim6 and
+# the token cap ranks by integers, so no comparison/argmax can flip
+# cross-engine; the remaining float surface is score_norm (ln/sqrt) and
+# the final contribution sum, where a 1-ulp libm difference could in
+# principle flip round() at an exact .5 boundary. For any FIXED corpus
+# both engines are deterministic (either always green or always red —
+# this fixture is green at sf0.01 and sf0.1); exact integer parity all
+# the way down would require integer log(), which neither engine has.
 ORACLE["soft_tfidf_pairs"] = f"""
 WITH entbase AS (
     SELECT doc_id,
@@ -476,7 +491,7 @@ side AS (
     SELECT doc_id, token, score_norm,
            row_number() OVER (PARTITION BY doc_id ORDER BY token ASC) - 1 AS j,
            count(*) OVER (PARTITION BY doc_id) AS n_tok
-    FROM ranked WHERE rk <= 64
+    FROM ranked WHERE rk <= {_CFG.soft_max_tokens}
 ),
 pairs AS (SELECT doc_id AS id_a, doc_id + 300000 AS id_b
           FROM documents WHERE doc_id < 25),
@@ -500,9 +515,9 @@ best AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b, tok1
                     ORDER BY sim6 DESC, j2 DESC) AS rn FROM combos),
 soft AS (
     SELECT id_a, id_b, CAST(max(n_a) AS INT) AS n_a, CAST(max(n_b) AS INT) AS n_b,
-           CAST(count(*) FILTER (WHERE sim6 >= 950000) AS INT) AS n_close,
+           CAST(count(*) FILTER (WHERE sim6 >= {_CFG.soft_theta6}) AS INT) AS n_close,
            CAST(round(1e6 * coalesce(
-               sum(CASE WHEN sim6 >= 950000 THEN sim6 / 1e6 * s1 * s2 END), 0))
+               sum(CASE WHEN sim6 >= {_CFG.soft_theta6} THEN sim6 / 1e6 * s1 * s2 END), 0))
                AS BIGINT) AS soft6
     FROM best WHERE rn = 1 GROUP BY id_a, id_b
 ),
@@ -525,6 +540,8 @@ ORDER BY s.id_a
 # No-space-script fallback (functions/text.char_kgram_hash_set): word
 # tokenizer degenerates to ONE token on unsegmented CJK -> word-shingle
 # tier is exact-match-only (token_j6 = 0), char 12-grams separate.
+# k interpolated from _CFG.char_kgram_k below (plain string: the regex
+# braces make an f-string awkward)
 ORACLE["cjk_neardup_pairs"] = """
 WITH src AS (
     SELECT doc_id,
@@ -541,8 +558,8 @@ aug AS (
 grams AS (
     SELECT doc_id,
            list_distinct(CASE WHEN length(t) = 0 THEN []::VARCHAR[]
-                WHEN length(t) < 12 THEN [t]
-                ELSE list_transform(range(1, length(t) - 10), i -> t[i:i+11]) END) AS gs,
+                WHEN length(t) < __K__ THEN [t]
+                ELSE list_transform(range(1, length(t) - __KM2__), i -> t[i:i+__KM1__]) END) AS gs,
            list_distinct(CASE WHEN length(t) = 0 THEN []::VARCHAR[]
                 ELSE [t] END) AS toksh
     FROM aug
@@ -567,6 +584,13 @@ SELECT id_a, id_b, CAST(n_grams_a AS INT) AS n_grams_a,
             ELSE 0 END AS token_j6
 FROM j ORDER BY id_a
 """
+ORACLE["cjk_neardup_pairs"] = (
+    ORACLE["cjk_neardup_pairs"]
+    .replace("__KM2__", str(_CFG.char_kgram_k - 2))
+    .replace("__KM1__", str(_CFG.char_kgram_k - 1))
+    .replace("__K__", str(_CFG.char_kgram_k))
+)
+
 
 ORACLE["index_merge_batches"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -939,7 +963,6 @@ WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
 # collision joins, pair generation, cosine re-rank — is value-verified.
 # ---------------------------------------------------------------------------
 
-from .config import DEFAULT_CONFIG as _CFG  # noqa: E402
 from .oracle_export import export_path as _ep  # noqa: E402
 
 ORACLE["minhash_band_sizes"] = f"""
@@ -989,6 +1012,32 @@ GROUP BY 1, 2 HAVING count(*) >= {_CFG.span_min_shared}
 ORDER BY id_a, id_b
 """
 
+
+def _rerank_cpairs(src: str) -> str:
+    """Shared exact-cosine re-rank CTE chain: candidates (a ``cand``
+    CTE with id_a/id_b must precede) -> cos6 pairs, over vector source
+    ``src``. One definition so the norm-guard / rounding convention
+    cannot diverge between the ANN oracles."""
+    return f"""ex AS (
+    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM {src}
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+    SELECT c2.id_a, c2.id_b, sum(a.v * b.v) AS dp
+    FROM cand c2
+    JOIN ex a ON a.vec_id = c2.id_a
+    JOIN ex b ON b.vec_id = c2.id_b AND b.i = a.i
+    GROUP BY c2.id_a, c2.id_b
+),
+cpairs AS (
+    SELECT d.id_a, d.id_b,
+           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
+    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+)"""
+
 # candidate pairs from the exported LSH bucket table; exact-cosine re-rank
 # on the rounded value with id tie-break (same cos6 convention as ann_topk)
 _ANN_BUCKET_RERANK = f"""
@@ -998,25 +1047,7 @@ cand AS (
     FROM b l JOIN b r
       ON l."table" = r."table" AND l.bucket = r.bucket AND l.id != r.id
 ),
-ex AS (
-    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
-           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-    FROM embeddings
-),
-nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-dots AS (
-    SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dp
-    FROM cand c
-    JOIN ex a ON a.vec_id = c.id_a
-    JOIN ex b ON b.vec_id = c.id_b AND b.i = a.i
-    GROUP BY c.id_a, c.id_b
-),
-cpairs AS (
-    SELECT d.id_a, d.id_b,
-           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
-                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
-    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
-)
+{_rerank_cpairs("embeddings")}
 """
 
 ORACLE["ann_lsh_topk"] = f"""
@@ -1037,25 +1068,7 @@ cand AS (
     SELECT DISTINCT p.id AS id_a, m.id AS id_b
     FROM c p JOIN c m ON m.cell = p.cell AND m.probe_rank = 0 AND m.id != p.id
 ),
-ex AS (
-    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
-           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-    FROM embeddings
-),
-nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-dots AS (
-    SELECT c2.id_a, c2.id_b, sum(a.v * b.v) AS dp
-    FROM cand c2
-    JOIN ex a ON a.vec_id = c2.id_a
-    JOIN ex b ON b.vec_id = c2.id_b AND b.i = a.i
-    GROUP BY c2.id_a, c2.id_b
-),
-cpairs AS (
-    SELECT d.id_a, d.id_b,
-           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
-                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
-    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
-)
+{_rerank_cpairs("embeddings")}
 SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
     SELECT id_a, id_b, cos6,
            row_number() OVER (PARTITION BY id_a ORDER BY cos6 DESC, id_b ASC) AS rank
@@ -1073,25 +1086,7 @@ cand AS (
     FROM b l JOIN b r
       ON l."table" = r."table" AND l.bucket = r.bucket AND l.id != r.id
 ),
-ex AS (
-    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
-           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-    FROM emb
-),
-nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-dots AS (
-    SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dp
-    FROM cand c
-    JOIN ex a ON a.vec_id = c.id_a
-    JOIN ex b ON b.vec_id = c.id_b AND b.i = a.i
-    GROUP BY c.id_a, c.id_b
-),
-cpairs AS (
-    SELECT d.id_a, d.id_b,
-           CAST(round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
-                           THEN d.dp / (na.nrm * nb.nrm) * 1e6 ELSE 0 END) AS BIGINT) AS cos6
-    FROM dots d JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
-)
+{_rerank_cpairs("emb")}
 SELECT id_a, id_b, cos6 FROM cpairs
 WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
 """

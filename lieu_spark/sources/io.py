@@ -75,10 +75,17 @@ def coalesce_aliases(
     for field in TRANSCRIPT_SCHEMA.fields:
         present = [n for n in alias_map[field.name] if n in cols]
         if present:
-            c = F.coalesce(*[F.col(n) for n in present])
+            # try_cast EACH alias column, then coalesce: coalescing
+            # mixed native types first would make Spark insert a strict
+            # ANSI cast to the common type inside the COALESCE, which
+            # throws on the first malformed value instead of degrading
+            # it to NULL. Per-column try_cast also means a malformed
+            # value in a higher-priority column falls through to the
+            # next alias rather than nulling the whole field.
+            c = F.coalesce(*[F.col(n).try_cast(field.dataType) for n in present])
         else:
-            c = F.lit(None)
-        out.append(c.try_cast(field.dataType).alias(field.name))
+            c = F.lit(None).try_cast(field.dataType)
+        out.append(c.alias(field.name))
     res = df.select(*out)
     return res.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
 

@@ -82,10 +82,29 @@ class IncrementalDeduper:
         (the id_b side — min-id canonical stays) are withheld from the
         index fold, so connected components over the accumulated pairs
         reproduces the batch pipeline's clusters (parity asserted at
-        sf-scale in tests/test_streaming.py and timed in bench.py)."""
+        sf-scale in tests/test_streaming.py and timed in bench.py).
+
+        Banding uses the batch pipeline's rep-blocking: one content-
+        bearing representative per text_sha (pipeline.py feat_reps) —
+        a boilerplate-heavy micro-batch with a k-copy group would
+        otherwise flood every band with all k members and generate
+        O(k^2) within-batch pairs the exact star already implies.
+        Member edges are recovered exactly: rep-vs-X similarity edge +
+        (rep, member) star edge close through connected components,
+        and the member is withheld from the index as the id_b side of
+        its star edge."""
+        from pyspark.sql import Window
+
         convs = assemble_conversations(batch_df)
         feats = build_features(convs, self.cfg).persist()
-        feat_bands = band_table(feats, self.cfg)
+        rep_w = Window.partitionBy("text_sha")
+        feat_reps = (
+            feats.filter(F.size("shingle_hashes") > 0)
+            .withColumn("_rep", F.min("conv_id").over(rep_w))
+            .filter(F.col("conv_id") == F.col("_rep"))
+            .drop("_rep")
+        )
+        feat_bands = band_table(feat_reps, self.cfg)
         within = candidate_pairs(feat_bands, self.cfg).unionByName(
             exact_star_pairs(feats)
         )

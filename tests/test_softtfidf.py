@@ -205,3 +205,30 @@ def test_verify_mode_soft_tfidf(spark):
     # the typo pair scores well above the non-pair
     assert out[(1, 2)].jaccard > out[(1, 4)].jaccard + 0.3
     assert out[(1, 2)].method == "minhash_lsh"
+
+
+def test_verify_mode_soft_tfidf_keeps_tokenless_exact_pairs(spark):
+    """A pair of byte-identical docs whose text tokenizes EMPTY has no
+    soft score (no token rows) — the verifier must still classify it
+    EXACT via text_sha, like every other mode, not drop the pair (the
+    pipeline promises content-empty convs pair via the exact-sha star)."""
+    from lieu_spark.operators.verify import STATUS_EXACT, verify_pairs
+
+    feats = spark.createDataFrame(
+        [(1, "!!!"), (2, "!!!"), (3, "alpha beta gamma")],
+        ["conv_id", "doc"],
+    ).select(
+        "conv_id",
+        F.col("doc"),
+        F.sha2(F.col("doc"), 256).alias("text_sha"),
+        # "!!!" canonicalizes to no tokens
+        F.array_remove(F.split(F.regexp_replace("doc", r"[^\w ]", ""), " "), "").alias(
+            "tokens"
+        ),
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    cfg = DedupeConfig(verify_mode="soft_tfidf")
+    rows = verify_pairs(pairs, feats, cfg).collect()
+    assert len(rows) == 1, "token-less exact pair was dropped"
+    assert rows[0].status == STATUS_EXACT
+    assert rows[0].jaccard == 0.0  # soft score absent -> 0-fill

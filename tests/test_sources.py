@@ -136,3 +136,23 @@ def test_alias_map_ingest_roundtrip(spark):
     conv = {r.conv_id: r.doc for r in
             assemble_conversations(got).select("conv_id", "doc").collect()}
     assert conv[("s1")] == "hello there\nhi back"
+
+
+def test_alias_map_ingest_mixed_native_types(spark):
+    """Alias columns of MIXED native types must not throw under ANSI:
+    coalescing a BIGINT turn_idx with a malformed STRING 'turn' used to
+    insert a strict cast inside COALESCE (CAST_INVALID_INPUT at
+    runtime). Per-column try_cast degrades the malformed value to NULL,
+    which also lets it fall through to the next present alias."""
+    from lieu_spark.sources.io import coalesce_aliases
+
+    df = spark.createDataFrame(
+        [
+            ("s1", None, "0", "user", "native int missing, string alias ok"),
+            ("s2", 3, "junk", "user", "native int present, string alias junk"),
+            ("s3", None, "junk", "user", "both unusable -> row dropped"),
+        ],
+        "conv_id string, turn_idx long, turn string, role string, text string",
+    )
+    out = {(r.conv_id, r.turn_idx) for r in coalesce_aliases(df).collect()}
+    assert out == {("s1", 0), ("s2", 3)}
