@@ -41,7 +41,7 @@ def main() -> None:
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--threshold", type=float, default=0.9)
     ap.add_argument("--review-threshold", type=float, default=0.7)
-    ap.add_argument("--verify-mode", choices=["shingles", "signatures"], default="shingles")
+    ap.add_argument("--verify-mode", choices=["shingles", "signatures", "soft_tfidf"], default="shingles")
     ap.add_argument("--no-spans", action="store_true")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()

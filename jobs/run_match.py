@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--threshold", type=float, default=0.9)
-    ap.add_argument("--verify-mode", choices=["shingles", "signatures"], default="shingles")
+    ap.add_argument("--verify-mode", choices=["shingles", "signatures", "soft_tfidf"], default="shingles")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession

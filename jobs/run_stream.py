@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for streaming/catch-up mode: drain transcript
+parquet files landing in a directory through the foreachBatch
+incremental deduper — the streaming twin of jobs/run_dedupe.py, with the
+same packaging shape (north rule; reference analog: the mrjob-launched
+batch-over-batch index merge, /root/reference/lib/lieu/spark/tfidf.py:43-45).
+
+    spark-submit --master <...> --py-files /tmp/lieu_spark.zip \
+      jobs/run_stream.py \
+      --input    /path/to/landing_dir \
+      --work-dir /path/to/stream_state \
+      [--metrics-dir DIR] [--continuous] [--files-per-trigger 8]
+      [--shingle-k 5] [--threshold 0.9]
+      [--verify-mode shingles|signatures|soft_tfidf]
+
+State under --work-dir:
+    index/              canonical feature index (append-folded)
+    pairs/              verified pairs with batch_id
+    _stream_checkpoint/ Structured Streaming offsets — rerunning the
+                        same command resumes and processes ONLY files
+                        not yet seen (tested: tests/test_streaming.py)
+
+Default is availableNow (drain what is on disk, then exit — the
+cron-style catch-up mode); --continuous leaves the query running for a
+live landing directory. Connected components over pairs/ reproduces the
+batch pipeline's clusters byte-for-byte (stream_parity_equal in bench).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--metrics-dir", default=None)
+    ap.add_argument("--files-per-trigger", type=int, default=8)
+    ap.add_argument("--continuous", action="store_true")
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument(
+        "--verify-mode",
+        choices=["shingles", "signatures", "soft_tfidf"],
+        default="shingles",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from lieu_spark.config import DedupeConfig
+    from lieu_spark.streaming.ingest import run_stream
+
+    spark = SparkSession.builder.appName("lieu_spark_stream").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = DedupeConfig(
+        shingle_k=args.shingle_k,
+        threshold_likely=args.threshold,
+        verify_mode=args.verify_mode,
+    )
+    t0 = time.time()
+    q = run_stream(
+        spark,
+        args.input,
+        args.work_dir,
+        cfg,
+        available_now=not args.continuous,
+        files_per_trigger=args.files_per_trigger,
+        metrics_dir=args.metrics_dir,
+    )
+    if args.continuous:
+        q.awaitTermination()
+        return
+
+    index_path = os.path.join(args.work_dir, "index")
+    pairs_path = os.path.join(args.work_dir, "pairs")
+    summary = {
+        "wall_sec": round(time.time() - t0, 2),
+        "index_size": spark.read.parquet(index_path).count(),
+        "pairs": spark.read.parquet(pairs_path).count()
+        if os.path.exists(pairs_path)
+        else 0,
+        "config_fingerprint": cfg.fingerprint(),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -420,7 +420,8 @@ def q_tfidf_top_terms(spark, sf_dir):
     score (log(tf+1)*log(N/df), rank on score6 + token tie-break)."""
     d = load(spark, sf_dir, "documents")
     docs_tokens = d.select("doc_id", T.tokenize(F.col("text")).alias("tokens"))
-    n_docs = docs_tokens.count()
+    # N as a lazy broadcast scalar — no action during plan construction
+    n = docs_tokens.agg(F.count("*").cast("double").alias("_n_docs"))
     tf = (
         docs_tokens.select("doc_id", F.explode("tokens").alias("token"))
         .groupBy("doc_id", "token")
@@ -433,11 +434,11 @@ def q_tfidf_top_terms(spark, sf_dir):
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    scored = tf.join(dfreq, "token").withColumn(
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n)).withColumn(
         "score6",
         F.round(
             F.log(F.col("tf") + F.lit(1.0))
-            * F.log(F.lit(float(n_docs)) / F.col("df"))
+            * F.log(F.col("_n_docs") / F.col("df"))
             * 1e6
         ).cast("long"),
     )

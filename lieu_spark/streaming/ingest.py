@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, DedupeConfig
+from ..metrics import record_stage
 from ..operators.assemble import assemble_conversations
 from ..operators.exact import exact_star_pairs
 from ..operators.lsh import band_table, candidate_pairs, match_pairs
@@ -61,11 +62,15 @@ class IncrementalDeduper:
         index_dir: str,
         pairs_dir: str,
         cfg: DedupeConfig = DEFAULT_CONFIG,
+        metrics_dir: str | None = None,
+        run_id: str = "stream",
     ) -> None:
         self.spark = spark
         self.index_dir = index_dir
         self.pairs_dir = pairs_dir
         self.cfg = cfg
+        self.metrics_dir = metrics_dir
+        self.run_id = run_id
 
     def _load_index(self) -> DataFrame | None:
         try:
@@ -93,8 +98,11 @@ class IncrementalDeduper:
         (rep, member) star edge close through connected components,
         and the member is withheld from the index as the id_b side of
         its star edge."""
+        import time as _time
+
         from pyspark.sql import Window
 
+        t0 = _time.time()
         convs = assemble_conversations(batch_df)
         feats = build_features(convs, self.cfg).persist()
         rep_w = Window.partitionBy("text_sha")
@@ -135,6 +143,18 @@ class IncrementalDeduper:
         new_uniques = feats.join(dupe_ids, "conv_id", "left_anti")
         # S8 parity: fold this batch's uniques into the canonical index
         new_uniques.write.mode("append").parquet(self.index_dir)
+        if self.metrics_dir is not None:
+            # per-batch, per-partition lineage (north_rule): one cheap
+            # pass over the PERSISTED feature table, no recompute
+            record_stage(
+                self.spark,
+                self.metrics_dir,
+                self.run_id,
+                f"stream_features@batch{batch_id}",
+                feats,
+                _time.time() - t0,
+                self.cfg.fingerprint(),
+            )
         feats.unpersist()
 
 
@@ -145,11 +165,13 @@ def run_stream(
     cfg: DedupeConfig = DEFAULT_CONFIG,
     available_now: bool = True,
     files_per_trigger: int = 8,
+    metrics_dir: str | None = None,
 ):
     """Wire the stream; with available_now=True drains what's on disk and
     stops (test mode / catch-up mode)."""
     dedupe = IncrementalDeduper(
-        spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg
+        spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg,
+        metrics_dir=metrics_dir,
     )
     stream = stream_transcripts(spark, input_dir, files_per_trigger)
     writer = (
