@@ -311,7 +311,11 @@ def information_gain(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
-    m_total = marg.agg(F.sum("cnt")).collect()[0][0] or 1
+    # totals as lazy broadcast scalars (coalesce(,1) guards the empty
+    # corpus) — no driver-side action during plan construction
+    m = marg.agg(
+        F.coalesce(F.sum("cnt"), F.lit(1)).cast("double").alias("_m_total")
+    )
     pairs = (
         toks.select(F.explode("toks").alias("w"), F.col("toks"))
         .select("w", F.explode("toks").alias("c"))
@@ -319,13 +323,17 @@ def information_gain(
         .groupBy("w", "c")
         .agg(F.count("*").alias("co"))
     )
-    n_total = pairs.agg(F.sum("co")).collect()[0][0] or 1
-    pw = marg.select("w", (F.col("cnt") / float(m_total)).alias("p_w"))
-    pc = marg.select(
-        F.col("w").alias("c"), (F.col("cnt") / float(m_total)).alias("p_c")
+    n = pairs.agg(
+        F.coalesce(F.sum("co"), F.lit(1)).cast("double").alias("_n_total")
     )
+    pw = marg.crossJoin(F.broadcast(m)).select(
+        "w", (F.col("cnt") / F.col("_m_total")).alias("p_w")
+    )
+    pc = pw.select(F.col("w").alias("c"), F.col("p_w").alias("p_c"))
     joint = (
-        pairs.withColumn("p_wc", F.col("co") / float(n_total))
+        pairs.crossJoin(F.broadcast(n))
+        .withColumn("p_wc", F.col("co") / F.col("_n_total"))
+        .drop("_n_total")
         .join(pw, "w")
         .join(pc, "c")
         .withColumn(
