@@ -14,8 +14,10 @@ batch-over-batch index merge, /root/reference/lib/lieu/spark/tfidf.py:43-45).
       [--verify-mode shingles|signatures|soft_tfidf]
 
 State under --work-dir:
-    index/              canonical feature index (append-folded)
-    pairs/              verified pairs with batch_id
+    index/batch_id=N/   canonical feature index, folded per batch
+    pairs/batch_id=N/   verified pairs per batch (overwrite-
+                        idempotent: a checkpoint replay rewrites its
+                        own subdir instead of appending a duplicate)
     _stream_checkpoint/ Structured Streaming offsets — rerunning the
                         same command resumes and processes ONLY files
                         not yet seen (tested: tests/test_streaming.py)
@@ -80,14 +82,19 @@ def main() -> None:
         q.awaitTermination()
         return
 
-    index_path = os.path.join(args.work_dir, "index")
-    pairs_path = os.path.join(args.work_dir, "pairs")
+    def _count(path: str) -> int:
+        # a first catch-up run over an empty landing dir processes zero
+        # batches and creates neither state dir; try/except (not a
+        # driver-local exists()) also works for hdfs://s3:// work dirs
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:
+            return 0
+
     summary = {
         "wall_sec": round(time.time() - t0, 2),
-        "index_size": spark.read.parquet(index_path).count(),
-        "pairs": spark.read.parquet(pairs_path).count()
-        if os.path.exists(pairs_path)
-        else 0,
+        "index_size": _count(os.path.join(args.work_dir, "index")),
+        "pairs": _count(os.path.join(args.work_dir, "pairs")),
         "config_fingerprint": cfg.fingerprint(),
     }
     print(json.dumps(summary))

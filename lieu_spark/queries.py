@@ -696,7 +696,15 @@ def q_soft_tfidf_pairs(spark, sf_dir):
     pairs = base.filter(F.col("doc_id") < 25).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 300000).alias("id_b")
     )
-    soft = soft_tfidf_for_pairs(pairs, docs_tokens)
+    # theta/cap come from the SAME DedupeConfig the oracle SQL
+    # interpolates (oracle_sql.py reads _CFG.soft_theta6 /
+    # soft_max_tokens) — a config change moves both sides together
+    from .config import DEFAULT_CONFIG as _DC
+
+    soft = soft_tfidf_for_pairs(
+        pairs, docs_tokens,
+        theta6=_DC.soft_theta6, max_tokens=_DC.soft_max_tokens,
+    )
     # the shingle-tier verdict on the same pairs, as the contrast column
     f = d.withColumn("tokens", T.tokenize(F.col("text")))
     f = f.withColumn("th", T.token_hashes(F.col("tokens")))

@@ -72,22 +72,32 @@ class IncrementalDeduper:
         self.metrics_dir = metrics_dir
         self.run_id = run_id
 
-    def _load_index(self) -> DataFrame | None:
+    def _load_index(self, before_batch: int) -> DataFrame | None:
+        """Canonical index as of the start of ``before_batch``: the
+        union of batch subdirectories with batch_id < before_batch.
+
+        Per-batch subdirs + the strict < filter make replays
+        deterministic: if a batch partially wrote its own index subdir
+        before a failure, the rerun neither matches the batch against
+        its own half-written output nor double-counts it — the replay
+        sees exactly the pre-batch state and OVERWRITES its own subdir."""
         try:
             df = self.spark.read.parquet(self.index_dir)
-            return df if df.columns else None
         except Exception:
             return None
+        if "batch_id" not in df.columns:
+            return None
+        return df.filter(F.col("batch_id") < before_batch).drop("batch_id")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Candidates = within-batch self-pairs (LSH bands + exact-sha
         star — the same families as the batch pipeline, so a batch's OWN
         near-dups pair here, not just batch-vs-index) ∪ incoming-vs-index
-        match pairs. Verified edges append to pairs_dir; dupe members
-        (the id_b side — min-id canonical stays) are withheld from the
-        index fold, so connected components over the accumulated pairs
-        reproduces the batch pipeline's clusters (parity asserted at
-        sf-scale in tests/test_streaming.py and timed in bench.py).
+        pairs (LSH match ∪ text_sha equi-join). Dupe members (the id_b
+        side — min-id canonical stays) are withheld from the index fold,
+        so connected components over the accumulated pairs reproduces
+        the batch pipeline's clusters (parity asserted at sf-scale in
+        tests/test_streaming.py and timed in bench.py).
 
         Banding uses the batch pipeline's rep-blocking: one content-
         bearing representative per text_sha (pipeline.py feat_reps) —
@@ -97,7 +107,16 @@ class IncrementalDeduper:
         Member edges are recovered exactly: rep-vs-X similarity edge +
         (rep, member) star edge close through connected components,
         and the member is withheld from the index as the id_b side of
-        its star edge."""
+        its star edge. The cross-batch text_sha join is what makes the
+        pipeline's GLOBAL exact star hold across batches — it also
+        covers content-empty conversations, which rep-blocking excludes
+        from banding (the batch pipeline's P3/exact-only policy).
+
+        Exactly-once state under at-least-once foreachBatch: pairs and
+        index fold are written to per-batch subdirectories with
+        mode=overwrite — a checkpoint replay of the same deterministic
+        batch overwrites its own output instead of appending a second
+        copy (the standard foreachBatch idempotence recipe)."""
         import time as _time
 
         from pyspark.sql import Window
@@ -116,23 +135,31 @@ class IncrementalDeduper:
         within = candidate_pairs(feat_bands, self.cfg).unionByName(
             exact_star_pairs(feats)
         )
-        index = self._load_index()
+        index = self._load_index(before_batch=batch_id)
         if index is not None:
-            cross = match_pairs(
+            cross_lsh = match_pairs(
                 band_table(index, self.cfg), feat_bands, self.cfg
             ).select(
                 F.col("canonical_id").alias("id_a"),
                 F.col("incoming_id").alias("id_b"),
             )
-            cand = within.unionByName(cross).dropDuplicates(["id_a", "id_b"])
+            cross_sha = index.select(
+                F.col("conv_id").alias("id_a"), "text_sha"
+            ).join(
+                feats.select(F.col("conv_id").alias("id_b"), "text_sha"),
+                "text_sha",
+            ).select("id_a", "id_b")
+            cand = within.unionByName(cross_lsh).unionByName(
+                cross_sha
+            ).dropDuplicates(["id_a", "id_b"])
             all_feats = index.unionByName(feats)
         else:
             cand = within.dropDuplicates(["id_a", "id_b"])
             all_feats = feats
         verified = verify_pairs(cand, all_feats, self.cfg, method="stream_match")
-        verified.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(self.pairs_dir)
+        verified.write.mode("overwrite").parquet(
+            f"{self.pairs_dir}/batch_id={batch_id}"
+        )
         dupe_ids = (
             verified.filter(
                 F.col("status").isin("exact_duplicate", "likely_duplicate")
@@ -142,7 +169,9 @@ class IncrementalDeduper:
         )
         new_uniques = feats.join(dupe_ids, "conv_id", "left_anti")
         # S8 parity: fold this batch's uniques into the canonical index
-        new_uniques.write.mode("append").parquet(self.index_dir)
+        new_uniques.write.mode("overwrite").parquet(
+            f"{self.index_dir}/batch_id={batch_id}"
+        )
         if self.metrics_dir is not None:
             # per-batch, per-partition lineage (north_rule): one cheap
             # pass over the PERSISTED feature table, no recompute
@@ -168,7 +197,38 @@ def run_stream(
     metrics_dir: str | None = None,
 ):
     """Wire the stream; with available_now=True drains what's on disk and
-    stops (test mode / catch-up mode)."""
+    stops (test mode / catch-up mode).
+
+    Config guard (the streaming twin of checkpoint.StageStore's
+    fingerprint invalidation): the first run stamps
+    ``work_dir/_config.json`` with the config fingerprint; a rerun with
+    a different config refuses to resume — folding, say, k=7 shingle
+    features into a k=5 index would silently corrupt every subsequent
+    match. Start a fresh work_dir (or delete the old one) to change
+    config."""
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(work_dir, "_config.json")
+    fp = cfg.fingerprint()
+    stored = None
+    try:
+        with open(marker) as f:
+            stored = _json.load(f).get("fingerprint")
+    except (OSError, _json.JSONDecodeError):
+        pass  # first run (or unreadable marker): stamp below
+    if stored is not None and stored != fp:
+        raise ValueError(
+            f"work_dir {work_dir} was built with config fingerprint "
+            f"{stored}; current config is {fp}. Resuming would mix "
+            "incompatible features into one index — use a fresh "
+            "work_dir (or delete this one) to change config."
+        )
+    if stored is None:
+        _os.makedirs(work_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            _json.dump({"fingerprint": fp}, f)
+
     dedupe = IncrementalDeduper(
         spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg,
         metrics_dir=metrics_dir,

@@ -118,3 +118,92 @@ def test_stream_batch_cluster_parity(spark, tmp_path):
     }
     assert stream_clusters == batch_clusters
     tdf.unpersist()
+
+
+def _mini_batch(spark, rows):
+    from lieu_spark.corpus import TRANSCRIPT_SCHEMA
+
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def test_stream_cross_batch_empty_doc_exacts_and_replay_idempotence(
+    spark, tmp_path
+):
+    """(1) A content-empty conversation arriving in a LATER batch than
+    its byte-identical twin must still pair exact: rep-blocking excludes
+    empty docs from banding, so the cross-batch text_sha equi-join is
+    the load-bearing path (the stream twin of the batch pipeline's
+    GLOBAL exact star). (2) Re-processing a batch with the same batch_id
+    (the at-least-once checkpoint-replay case) must leave state
+    byte-identical — per-batch overwrite subdirs, not appends."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lieu_spark.streaming.ingest import IncrementalDeduper
+
+    ts = dt.datetime(2026, 1, 1)
+    b1 = _mini_batch(spark, [
+        ("e1", 0, "user", "!!!", None, ts),
+        ("a1", 0, "user", "the quick brown fox jumps over the lazy dog "
+                          "again and again tonight", None, ts),
+    ])
+    b2 = _mini_batch(spark, [
+        ("e2", 0, "user", "!!!", None, ts),          # empty-doc twin of e1
+        ("a2", 0, "user", "the quick brown fox jumps over the lazy dog "
+                          "again and again tonight", None, ts),  # twin of a1
+    ])
+    work = tmp_path / "w"
+    ded = IncrementalDeduper(spark, f"{work}/index", f"{work}/pairs", CFG)
+    ded.process_batch(b1, 0)
+    ded.process_batch(b2, 1)
+
+    pairs = spark.read.parquet(f"{work}/pairs")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter("status = 'exact_duplicate'").collect()
+    }
+    assert ("e1", "e2") in exact, sorted(exact)
+    assert ("a1", "a2") in exact, sorted(exact)
+
+    index_before = sorted(
+        r.conv_id for r in spark.read.parquet(f"{work}/index").collect()
+    )
+    pairs_before = sorted(
+        (r.id_a, r.id_b, r.status, r.batch_id) for r in pairs.collect()
+    )
+    # simulate an at-least-once replay of batch 1
+    ded.process_batch(b2, 1)
+    index_after = sorted(
+        r.conv_id for r in spark.read.parquet(f"{work}/index").collect()
+    )
+    pairs_after = sorted(
+        (r.id_a, r.id_b, r.status, r.batch_id)
+        for r in spark.read.parquet(f"{work}/pairs").collect()
+    )
+    assert index_after == index_before
+    assert pairs_after == pairs_before
+
+
+def test_stream_config_fingerprint_guard(spark, tmp_path):
+    """Resuming a stream work_dir with a different DedupeConfig must
+    refuse (the streaming twin of checkpoint.StageStore invalidation) —
+    k=7 features folded into a k=5 index corrupt every later match."""
+    import datetime as dt
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _mini_batch(spark, [
+        ("c1", 0, "user", "some words here to make a doc", None,
+         dt.datetime(2026, 1, 1)),
+    ]).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    work = tmp_path / "wg"
+    run_stream(spark, str(in_dir), str(work), CFG, available_now=True)
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_stream(
+            spark, str(in_dir), str(work),
+            DedupeConfig(shingle_k=7), available_now=True,
+        )
+    # same config resumes fine
+    run_stream(spark, str(in_dir), str(work), CFG, available_now=True)
