@@ -320,13 +320,20 @@ def main() -> None:
         if native != p2
         else None
     )
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # 3 rounds, not 2: the headline weak_efficiency is the MEDIAN of
+    # per-round ratios: a 2-element median degenerates to the min, and
+    # co-tenant spikes SHORTER than a round blow individual ratios both
+    # ways (adjacent-round spread 0.63->2.30 observed under heavy load),
+    # so the weak pair runs 5 tight back-to-back rounds with nothing
+    # between pair members; the 90 s strong-scaling partner moved OUT of
+    # the round (it only added drift exposure between weak pairs).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     scaling = None
     if not args.skip_scaling:
-        # weak-scaling pair INTERLEAVED (p2-full, p1-quarter, p2-full,
-        # p1-quarter; min per level): co-tenant load drifts over minutes
-        # on this shared VM, so alternating keeps both levels under the
-        # same conditions — a ratio is only as good as its simultaneity
+        # weak-scaling pair INTERLEAVED (p2-full, p1-quarter, repeat):
+        # co-tenant load drifts over minutes on this shared VM, so
+        # alternating keeps both levels under the same conditions — a
+        # ratio is only as good as its simultaneity
         quarter = str(ensure_corpus(sf / (p2 // p1), max(100, n_convs * p1 // p2)))
         p2_runs, w_runs, s1_runs = [], [], []
         for i in range(max(1, reps)):
@@ -336,8 +343,9 @@ def main() -> None:
             w_runs.append(
                 submit(p1, args.sf_dir, quarter, str(CACHE / f"run_w{p1}.json.{i}"))
             )
-            # strong-scaling partner interleaved too: a single p1-full
-            # run was the noisiest number in the report (co-tenant drift)
+        # strong-scaling partner: 2 separate runs, min taken (one-sided
+        # noise: load only ever slows a run down)
+        for i in range(2):
             s1_runs.append(
                 submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json.{i}"))
             )
@@ -345,9 +353,10 @@ def main() -> None:
         rw = min(w_runs, key=lambda r: r["pipeline_wall_sec"])
         r1 = min(s1_runs, key=lambda r: r["pipeline_wall_sec"])
         # weak efficiency per interleave ROUND (adjacent runs see the
-        # same co-tenant conditions), best round reported: mixing the
-        # min-wall of level A from round 1 with level B from round 2
-        # skews the ratio whenever box load drifts between rounds
+        # same co-tenant conditions); the headline is the MEDIAN round
+        # (per the round-1 advisory), robust to 2-of-5 spiked rounds;
+        # cross-min (each level's best window — the noise-floor
+        # estimator for one-sided noise) stays as a supplementary field
         weak_ratios = [
             round(p["turns_per_sec"] / ((p2 // p1) * w["turns_per_sec"]), 3)
             for p, w in zip(p2_runs, w_runs)
