@@ -321,12 +321,13 @@ def main() -> None:
         else None
     )
     # 3 rounds, not 2: the headline weak_efficiency is the MEDIAN of
-    # per-round ratios: a 2-element median degenerates to the min, and
+    # 5 weak rounds: a 2-element median degenerates to the min, and
     # co-tenant spikes SHORTER than a round blow individual ratios both
     # ways (adjacent-round spread 0.63->2.30 observed under heavy load),
-    # so the weak pair runs 5 tight back-to-back rounds with nothing
+    # so the weak pair runs tight back-to-back rounds with nothing
     # between pair members; the 90 s strong-scaling partner moved OUT of
-    # the round (it only added drift exposure between weak pairs).
+    # the weak round (it only added drift exposure between weak pairs)
+    # into its own interleaved (p1-full, p2-full) pair below.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     scaling = None
     if not args.skip_scaling:
@@ -343,13 +344,31 @@ def main() -> None:
             w_runs.append(
                 submit(p1, args.sf_dir, quarter, str(CACHE / f"run_w{p1}.json.{i}"))
             )
-        # strong-scaling partner: 2 separate runs, min taken (one-sided
-        # noise: load only ever slows a run down)
-        for i in range(2):
+        # strong-scaling pair: its OWN interleave (p1-full, p2-full) x 2
+        # with per-round ratios — the measurement-discipline rule (never
+        # a sequential A/B) applies to the strong numbers too; the p2
+        # runs here are adjacent to their p1 partners, unlike the weak
+        # loop's p2 runs which belong to a different window
+        s2_runs = []
+        strong_reps = int(os.environ.get("SPARK_GRAFT_BENCH_STRONG_REPEATS", "2"))
+        for i in range(strong_reps):
             s1_runs.append(
                 submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json.{i}"))
             )
-        rp2 = min(p2_runs, key=lambda r: r["pipeline_wall_sec"])
+            s2_runs.append(
+                submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}s.json.{i}"))
+            )
+        strong_ratios = [
+            round(b["turns_per_sec"] / a["turns_per_sec"], 3)
+            for a, b in zip(s1_runs, s2_runs)
+            if a["turns_per_sec"]
+        ]
+        hw_ratios = [
+            round(a["range_wall_sec"] / b["range_wall_sec"], 3)
+            for a, b in zip(s1_runs, s2_runs)
+            if b["range_wall_sec"]
+        ]
+        rp2 = min(p2_runs + s2_runs, key=lambda r: r["pipeline_wall_sec"])
         rw = min(w_runs, key=lambda r: r["pipeline_wall_sec"])
         r1 = min(s1_runs, key=lambda r: r["pipeline_wall_sec"])
         # weak efficiency per interleave ROUND (adjacent runs see the
@@ -367,13 +386,15 @@ def main() -> None:
     if r2 is None:
         r2 = rp2
     if not args.skip_scaling:
+        # strong numbers from the interleaved strong pair's per-round
+        # ratios (median), not cross-window minima
         speedup = (
-            rp2["turns_per_sec"] / r1["turns_per_sec"] if r1["turns_per_sec"] else 0
+            sorted(strong_ratios)[(len(strong_ratios) - 1) // 2]
+            if strong_ratios
+            else 0
         )
         hw_speedup = (
-            r1["range_wall_sec"] / rp2["range_wall_sec"]
-            if rp2["range_wall_sec"]
-            else 0
+            sorted(hw_ratios)[(len(hw_ratios) - 1) // 2] if hw_ratios else 0
         )
         scaling = {
             "p1_cores": p1,
@@ -383,6 +404,7 @@ def main() -> None:
             "p2_wall_sec": round(rp2["pipeline_wall_sec"], 2),
             "p2_turns_per_sec": round(rp2["turns_per_sec"], 1),
             "speedup": round(speedup, 3),
+            "speedup_rounds": strong_ratios,
             "efficiency": round(speedup / (p2 / p1), 3),
             # this single-node box's own thread-scaling ceiling, measured
             # with a pure-codegen job: shared memory bus + clock budget

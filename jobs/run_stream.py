@@ -82,14 +82,22 @@ def main() -> None:
         q.awaitTermination()
         return
 
+    from pyspark.errors import AnalysisException
+
     def _count(path: str) -> int:
         # a first catch-up run over an empty landing dir processes zero
-        # batches and creates neither state dir; try/except (not a
-        # driver-local exists()) also works for hdfs://s3:// work dirs
+        # batches and creates neither state dir — ONLY that case maps to
+        # 0; a corrupt/conflicting state dir re-raises so monitoring
+        # sees the failure instead of a healthy-looking empty summary.
+        # (try/except, not a driver-local exists(): works for hdfs://
+        # s3:// work dirs too.)
         try:
             return spark.read.parquet(path).count()
-        except Exception:
-            return 0
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return 0
+            raise
 
     summary = {
         "wall_sec": round(time.time() - t0, 2),

@@ -80,13 +80,55 @@ class IncrementalDeduper:
         deterministic: if a batch partially wrote its own index subdir
         before a failure, the rerun neither matches the batch against
         its own half-written output nor double-counts it — the replay
-        sees exactly the pre-batch state and OVERWRITES its own subdir."""
+        sees exactly the pre-batch state and OVERWRITES its own subdir.
+
+        Failure modes are distinguished from fresh state, not collapsed
+        into it: a readable index without the batch_id partition is a
+        pre-upgrade (flat append) layout and raises rather than being
+        silently ignored (which would rebuild the index from scratch
+        into a mixed, unreadable directory), and an index containing
+        batch ids NEWER than the current batch means the stream
+        checkpoint was lost or re-pointed — batch ids restarted — and
+        proceeding would OVERWRITE old state subdir by subdir."""
+        from pyspark.errors import AnalysisException
+
         try:
             df = self.spark.read.parquet(self.index_dir)
-        except Exception:
-            return None
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None  # genuinely fresh state
+            raise
         if "batch_id" not in df.columns:
-            return None
+            raise ValueError(
+                f"index at {self.index_dir} has no batch_id partitioning — "
+                "it was written by the pre-idempotent (flat append) layout. "
+                "Rebuild the stream state in a fresh work_dir (replaying "
+                "the landing directory reproduces it)."
+            )
+        newest = df.agg(F.max("batch_id")).collect()[0][0]
+        # a batch that folded zero uniques leaves an empty (invisible)
+        # index subdir, so ALSO consult the pairs dir — a batch always
+        # writes it — before trusting "no newer batch exists"
+        try:
+            newest_pairs = (
+                self.spark.read.parquet(self.pairs_dir)
+                .agg(F.max("batch_id"))
+                .collect()[0][0]
+            )
+            if newest_pairs is not None:
+                newest = max(newest or 0, newest_pairs)
+        except AnalysisException:
+            pass
+        if newest is not None and newest > before_batch:
+            raise ValueError(
+                f"stream state at {self.index_dir} already contains "
+                f"batch {newest} but the stream is processing batch "
+                f"{before_batch} — the streaming checkpoint was lost or "
+                "re-pointed and batch ids restarted. Proceeding would "
+                "overwrite existing state; restore the original "
+                "checkpoint or start a fresh work_dir."
+            )
         return df.filter(F.col("batch_id") < before_batch).drop("batch_id")
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -156,7 +198,12 @@ class IncrementalDeduper:
         else:
             cand = within.dropDuplicates(["id_a", "id_b"])
             all_feats = feats
-        verified = verify_pairs(cand, all_feats, self.cfg, method="stream_match")
+        # persist: pairs write and the index fold below are two actions
+        # over this plan — unpersisted, the second re-runs banding,
+        # the full-index scan, and verification end-to-end
+        verified = verify_pairs(
+            cand, all_feats, self.cfg, method="stream_match"
+        ).persist()
         verified.write.mode("overwrite").parquet(
             f"{self.pairs_dir}/batch_id={batch_id}"
         )
@@ -184,6 +231,7 @@ class IncrementalDeduper:
                 _time.time() - t0,
                 self.cfg.fingerprint(),
             )
+        verified.unpersist()
         feats.unpersist()
 
 
@@ -207,27 +255,48 @@ def run_stream(
     match. Start a fresh work_dir (or delete the old one) to change
     config."""
     import json as _json
-    import os as _os
 
-    marker = _os.path.join(work_dir, "_config.json")
+    from pyspark.errors import AnalysisException
+
+    # marker I/O goes through Spark's Hadoop filesystem (a one-line text
+    # "directory file"), NOT driver-local open(): a work_dir on
+    # hdfs:// or s3:// must hit the same store as the state it guards —
+    # a local-path marker would silently no-op the guard for remote dirs
+    marker = f"{work_dir}/_config_marker"
     fp = cfg.fingerprint()
     stored = None
+    marker_exists = True
     try:
-        with open(marker) as f:
-            stored = _json.load(f).get("fingerprint")
-    except (OSError, _json.JSONDecodeError):
-        pass  # first run (or unreadable marker): stamp below
-    if stored is not None and stored != fp:
-        raise ValueError(
-            f"work_dir {work_dir} was built with config fingerprint "
-            f"{stored}; current config is {fp}. Resuming would mix "
-            "incompatible features into one index — use a fresh "
-            "work_dir (or delete this one) to change config."
-        )
-    if stored is None:
-        _os.makedirs(work_dir, exist_ok=True)
-        with open(marker, "w") as f:
-            _json.dump({"fingerprint": fp}, f)
+        lines = [r.value for r in spark.read.text(marker).collect()]
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            marker_exists = False  # first run: stamp below
+        else:
+            raise
+    if marker_exists:
+        try:
+            stored = _json.loads("".join(lines))["fingerprint"]
+        except (ValueError, KeyError):
+            # a corrupt marker next to existing state must NOT be
+            # silently re-stamped with the CURRENT config — that is the
+            # exact corruption the guard exists to refuse
+            raise ValueError(
+                f"config marker {marker} is unreadable; refusing to "
+                "guess which config built this work_dir. Restore the "
+                "marker or start a fresh work_dir."
+            )
+        if stored != fp:
+            raise ValueError(
+                f"work_dir {work_dir} was built with config fingerprint "
+                f"{stored}; current config is {fp}. Resuming would mix "
+                "incompatible features into one index — use a fresh "
+                "work_dir (or delete this one) to change config."
+            )
+    else:
+        spark.createDataFrame(
+            [(_json.dumps({"fingerprint": fp}),)], "value string"
+        ).coalesce(1).write.mode("overwrite").text(marker)
 
     dedupe = IncrementalDeduper(
         spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg,

@@ -184,6 +184,12 @@ def test_stream_cross_batch_empty_doc_exacts_and_replay_idempotence(
     assert index_after == index_before
     assert pairs_after == pairs_before
 
+    # checkpoint-loss detection: batch ids restarting at 0 while the
+    # index already holds batch 1 means the stream checkpoint was lost
+    # or re-pointed — proceeding would overwrite old state subdirs
+    with pytest.raises(ValueError, match="checkpoint"):
+        ded.process_batch(b1, 0)
+
 
 def test_stream_config_fingerprint_guard(spark, tmp_path):
     """Resuming a stream work_dir with a different DedupeConfig must
