@@ -71,6 +71,8 @@ def run_one(
     corpus_parquet: str,
     out_json: str,
     stream_parity: bool = False,
+    verify_mode: str = "shingles",
+    pipeline_only: bool = False,
 ) -> None:
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
@@ -80,7 +82,7 @@ def run_one(
     from lieu_spark.pipeline import run_pipeline
     from lieu_spark.session import build_session
 
-    cfg = DedupeConfig()
+    cfg = DedupeConfig(verify_mode=verify_mode)
     spark = build_session(f"lieu_spark_bench_{cores}", cores=cores)
 
     # warmup (untimed): spin up python UDF workers on every core + JIT
@@ -121,6 +123,22 @@ def run_one(
     # N(N-1)/2 instrumentation (scripts/dedupe_geojson:441)
     timings = {k: round(v, 3) for k, v in res.stage_wall.items()}
 
+    if pipeline_only:
+        # verify-mode A/B runs compare pipeline_wall_sec only; the
+        # secondary workloads would just add identical noise to both arms
+        spark.stop()
+        Path(out_json).write_text(json.dumps({
+            "cores": cores,
+            "verify_mode": verify_mode,
+            "range_wall_sec": range_wall,
+            "pipeline_wall_sec": wall,
+            "turns": n_turns,
+            "turns_per_sec": n_turns / wall if wall > 0 else 0.0,
+            "verified_pairs": n_pairs,
+            "stage_sec": timings,
+        }))
+        return
+
     # dup-pair recall (the BASELINE.json north metric), measured at bench
     # scale: ground-truth pairs get their TRUE jaccard via a direct pair
     # join (no blocking involved); recall = fraction of true-duplicate
@@ -146,10 +164,68 @@ def run_one(
     timings["doc_dedupe"] = time.time() - t1
 
     t2 = time.time()
-    from lieu_spark.operators.ann import hyperplane_lsh_topk
+    from lieu_spark.operators.ann import (
+        _pair_cosine,
+        _topk,
+        _with_norm,
+        hyperplane_lsh_topk,
+        ivf_topk,
+    )
 
-    ann = hyperplane_lsh_topk(Q.load(spark, sf_dir, "embeddings"), k=5).count()
+    emb = Q.load(spark, sf_dir, "embeddings")
+    lsh_topk = hyperplane_lsh_topk(emb, k=5).persist()
+    ann = lsh_topk.count()
     timings["ann_lsh_topk"] = time.time() - t2
+    t2b = time.time()
+    ivf = ivf_topk(emb, k=5).persist()
+    ivf.count()
+    timings["ann_ivf_topk"] = time.time() - t2b
+
+    # measured ANN recall@5 vs exact-cosine ground truth (VERDICT r2 #6):
+    # truth for a bounded query sample (ANN_RECALL_QUERIES lowest ids)
+    # against ALL candidates — Q*n pairs, distributed, never n^2
+    n_rq = int(os.environ.get("ANN_RECALL_QUERIES", "200"))
+    qids = [
+        r.vec_id
+        for r in emb.select("vec_id").orderBy("vec_id").limit(n_rq).collect()
+    ]
+    qdf = emb.filter(F.col("vec_id").isin(qids))
+    truth_topk = _topk(
+        _pair_cosine(
+            _with_norm(qdf, "vec_id", "embedding"),
+            _with_norm(emb, "vec_id", "embedding"),
+        ),
+        5,
+    ).select("id_a", "id_b", "cosine").persist()
+
+    def _recall(truth, approx) -> float | None:
+        n = truth.count()
+        if not n:
+            return None
+        hit = (
+            truth.join(
+                approx.filter(F.col("id_a").isin(qids)).select("id_a", "id_b"),
+                ["id_a", "id_b"],
+                "left_semi",
+            ).count()
+        )
+        return round(hit / n, 5)
+
+    # two regimes: generic top-5 over (mostly unclustered) synthetic
+    # vectors — intrinsically LSH-hostile — and the near-dup regime
+    # (true neighbors at cosine >= 0.95, the regime the dedupe engine
+    # actually uses ANN for), measured with the near-dup-tuned
+    # (nbits=8, ntables=8) buckets that embedding_neardup_pairs uses
+    truth_nd = truth_topk.filter(F.col("cosine") >= 0.95)
+    nd_topk = hyperplane_lsh_topk(emb, k=5, nbits=8, ntables=8)
+    ann_recall = {
+        "lsh_recall_at_5": _recall(truth_topk, lsh_topk),
+        "ivf_recall_at_5": _recall(truth_topk, ivf),
+        "lsh_neardup_recall": _recall(truth_nd, nd_topk),
+    }
+    truth_topk.unpersist()
+    lsh_topk.unpersist()
+    ivf.unpersist()
 
     # streaming<->batch parity at bench scale (headline run only): the
     # corpus arrives as 3 deterministic chunks of complete conversations
@@ -157,6 +233,7 @@ def run_one(
     # over the accumulated stream pairs must equal the batch clusters
     # byte-for-byte (VERDICT r1 #9)
     stream_equal = None
+    stream_batch_walls = None
     if stream_parity:
         import shutil as _sh
 
@@ -180,7 +257,26 @@ def run_one(
         run_stream(
             spark, str(in_dir), str(sp_root / "work"), cfg,
             available_now=True, files_per_trigger=1,
+            metrics_dir=str(sp_root / "metrics"),
         )
+        # per-batch walls: with the incremental band-table fold these
+        # must stay roughly FLAT as the index grows (batch 1 -> 3); the
+        # pre-r3 O(index)-per-batch re-band made them climb
+        from lieu_spark.metrics import read_metrics
+
+        wall_rows = (
+            read_metrics(spark, str(sp_root / "metrics"))
+            .filter(F.col("stage").startswith("stream_features@batch"))
+            .select("stage", "wall_sec")
+            .distinct()
+            .collect()
+        )
+        walls_by_batch = {
+            int(r.stage.rsplit("batch", 1)[1]): r.wall_sec for r in wall_rows
+        }
+        stream_batch_walls = [
+            round(walls_by_batch[b], 3) for b in sorted(walls_by_batch)
+        ]
         stream_pairs = dupe_pairs(spark.read.parquet(str(sp_root / "work/pairs")))
         sc_df = clusters_with_singletons(
             res.conversations, connected_components(stream_pairs)
@@ -211,8 +307,10 @@ def run_one(
         "found_dup_pairs": n_found,
         "doc_dedupe_pairs": doc_pairs,
         "ann_rows": ann,
+        "ann_recall": ann_recall,
         "stream_parity_equal": stream_equal,
         "stream_batches": 3 if stream_parity else None,
+        "stream_batch_walls": stream_batch_walls,
         "stage_sec": {k: round(v, 3) for k, v in timings.items()},
     }
     Path(out_json).write_text(json.dumps(payload))
@@ -225,6 +323,8 @@ def submit(
     out_json: str,
     repeats: int = 1,
     stream_parity: bool = False,
+    verify_mode: str = "shingles",
+    pipeline_only: bool = False,
 ) -> dict:
     """Launch one measured run via spark-submit --py-files (falls back to
     plain python if spark-submit is unavailable). repeats>1: rerun and
@@ -250,9 +350,12 @@ def submit(
         "--sf-dir", sf_dir,
         "--corpus", corpus_parquet,
         "--out", out_json,
+        "--verify-mode", verify_mode,
     ]
     if stream_parity:
         args.append("--stream-parity")
+    if pipeline_only:
+        args.append("--pipeline-only")
     spark_submit = shutil.which("spark-submit")
     if spark_submit:
         cmd = [
@@ -285,12 +388,16 @@ def main() -> None:
     ap.add_argument("--n-convs", type=int, default=None)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--stream-parity", action="store_true")
+    ap.add_argument("--verify-mode", default="shingles")
+    ap.add_argument("--pipeline-only", action="store_true")
     args = ap.parse_args()
 
     if args.run_one:
         run_one(
             args.cores, args.sf_dir, args.corpus, args.out,
             stream_parity=args.stream_parity,
+            verify_mode=args.verify_mode,
+            pipeline_only=args.pipeline_only,
         )
         return
 
@@ -311,14 +418,12 @@ def main() -> None:
     CACHE.mkdir(exist_ok=True)
 
     # headline run carries the streaming-parity stage (separate process,
-    # so the interleaved scaling pairs below stay uncontaminated)
-    r2 = (
-        submit(
-            native, args.sf_dir, corpus_parquet,
-            str(CACHE / f"run_p{native}.json"), stream_parity=True,
-        )
-        if native != p2
-        else None
+    # so the interleaved scaling pairs below stay uncontaminated).
+    # Runs unconditionally — on a box where native == p2 the old skip
+    # silently reported stream_parity_equal: null (round-2 advisory)
+    r2 = submit(
+        native, args.sf_dir, corpus_parquet,
+        str(CACHE / f"run_p{native}.json"), stream_parity=True,
     )
     # 3 rounds, not 2: the headline weak_efficiency is the MEDIAN of
     # 5 weak rounds: a 2-element median degenerates to the min, and
@@ -381,10 +486,6 @@ def main() -> None:
             for p, w in zip(p2_runs, w_runs)
             if w["turns_per_sec"]
         ]
-    else:
-        rp2 = submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json"))
-    if r2 is None:
-        r2 = rp2
     if not args.skip_scaling:
         # strong numbers from the interleaved strong pair's per-round
         # ratios (median), not cross-window minima
@@ -437,6 +538,39 @@ def main() -> None:
             ),
         }
 
+    # soft-TFIDF verify-mode cost at full corpus scale (r2 verdict #5):
+    # interleaved A/B in separate processes (measurement discipline —
+    # never a sequential A/B on this box), pipeline-only arms,
+    # min-per-variant
+    soft_ab = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SOFT_AB", "1") == "1":
+        ab_reps = int(os.environ.get("SPARK_GRAFT_BENCH_AB_REPEATS", "2"))
+        sh_runs, so_runs = [], []
+        for i in range(ab_reps):
+            sh_runs.append(submit(
+                native, args.sf_dir, corpus_parquet,
+                str(CACHE / f"run_ab_shingles.json.{i}"), pipeline_only=True,
+            ))
+            so_runs.append(submit(
+                native, args.sf_dir, corpus_parquet,
+                str(CACHE / f"run_ab_soft.json.{i}"),
+                verify_mode="soft_tfidf", pipeline_only=True,
+            ))
+        sh = min(r["pipeline_wall_sec"] for r in sh_runs)
+        so = min(r["pipeline_wall_sec"] for r in so_runs)
+        soft_ab = {
+            "shingles_wall_sec": round(sh, 3),
+            "soft_tfidf_wall_sec": round(so, 3),
+            "soft_over_shingles": round(so / sh, 3) if sh else None,
+            "rounds": [
+                {
+                    "shingles": round(a["pipeline_wall_sec"], 3),
+                    "soft_tfidf": round(b["pipeline_wall_sec"], 3),
+                }
+                for a, b in zip(sh_runs, so_runs)
+            ],
+        }
+
     queries = {"pipeline_total": round(r2["pipeline_wall_sec"], 3)}
     queries.update({k: round(v, 3) for k, v in r2["stage_sec"].items()})
     out = {
@@ -456,6 +590,9 @@ def main() -> None:
         "true_dup_pairs": r2.get("true_dup_pairs"),
         "stream_parity_equal": r2.get("stream_parity_equal"),
         "stream_batches": r2.get("stream_batches"),
+        "stream_batch_walls": r2.get("stream_batch_walls"),
+        "ann_recall": r2.get("ann_recall"),
+        "verify_mode_ab": soft_ab,
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -127,14 +127,24 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
 
 
 def match_pairs(
-    canonical_bands: DataFrame, incoming_bands: DataFrame, cfg: DedupeConfig
+    canonical_bands: DataFrame,
+    incoming_bands: DataFrame,
+    cfg: DedupeConfig,
+    broadcast_incoming: bool = False,
 ) -> DataFrame:
     """Cross-dataset candidate generation — parity with
     ``AddressDeduperSpark.match`` (lib/lieu/spark/dedupe.py:24-48): an
     equi-join of the two band tables, no self-pairing, pair =
-    (canonical_id, incoming_id)."""
+    (canonical_id, incoming_id).
+
+    ``broadcast_incoming=True`` is the streaming ingest shape: a small
+    micro-batch matched against a huge stored band table — broadcasting
+    the incoming side means the canonical side is never shuffled (one
+    scan, no exchange), the right plan when |incoming| << |canonical|."""
     c = canonical_bands.select("band", "band_hash", F.col("id").alias("canonical_id"))
     i = incoming_bands.select("band", "band_hash", F.col("id").alias("incoming_id"))
+    if broadcast_incoming:
+        i = F.broadcast(i)
     return (
         c.join(i, ["band", "band_hash"])
         .select("canonical_id", "incoming_id")

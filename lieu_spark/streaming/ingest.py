@@ -6,10 +6,25 @@ is batch-over-batch index merging (``update_doc_frequency``,
 put Structured Streaming in front of it: ``readStream`` over an arriving
 directory/table of turn rows, ``foreachBatch`` assembling each
 micro-batch's *complete* conversations and matching them against the
-canonical feature index (the ``match()`` ingest-against-index mode,
+canonical index (the ``match()`` ingest-against-index mode,
 lib/lieu/spark/dedupe.py:24-48), then folding new signatures into the
 index — exactly how a 100 TB deployment dedupes arriving data without
 re-blocking the corpus.
+
+Scale shape (the O(index)-per-batch fix): the *derived* LSH band table
+is folded incrementally per batch exactly like the feature table — the
+reference's incremental fold updates the derived statistic, not the raw
+docs (lib/lieu/spark/tfidf.py:43-45) — and stored partitioned by a
+band-hash bucket. Each micro-batch then:
+  * reads only directory METADATA (one listStatus) to learn the newest
+    folded batch — no full-scan ``max(batch_id)`` aggregates;
+  * joins its own (small) band table against the STORED band state with
+    the incoming side broadcast and the stored side pruned to the
+    band-hash buckets the batch actually touches — one pruned scan of
+    pre-derived bands, never a re-band (sig explode) of the index.
+Per-batch match cost is therefore O(batch) work + one pruned metadata-
+backed scan, not O(index) recompute — the per-batch walls stay flat as
+the index grows (tracked in bench.py's ``stream_batch_walls``).
 
 Semantics note: a conversation is matchable once all its turns have
 arrived in one micro-batch window here; cross-batch turn assembly is
@@ -36,25 +51,66 @@ TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
 
+# physical layout knob (NOT part of the semantic config fingerprint —
+# changing it relayouts state, it cannot change any result): stored
+# bands are partitioned by pmod(band_hash, BAND_BUCKETS) so a
+# micro-batch's match join prunes to the buckets it actually touches
+BAND_BUCKETS = 64
 
-def stream_transcripts(
-    spark: SparkSession, input_dir: str, files_per_trigger: int = 8
-) -> DataFrame:
-    """File-source stream of turn rows (parquet files landing in a dir).
-    In production this is a Kafka/Iceberg CDC source with a watermark on
-    ``ts``; the file source keeps the container test hermetic.
-    files_per_trigger=1 with one file per chunk gives deterministic
-    batch boundaries (the parity test's arrival schedule)."""
-    return (
-        spark.readStream.schema(TRANSCRIPT_DDL)
-        .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(input_dir)
-    )
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for a string path via Spark's Hadoop conf —
+    works uniformly for local, hdfs:// and s3:// state dirs."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _path_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _hadoop_fs(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def _batch_subdir_ids(spark: SparkSession, dir_str: str) -> list[int] | None:
+    """batch_id= subdirectories of a state dir, from directory METADATA
+    (one listStatus call — no data scan, no Spark job). Returns None for
+    a missing dir (genuinely fresh state). A dir that exists but holds
+    plain data files instead of batch_id= subdirs is the pre-idempotent
+    (flat append) layout and raises — silently treating it as fresh
+    would rebuild state into a mixed, unreadable directory.
+
+    This replaces the previous per-batch full-scan ``max(batch_id)``
+    aggregates AND their AnalysisException message-string probing
+    ("PATH_NOT_FOUND"/"Path does not exist") with a metadata call that
+    has no error-text dependence at all."""
+    fs, path = _hadoop_fs(spark, dir_str)
+    if not fs.exists(path):
+        return None
+    ids: list[int] = []
+    stray = False
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                stray = True
+        elif not name.startswith("_") and not name.startswith("."):
+            stray = True
+    if stray and not ids:
+        raise ValueError(
+            f"state dir {dir_str} has no batch_id= partitioning — it was "
+            "written by the pre-idempotent (flat append) layout. Rebuild "
+            "the stream state in a fresh work_dir (replaying the landing "
+            "directory reproduces it)."
+        )
+    return ids
 
 
 class IncrementalDeduper:
     """foreachBatch handler: match each micro-batch against the canonical
-    index, append verified pairs, fold new uniques into the index."""
+    index, append verified pairs, fold new uniques (and their derived
+    band table) into the per-batch state."""
 
     def __init__(
         self,
@@ -64,17 +120,31 @@ class IncrementalDeduper:
         cfg: DedupeConfig = DEFAULT_CONFIG,
         metrics_dir: str | None = None,
         run_id: str = "stream",
+        bands_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.index_dir = index_dir
         self.pairs_dir = pairs_dir
+        self.bands_dir = bands_dir or f"{index_dir}_bands"
         self.cfg = cfg
         self.metrics_dir = metrics_dir
         self.run_id = run_id
 
+    def _newest_state_batch(self) -> int | None:
+        """Newest batch id present in state, from directory metadata.
+        Consults BOTH index and pairs dirs: a batch always writes its
+        pairs subdir, so pairs covers the zero-new-uniques case."""
+        newest: int | None = None
+        for d in (self.index_dir, self.pairs_dir):
+            ids = _batch_subdir_ids(self.spark, d)
+            if ids:
+                top = max(ids)
+                newest = top if newest is None else max(newest, top)
+        return newest
+
     def _load_index(self, before_batch: int) -> DataFrame | None:
-        """Canonical index as of the start of ``before_batch``: the
-        union of batch subdirectories with batch_id < before_batch.
+        """Canonical feature index as of the start of ``before_batch``:
+        the union of batch subdirectories with batch_id < before_batch.
 
         Per-batch subdirs + the strict < filter make replays
         deterministic: if a batch partially wrote its own index subdir
@@ -83,43 +153,12 @@ class IncrementalDeduper:
         sees exactly the pre-batch state and OVERWRITES its own subdir.
 
         Failure modes are distinguished from fresh state, not collapsed
-        into it: a readable index without the batch_id partition is a
-        pre-upgrade (flat append) layout and raises rather than being
-        silently ignored (which would rebuild the index from scratch
-        into a mixed, unreadable directory), and an index containing
-        batch ids NEWER than the current batch means the stream
-        checkpoint was lost or re-pointed — batch ids restarted — and
-        proceeding would OVERWRITE old state subdir by subdir."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = self.spark.read.parquet(self.index_dir)
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return None  # genuinely fresh state
-            raise
-        if "batch_id" not in df.columns:
-            raise ValueError(
-                f"index at {self.index_dir} has no batch_id partitioning — "
-                "it was written by the pre-idempotent (flat append) layout. "
-                "Rebuild the stream state in a fresh work_dir (replaying "
-                "the landing directory reproduces it)."
-            )
-        newest = df.agg(F.max("batch_id")).collect()[0][0]
-        # a batch that folded zero uniques leaves an empty (invisible)
-        # index subdir, so ALSO consult the pairs dir — a batch always
-        # writes it — before trusting "no newer batch exists"
-        try:
-            newest_pairs = (
-                self.spark.read.parquet(self.pairs_dir)
-                .agg(F.max("batch_id"))
-                .collect()[0][0]
-            )
-            if newest_pairs is not None:
-                newest = max(newest or 0, newest_pairs)
-        except AnalysisException:
-            pass
+        into it: a flat (pre-upgrade) layout raises in
+        ``_batch_subdir_ids``, and an index containing batch ids NEWER
+        than the current batch means the stream checkpoint was lost or
+        re-pointed — batch ids restarted — and proceeding would
+        OVERWRITE old state subdir by subdir."""
+        newest = self._newest_state_batch()
         if newest is not None and newest > before_batch:
             raise ValueError(
                 f"stream state at {self.index_dir} already contains "
@@ -129,17 +168,64 @@ class IncrementalDeduper:
                 "overwrite existing state; restore the original "
                 "checkpoint or start a fresh work_dir."
             )
-        return df.filter(F.col("batch_id") < before_batch).drop("batch_id")
+        ids = _batch_subdir_ids(self.spark, self.index_dir)
+        if not ids or not any(i < before_batch for i in ids):
+            return None
+        return (
+            self.spark.read.parquet(self.index_dir)
+            .filter(F.col("batch_id") < before_batch)
+            .drop("batch_id")
+        )
+
+    def _write_bands(self, feats: DataFrame, batch_id: int) -> None:
+        """Fold the batch's derived band table into per-batch state,
+        partitioned by band-hash bucket (same overwrite-own-subdir
+        idempotence recipe as the feature fold)."""
+        (
+            band_table(feats, self.cfg)
+            .withColumn(
+                "bh_bucket",
+                F.pmod(F.col("band_hash"), F.lit(BAND_BUCKETS)).cast("int"),
+            )
+            .repartition(F.col("bh_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bh_bucket")
+            .parquet(f"{self.bands_dir}/batch_id={batch_id}")
+        )
+
+    def _band_state(self, before_batch: int) -> DataFrame | None:
+        """Stored band table as of the start of ``before_batch``.
+
+        Pre-r3 work_dirs carry an index without folded bands; any index
+        batch missing its band subdir is backfilled here (one-time, from
+        the already-folded features — band derivation is deterministic,
+        so backfill reproduces exactly what the fold would have written).
+        """
+        band_ids = set(_batch_subdir_ids(self.spark, self.bands_dir) or [])
+        index_ids = _batch_subdir_ids(self.spark, self.index_dir) or []
+        prior = [i for i in index_ids if i < before_batch]
+        for i in sorted(set(prior) - band_ids):
+            self._write_bands(
+                self.spark.read.parquet(f"{self.index_dir}/batch_id={i}"), i
+            )
+        if not prior:
+            return None
+        return (
+            self.spark.read.parquet(self.bands_dir)
+            .filter(F.col("batch_id") < before_batch)
+            .drop("batch_id")
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Candidates = within-batch self-pairs (LSH bands + exact-sha
         star — the same families as the batch pipeline, so a batch's OWN
         near-dups pair here, not just batch-vs-index) ∪ incoming-vs-index
-        pairs (LSH match ∪ text_sha equi-join). Dupe members (the id_b
-        side — min-id canonical stays) are withheld from the index fold,
-        so connected components over the accumulated pairs reproduces
-        the batch pipeline's clusters (parity asserted at sf-scale in
-        tests/test_streaming.py and timed in bench.py).
+        pairs (LSH match against the STORED band state ∪ text_sha
+        equi-join). Dupe members (the id_b side — min-id canonical stays)
+        are withheld from the index fold, so connected components over
+        the accumulated pairs reproduces the batch pipeline's clusters
+        (parity asserted at sf-scale in tests/test_streaming.py and
+        timed in bench.py).
 
         Banding uses the batch pipeline's rep-blocking: one content-
         bearing representative per text_sha (pipeline.py feat_reps) —
@@ -154,11 +240,20 @@ class IncrementalDeduper:
         covers content-empty conversations, which rep-blocking excludes
         from banding (the batch pipeline's P3/exact-only policy).
 
-        Exactly-once state under at-least-once foreachBatch: pairs and
-        index fold are written to per-batch subdirectories with
-        mode=overwrite — a checkpoint replay of the same deterministic
-        batch overwrites its own output instead of appending a second
-        copy (the standard foreachBatch idempotence recipe)."""
+        The vs-index match joins the batch's bands (broadcast — a
+        micro-batch is small) against the stored, pre-derived band
+        state pruned to the batch's own band-hash buckets: no sig
+        explode over the index, no shuffle of the stored side. The
+        remaining O(index) touch is the column-pruned feature join in
+        verification (conv_id/text_sha/shingle sets for matched ids),
+        which is a scan, not a recompute.
+
+        Exactly-once state under at-least-once foreachBatch: pairs,
+        index fold, and band fold are written to per-batch
+        subdirectories with mode=overwrite — a checkpoint replay of the
+        same deterministic batch overwrites its own output instead of
+        appending a second copy (the standard foreachBatch idempotence
+        recipe)."""
         import time as _time
 
         from pyspark.sql import Window
@@ -179,8 +274,12 @@ class IncrementalDeduper:
         )
         index = self._load_index(before_batch=batch_id)
         if index is not None:
+            stored_bands = self._band_state(before_batch=batch_id)
             cross_lsh = match_pairs(
-                band_table(index, self.cfg), feat_bands, self.cfg
+                self._prune_buckets(stored_bands, feat_bands),
+                feat_bands,
+                self.cfg,
+                broadcast_incoming=True,
             ).select(
                 F.col("canonical_id").alias("id_a"),
                 F.col("incoming_id").alias("id_b"),
@@ -200,7 +299,7 @@ class IncrementalDeduper:
             all_feats = feats
         # persist: pairs write and the index fold below are two actions
         # over this plan — unpersisted, the second re-runs banding,
-        # the full-index scan, and verification end-to-end
+        # the stored-band join, and verification end-to-end
         verified = verify_pairs(
             cand, all_feats, self.cfg, method="stream_match"
         ).persist()
@@ -214,11 +313,14 @@ class IncrementalDeduper:
             .select(F.col("id_b").alias("conv_id"))
             .distinct()
         )
-        new_uniques = feats.join(dupe_ids, "conv_id", "left_anti")
-        # S8 parity: fold this batch's uniques into the canonical index
+        new_uniques = feats.join(dupe_ids, "conv_id", "left_anti").persist()
+        # S8 parity: fold this batch's uniques into the canonical index,
+        # then fold their DERIVED band table (same subdir recipe) so no
+        # later batch ever re-bands the index
         new_uniques.write.mode("overwrite").parquet(
             f"{self.index_dir}/batch_id={batch_id}"
         )
+        self._write_bands(new_uniques, batch_id)
         if self.metrics_dir is not None:
             # per-batch, per-partition lineage (north_rule): one cheap
             # pass over the PERSISTED feature table, no recompute
@@ -231,8 +333,35 @@ class IncrementalDeduper:
                 _time.time() - t0,
                 self.cfg.fingerprint(),
             )
+        new_uniques.unpersist()
         verified.unpersist()
         feats.unpersist()
+
+    def _prune_buckets(
+        self, stored_bands: DataFrame, feat_bands: DataFrame
+    ) -> DataFrame:
+        """Partition-prune the stored band state to the band-hash
+        buckets the micro-batch actually touches. A matching stored row
+        shares band_hash with some incoming row, hence its bucket —
+        filtered rows cannot match, so pruning is parity-exact. The
+        bucket list is a bounded collect (≤ BAND_BUCKETS values) over
+        the micro-batch's own bands; with the listed values in an
+        ``isin`` predicate on the partition column, Spark skips the
+        untouched bucket directories entirely — the trickle-batch case
+        reads a fraction of the stored state."""
+        buckets = sorted(
+            r[0]
+            for r in feat_bands.select(
+                F.pmod(F.col("band_hash"), F.lit(BAND_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if len(buckets) >= BAND_BUCKETS:
+            return stored_bands
+        return stored_bands.filter(F.col("bh_bucket").isin(buckets))
 
 
 def run_stream(
@@ -256,25 +385,14 @@ def run_stream(
     config."""
     import json as _json
 
-    from pyspark.errors import AnalysisException
-
     # marker I/O goes through Spark's Hadoop filesystem (a one-line text
     # "directory file"), NOT driver-local open(): a work_dir on
     # hdfs:// or s3:// must hit the same store as the state it guards —
     # a local-path marker would silently no-op the guard for remote dirs
     marker = f"{work_dir}/_config_marker"
     fp = cfg.fingerprint()
-    stored = None
-    marker_exists = True
-    try:
+    if _path_exists(spark, marker):
         lines = [r.value for r in spark.read.text(marker).collect()]
-    except AnalysisException as e:
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            marker_exists = False  # first run: stamp below
-        else:
-            raise
-    if marker_exists:
         try:
             stored = _json.loads("".join(lines))["fingerprint"]
         except (ValueError, KeyError):
@@ -300,7 +418,7 @@ def run_stream(
 
     dedupe = IncrementalDeduper(
         spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg,
-        metrics_dir=metrics_dir,
+        metrics_dir=metrics_dir, bands_dir=f"{work_dir}/bands",
     )
     stream = stream_transcripts(spark, input_dir, files_per_trigger)
     writer = (
@@ -313,3 +431,18 @@ def run_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of turn rows (parquet files landing in a dir).
+    In production this is a Kafka/Iceberg CDC source with a watermark on
+    ``ts``; the file source keeps the container test hermetic.
+    files_per_trigger=1 with one file per chunk gives deterministic
+    batch boundaries (the parity test's arrival schedule)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(input_dir)
+    )

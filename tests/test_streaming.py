@@ -191,6 +191,76 @@ def test_stream_cross_batch_empty_doc_exacts_and_replay_idempotence(
         ded.process_batch(b1, 0)
 
 
+def test_stream_match_plan_no_index_reband(spark, tmp_path):
+    """The vs-index LSH match must read the STORED pre-derived band
+    table — no Generate/explode over the index side (that re-band was
+    the r2 verdict's one remaining O(index)-per-batch scale-killer) —
+    with the incoming micro-batch side broadcast and the stored scan
+    partition-pruned to the batch's band-hash buckets."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lieu_spark.operators.assemble import assemble_conversations
+    from lieu_spark.operators.lsh import band_table, match_pairs
+    from lieu_spark.pipeline import build_features
+    from lieu_spark.streaming.ingest import IncrementalDeduper
+
+    ts = dt.datetime(2026, 1, 1)
+    b1 = _mini_batch(spark, [
+        (f"a{i}", 0, "user",
+         f"alpha beta gamma delta epsilon zeta {i} eta theta iota kappa",
+         None, ts)
+        for i in range(6)
+    ])
+    work = tmp_path / "wp"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", CFG,
+        bands_dir=f"{work}/bands",
+    )
+    ded.process_batch(b1, 0)
+
+    b2 = _mini_batch(spark, [
+        ("n1", 0, "user",
+         "alpha beta gamma delta epsilon zeta 0 eta theta iota kappa",
+         None, ts),
+    ])
+    feats = build_features(assemble_conversations(b2), CFG)
+    rep_w = Window.partitionBy("text_sha")
+    feat_reps = (
+        feats.filter(F.size("shingle_hashes") > 0)
+        .withColumn("_rep", F.min("conv_id").over(rep_w))
+        .filter(F.col("conv_id") == F.col("_rep"))
+        .drop("_rep")
+    )
+    feat_bands = band_table(feat_reps, CFG)
+    stored = ded._band_state(before_batch=1)
+    cross = match_pairs(
+        ded._prune_buckets(stored, feat_bands), feat_bands, CFG,
+        broadcast_incoming=True,
+    )
+    plan = cross._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    # exactly ONE Generate: the incoming micro-batch's own banding; the
+    # stored side is a plain parquet scan of pre-derived bands
+    assert plan.count("Generate") == 1, plan
+    # the stored side is a parquet FileScan of pre-derived bands …
+    assert "FileScan parquet" in plan, plan
+    # … partition-pruned: the batch touches < all BAND_BUCKETS buckets,
+    # so the bh_bucket INSET predicate lands in PartitionFilters
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "bh_bucket" in scan_line.split("PartitionFilters")[1], scan_line
+    # the broadcast goes to the incoming (small) side
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # and the pruned plan still finds the cross-batch match
+    got = {(r.canonical_id, r.incoming_id) for r in cross.collect()}
+    assert ("a0", "n1") in got, sorted(got)
+
+
 def test_stream_config_fingerprint_guard(spark, tmp_path):
     """Resuming a stream work_dir with a different DedupeConfig must
     refuse (the streaming twin of checkpoint.StageStore invalidation) —
