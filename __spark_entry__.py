@@ -8,10 +8,12 @@ lieu_spark/oracle_sql.py. Hash-kernel paths (MinHash bands, SimHash,
 winnow fingerprints, LSH buckets) are oracle-checked through the parquet
 export side-channel (lieu_spark.oracle_export): the kernel output is a
 file both engines read, so the relational halves are value-verified.
-The remaining rows-only entries are genuinely non-SQL-expressible (LCS
-spans, IVF with driver-trained centroids, multimodal decode plumbing,
-xxhash fingerprints) and are covered by the pure-python-oracle pytest
-suite instead (tests/).
+Every queries() key now has an oracle_sql() twin (52/52): the
+non-SQL-expressible kernels (LCS argmax, IVF centroids, MinHash/SimHash/
+bucket hashes, fake-codec dims) stay pytest-verified, but their
+downstream relational work — and for copied_spans the substring
+NECESSARY CONDITION of every reported span — is DuckDB-value-verified
+through the export channel.
 """
 
 from __future__ import annotations
@@ -99,16 +101,26 @@ def _q_span_candidates(spark, sf_dir):
 
 
 def _q_copied_spans(spark, sf_dir):
+    """Suffix-array LCS spans. The argmax itself is not SQL-expressible,
+    but every reported span has a CHECKABLE necessary condition: it must
+    be a genuine common substring of both docs at the reported offsets
+    with the reported length (>= span_min_len). The spans and the doc
+    texts are exported; the DuckDB oracle returns exactly the exported
+    spans that PASS the substr-equality check — a fabricated or
+    misaligned span drops out and fails the row/hash compare."""
     from lieu_spark.config import DedupeConfig as DC
     from lieu_spark.operators.spans import copied_spans, winnow_span_candidates
+    from lieu_spark.oracle_export import export_for_oracle
 
     cfg = DC(span_min_len=40)
     feats = Q.doc_features(spark, sf_dir)
     cand = winnow_span_candidates(feats, cfg)
     docs = feats.select("conv_id", "doc")
+    export_for_oracle(spark, docs, "span_docs")
     pa = docs.select(F.col("conv_id").alias("id_a"), F.col("doc").alias("doc_a"))
     pb = docs.select(F.col("conv_id").alias("id_b"), F.col("doc").alias("doc_b"))
-    return copied_spans(cand.join(pa, "id_a").join(pb, "id_b"), cfg).orderBy(
+    spans = copied_spans(cand.join(pa, "id_a").join(pb, "id_b"), cfg)
+    return export_for_oracle(spark, spans, "copied_spans_out").orderBy(
         "id_a", "id_b"
     )
 
@@ -246,14 +258,63 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_multimodal_meta(spark, sf_dir):
+    """mapInPandas binary decode, oracle-checked via the exported
+    metadata table: DuckDB recomputes n_bytes INDEPENDENTLY from the
+    documents table (octet_length of the UTF-8 payload bytes) and joins
+    doc_id validity; the fake-codec dims flow through the export
+    (kernel half stays pytest-verified, like every export entry)."""
     from lieu_spark.functions.multimodal import decode_image_metadata, with_binary_payload
+    from lieu_spark.oracle_export import export_for_oracle
 
     d = with_binary_payload(Q.load(spark, sf_dir, "documents"))
-    return decode_image_metadata(d).orderBy("doc_id")
+    meta = export_for_oracle(
+        spark, decode_image_metadata(d), "multimodal_meta"
+    )
+    return meta.orderBy("doc_id")
 
 
 def _q_doc_fingerprint(spark, sf_dir):
-    return Q.q_doc_fingerprint(spark, sf_dir)
+    """Rolling polynomial fingerprint, oracle-checked via the exported
+    per-token hash sequence: BOTH engines re-derive the ordered fold
+    from the export (DuckDB: list_reduce over list(th ORDER BY pos)) —
+    the order-sensitive relational half is value-verified; only the
+    xxhash64 token kernel stays pytest-verified."""
+    from lieu_spark.functions.analysis import MOD31
+    from lieu_spark.functions.text import tokenize
+    from lieu_spark.oracle_export import export_for_oracle
+
+    d = Q.load(spark, sf_dir, "documents")
+    th = (
+        d.select(
+            "doc_id", F.posexplode_outer(tokenize(F.col("text"))).alias("pos", "tok")
+        )
+        .filter(F.col("tok").isNotNull())
+        .select(
+            "doc_id", "pos", F.pmod(F.xxhash64("tok"), F.lit(1 << 31)).alias("th")
+        )
+    )
+    exp = export_for_oracle(spark, th, "doc_token_hashes")
+    folded = (
+        exp.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "th"))).alias("s"))
+        .select(
+            "doc_id",
+            (
+                F.aggregate(
+                    F.transform(F.col("s"), lambda x: x["th"]),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: (acc * 131 + t) % F.lit(MOD31),
+                )
+                % F.lit(MOD31)
+            ).alias("fingerprint"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(folded, "doc_id", "left")
+        .na.fill({"fingerprint": 0})
+        .orderBy("doc_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -291,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": Q.q_doc_quality,
         "doc_langid": Q.q_doc_langid,
         "binary_meta": Q.q_binary_meta,
+        # export-backed (early in the dict so a time-budgeted driver run
+        # never truncates them out of the artifact, as happened in r02)
+        "multimodal_meta": _q_multimodal_meta,
+        "doc_fingerprint": _q_doc_fingerprint,
         # document dedupe
         "exact_dup_groups": Q.q_exact_dup_groups,
         "exact_dup_pairs": Q.q_exact_dup_pairs,
@@ -313,12 +378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_candidates": _q_span_candidates,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        # non-SQL-expressible (rows-only): LCS spans, IVF (driver-trained
-        # centroids), multimodal decode plumbing, xxhash fingerprints
+        # copied_spans: the LCS argmax is kernel-side, but each reported
+        # span's substring property is export-oracle-checked (necessary
+        # condition, see _q_copied_spans)
         "copied_spans": _q_copied_spans,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "multimodal_meta": _q_multimodal_meta,
-        "doc_fingerprint": _q_doc_fingerprint,
     }
     return base
 

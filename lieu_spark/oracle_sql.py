@@ -1090,3 +1090,48 @@ cand AS (
 SELECT id_a, id_b, cos6 FROM cpairs
 WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
 """
+
+# multimodal decode metadata: DuckDB recomputes n_bytes INDEPENDENTLY
+# from the documents table (octet_length of the UTF-8 payload bytes) and
+# validates doc_id through the join; the fake-codec dims flow through
+# the export (that kernel half stays pytest-verified)
+ORACLE["multimodal_meta"] = f"""
+SELECT m.doc_id, octet_length(encode(d.text)) AS n_bytes,
+       m.format, m.width, m.height, m.channels
+FROM read_parquet('{_ep("multimodal_meta")}/*.parquet') m
+JOIN documents d USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+# rolling polynomial fingerprint: the ORDER-SENSITIVE fold is re-derived
+# by DuckDB from the exported per-token hash sequence (list_reduce over
+# the pos-ordered list, same modulus chain as functions/analysis.py:118);
+# docs with no tokens fold to 0 on both sides
+ORACLE["doc_fingerprint"] = f"""
+SELECT d.doc_id, COALESCE(f.fingerprint, 0) AS fingerprint
+FROM documents d
+LEFT JOIN (
+    SELECT doc_id,
+           list_reduce(list(th ORDER BY pos),
+                       (acc, x) -> (acc * 131 + x) % 2147483647)
+             % 2147483647 AS fingerprint
+    FROM read_parquet('{_ep("doc_token_hashes")}/*.parquet')
+    GROUP BY doc_id
+) f USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+# copied spans: the LCS argmax is kernel-side, but every reported span
+# must be a GENUINE common substring at the reported offsets with the
+# reported length (>= the query's span_min_len=40) — the oracle returns
+# exactly the exported spans passing that check, so a fabricated or
+# misaligned span drops out and fails the compare
+ORACLE["copied_spans"] = f"""
+SELECT s.id_a, s.id_b, s.start_a, s.start_b, s.length
+FROM read_parquet('{_ep("copied_spans_out")}/*.parquet') s
+JOIN read_parquet('{_ep("span_docs")}/*.parquet') a ON s.id_a = a.conv_id
+JOIN read_parquet('{_ep("span_docs")}/*.parquet') b ON s.id_b = b.conv_id
+WHERE s.length >= 40
+  AND substr(a.doc, s.start_a + 1, s.length) = substr(b.doc, s.start_b + 1, s.length)
+ORDER BY s.id_a, s.id_b
+"""
