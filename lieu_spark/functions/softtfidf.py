@@ -250,8 +250,19 @@ def capped_token_scores(
 ) -> DataFrame:
     """(id, n_tok, toks asc, scores aligned): the max_tokens RAREST
     tokens per doc (rank df ASC, tf DESC, token ASC — integers only),
-    L2 norm over the FULL vector. toks sorted ascending so the array
-    index is the deterministic j of the argmax tie-break."""
+    L2-renormalized over the KEPT vector. toks sorted ascending so the
+    array index is the deterministic j of the argmax tie-break.
+
+    Why renormalize: the full-vector norm spreads unit mass over every
+    distinct token, so for docs with >> max_tokens distinct tokens the
+    kept 64 carry only a fraction of squared mass and even a PERFECT
+    match (every kept token at sim 1.0) scores far below
+    threshold_likely — silent recall loss on long near-identical docs
+    (round-2 advisory). Renormalizing over the kept vector restores
+    "identical docs -> 1.0" at any length; for docs with <= max_tokens
+    distinct tokens the kept set IS the full vector, so this is
+    exactly the reference's full-iteration semantics
+    (lib/lieu/similarity.py:14-60 iterates all tokens, no cap)."""
     from .weighting import tfidf_scores
 
     scored = tfidf_scores(docs_tokens, id_col=id_col)
@@ -261,6 +272,15 @@ def capped_token_scores(
     kept = scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= max_tokens
     )
+    kw = Window.partitionBy(id_col)
+    kept = kept.withColumn(
+        "_knorm", F.sqrt(F.sum(F.col("score_norm") * F.col("score_norm")).over(kw))
+    ).withColumn(
+        "score_norm",
+        F.when(F.col("_knorm") > 0, F.col("score_norm") / F.col("_knorm")).otherwise(
+            F.col("score_norm")
+        ),
+    ).drop("_knorm")
     pairs = kept.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("token"), F.col("score_norm")))

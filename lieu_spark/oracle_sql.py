@@ -488,10 +488,19 @@ normed AS (
 ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                       ORDER BY df ASC, tf DESC, token ASC) AS rk FROM normed),
 side AS (
-    SELECT doc_id, token, score_norm,
-           row_number() OVER (PARTITION BY doc_id ORDER BY token ASC) - 1 AS j,
-           count(*) OVER (PARTITION BY doc_id) AS n_tok
-    FROM ranked WHERE rk <= {_CFG.soft_max_tokens}
+    -- L2-renormalized over the KEPT vector (matches
+    -- softtfidf.capped_token_scores: identical docs score 1.0 at any
+    -- length; a no-op when n_distinct <= soft_max_tokens)
+    SELECT doc_id, token,
+           CASE WHEN kn > 0 THEN score_norm / kn ELSE score_norm END AS score_norm,
+           j, n_tok
+    FROM (
+        SELECT doc_id, token, score_norm,
+               row_number() OVER (PARTITION BY doc_id ORDER BY token ASC) - 1 AS j,
+               count(*) OVER (PARTITION BY doc_id) AS n_tok,
+               sqrt(sum(score_norm * score_norm) OVER (PARTITION BY doc_id)) AS kn
+        FROM ranked WHERE rk <= {_CFG.soft_max_tokens}
+    )
 ),
 pairs AS (SELECT doc_id AS id_a, doc_id + 300000 AS id_b
           FROM documents WHERE doc_id < 25),

@@ -232,3 +232,38 @@ def test_verify_mode_soft_tfidf_keeps_tokenless_exact_pairs(spark):
     assert len(rows) == 1, "token-less exact pair was dropped"
     assert rows[0].status == STATUS_EXACT
     assert rows[0].jaccard == 0.0  # soft score absent -> 0-fill
+
+
+def test_long_neardup_docs_not_deflated(spark):
+    """Round-2 advisory (medium): two long near-identical transcripts —
+    every token matching at sim 1.0 but with MANY more distinct tokens
+    than soft_max_tokens — must still score ~1.0. Under the old
+    full-vector norm the kept-64 squared mass shrank with vocabulary and
+    verify_mode=soft_tfidf silently lost exactly these pairs."""
+    import random
+
+    from lieu_spark.functions.softtfidf import soft_tfidf_for_pairs
+
+    rng = random.Random(7)
+    # 300 distinct rare-ish tokens per doc (>> soft_max_tokens=64)
+    vocab = [f"tok{rng.randrange(10**6):06d}x{i}" for i in range(300)]
+    base = vocab + ["the", "a", "of"] * 10
+    docs = []
+    for d in range(6):
+        toks = list(base)
+        rng.shuffle(toks)
+        docs.append((d, toks))
+    # doc 100 = byte-identical token multiset of doc 0 (shuffled order)
+    twin = list(docs[0][1])
+    rng.shuffle(twin)
+    docs.append((100, twin))
+    tok_df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, tokens array<string>"
+    )
+    pairs = spark.createDataFrame([(0, 100)], "id_a long, id_b long")
+    row = soft_tfidf_for_pairs(pairs, tok_df).collect()[0]
+    score = row.soft6 / 1e6
+    assert score >= 0.99, (
+        f"identical long docs deflated to {score}; kept-vector "
+        "renormalization regressed"
+    )
