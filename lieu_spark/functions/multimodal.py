@@ -49,12 +49,48 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, int]:
+    """Dependency-free BMP (BITMAPINFOHEADER) decoder: (width, height,
+    channels). Pure struct parsing of the public Windows BMP layout —
+    magic 'BM', int32 LE width/height at offsets 18/22, uint16 LE bit
+    depth at 28. Raises ValueError on anything that is not a BMP."""
+    import struct
+
+    if len(payload) < 30 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if width <= 0 or bpp == 0:
+        raise ValueError(f"malformed BMP header: width={width} bpp={bpp}")
+    # top-down BMPs store negative height; channels from bit depth
+    return (width, abs(height), max(1, bpp // 8))
+
+
+def encode_bmp(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal valid BMP writer (test fixture twin of decode_bmp):
+    solid-zero pixels, BITMAPINFOHEADER, row stride padded to 4 bytes."""
+    import struct
+
+    bpp = channels * 8
+    stride = (width * channels + 3) & ~3
+    pixel_bytes = stride * height
+    header = b"BM" + struct.pack(
+        "<IHHI", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, pixel_bytes, 2835, 2835, 0, 0)
+    return header + b"\0" * pixel_bytes
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Production decoder — requires Pillow/libvips, absent here."""
+    """Real decode path: BMP is decoded natively (decode_bmp, zero
+    dependencies); other formats require an imaging library absent in
+    this container (production impl:
+    PIL.Image.open(io.BytesIO(payload)) -> (width, height,
+    len(getbands())))."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; production impl: PIL.Image.open(io.BytesIO(payload)) "
-        "-> (width, height, len(getbands()))"
+        "only BMP decodes natively here; other formats require an "
+        "imaging library not present in this container"
     )
 
 
@@ -65,20 +101,32 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_image_metadata(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
 ) -> DataFrame:
     """mapInPandas decode: Arrow batches of binary -> metadata rows.
 
-    The batch shape (one pandas DF per Arrow batch, bytes objects in the
-    payload column) matches what a real decoder UDF sees; only
-    ``_fake_dims`` would be swapped for ``decode_image_real``.
-    """
+    ``decoder="fake"`` (default, deterministic — the oracle fixture
+    path over text-derived payloads); ``decoder="real"`` routes through
+    ``decode_image_real`` — BMP payloads decode natively with zero
+    dependencies, anything else raises, exactly as production would on
+    a corrupt payload. Both share one batch shape (one pandas DF per
+    Arrow batch, bytes objects in the payload column)."""
+    use_real = decoder == "real"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w, h, c = [], [], []
+            w, h, c, fmt = [], [], [], []
             for payload in pdf[payload_col]:
-                dw, dh, dc = _fake_dims(bytes(payload))
+                raw = bytes(payload)
+                if use_real:
+                    dw, dh, dc = decode_image_real(raw)
+                    fmt.append("bmp")
+                else:
+                    dw, dh, dc = _fake_dims(raw)
+                    fmt.append("fake")
                 w.append(dw)
                 h.append(dh)
                 c.append(dc)
@@ -86,7 +134,7 @@ def decode_image_metadata(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "format": "fake",
+                    "format": fmt,
                     "width": pd.array(w, dtype="int32"),
                     "height": pd.array(h, dtype="int32"),
                     "channels": pd.array(c, dtype="int32"),
