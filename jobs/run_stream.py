@@ -82,22 +82,18 @@ def main() -> None:
         q.awaitTermination()
         return
 
-    from pyspark.errors import AnalysisException
+    from lieu_spark.streaming.ingest import _path_exists
 
     def _count(path: str) -> int:
         # a first catch-up run over an empty landing dir processes zero
         # batches and creates neither state dir — ONLY that case maps to
-        # 0; a corrupt/conflicting state dir re-raises so monitoring
-        # sees the failure instead of a healthy-looking empty summary.
-        # (try/except, not a driver-local exists(): works for hdfs://
-        # s3:// work dirs too.)
-        try:
-            return spark.read.parquet(path).count()
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return 0
-            raise
+        # 0; a corrupt/conflicting state dir still raises from the read
+        # so monitoring sees the failure instead of a healthy-looking
+        # empty summary. (Hadoop-FS existence probe, not error-message
+        # string matching — works for hdfs:// and s3:// work dirs.)
+        if not _path_exists(spark, path):
+            return 0
+        return spark.read.parquet(path).count()
 
     summary = {
         "wall_sec": round(time.time() - t0, 2),

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from .config import DEFAULT_CONFIG, DedupeConfig
 from .operators.assemble import assemble_conversations
-from .operators.lsh import band_table, match_pairs
+from .operators.lsh import band_table_dual, match_pairs
 from .operators.verify import verify_pairs
 from .pipeline import PipelineResult, build_features, run_pipeline
 
@@ -43,8 +43,8 @@ def match(
     """
     canon = build_features(assemble_conversations(canonical_transcripts), cfg)
     inc = build_features(assemble_conversations(incoming_transcripts), cfg)
-    cb = band_table(canon, cfg)
-    ib = band_table(inc, cfg)
+    cb = band_table_dual(canon, cfg)
+    ib = band_table_dual(inc, cfg)
     cand = match_pairs(cb, ib, cfg).select(
         F.col("canonical_id").alias("id_a"), F.col("incoming_id").alias("id_b")
     )

@@ -37,6 +37,14 @@ class DedupeConfig:
     # Latin corpora sit at ~5-6 chars/token and are untouched.
     char_kgram_k: int = 12      # chars per gram (~2-3 latin words)
     char_fallback_avg_len: float = 10.0
+    # hysteresis band around the fallback boundary: docs whose ratio
+    # falls in [avg*(1-h), avg*(1+h)) emit BOTH gram families (word
+    # shingles AND char k-grams) and band in both, so a near-dup pair
+    # straddling the boundary (e.g. a CJK doc vs a copy with a few
+    # latin tokens appended) still shares a family — without this the
+    # two hash families are disjoint and the pair is guaranteed lost
+    # (round-2 advisory). 0.0 disables (single-family, pre-r3 behavior).
+    char_fallback_hysteresis: float = 0.2
     # --- MinHash / LSH (one-permutation hashing; see functions/minhash.py)
     num_perm: int = 128         # OPH bins; must be a power of two
     lsh_bands: int = 32         # b

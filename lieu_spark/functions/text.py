@@ -109,12 +109,38 @@ def char_kgram_hash_set(c: Column, k: int) -> Column:
 
 
 def char_fallback_cond(canon_ns: Column, toks: Column, avg_len: float) -> Column:
-    """True when the doc should use char k-grams: non-empty and the mean
-    chars-per-token ratio >= avg_len (latin text sits ~5-6; unsegmented
-    CJK clauses are 10+). Oracle twin: oracle.use_char_fallback."""
+    """True when the doc's PRIMARY family is char k-grams: non-empty and
+    the mean chars-per-token ratio >= avg_len (latin text sits ~5-6;
+    unsegmented CJK clauses are 10+). Oracle twin:
+    oracle.use_char_fallback."""
     nt = F.size(toks)
     return (nt > 0) & (
         (F.length(canon_ns).cast("double") / nt.cast("double")) >= F.lit(avg_len)
+    )
+
+
+def char_fallback_band(
+    canon_ns: Column, toks: Column, avg_len: float, hysteresis: float
+) -> Column:
+    """True when the doc sits in the hysteresis band
+    [avg*(1-h), avg*(1+h)) around the fallback boundary and must emit
+    BOTH gram families: a per-doc threshold always has a boundary, and a
+    near-dup pair straddling it would otherwise land in disjoint hash
+    families with guaranteed Jaccard 0. Oracle twin:
+    oracle.in_fallback_band."""
+    if hysteresis <= 0:
+        return F.lit(False)
+    # multiplicative form (len >= lo*nt), NOT a shared ratio division:
+    # a ratio column referenced by both comparisons gets hoisted by
+    # common-subexpression elimination ABOVE the short-circuiting AND,
+    # so ANSI mode throws DIVIDE_BY_ZERO on empty-token docs
+    nt = F.size(toks)
+    ntd = nt.cast("double")
+    ln = F.length(canon_ns).cast("double")
+    return (
+        (nt > 0)
+        & (ln >= F.lit(avg_len * (1.0 - hysteresis)) * ntd)
+        & (ln < F.lit(avg_len * (1.0 + hysteresis)) * ntd)
     )
 
 

@@ -31,23 +31,70 @@ from pyspark.sql import functions as F
 from ..config import DedupeConfig
 
 
-def band_table(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") -> DataFrame:
+def band_table(
+    features: DataFrame,
+    cfg: DedupeConfig,
+    id_col: str = "conv_id",
+    sig_col: str = "sig",
+    band_offset=None,
+) -> DataFrame:
     """(id, sig) -> (id, band, band_hash); band cast to long so the
-    xxhash64 chain matches the pure-python oracle bit-for-bit."""
+    xxhash64 chain matches the pure-python oracle bit-for-bit.
+    ``band_offset`` (a Column, optional) shifts the band NUMBER after
+    hashing — the gram-family tag used by band_table_dual; the hash
+    chain itself is offset-independent."""
     r = cfg.lsh_rows
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
         lambda i: F.struct(
             i.cast("long").alias("band"),
-            F.xxhash64(i.cast("long"), F.slice(F.col("sig"), i * r + 1, r)).alias(
+            F.xxhash64(i.cast("long"), F.slice(F.col(sig_col), i * r + 1, r)).alias(
                 "band_hash"
             ),
         ),
     )
+    off = band_offset if band_offset is not None else F.lit(0).cast("long")
     return (
-        features.select(F.col(id_col).alias("id"), F.explode(bands).alias("bk"))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+        features.select(
+            F.col(id_col).alias("id"), off.alias("_off"), F.explode(bands).alias("bk")
+        )
+        .select(
+            "id",
+            (F.col("bk.band") + F.col("_off")).alias("band"),
+            F.col("bk.band_hash").alias("band_hash"),
+        )
     )
+
+
+def band_table_dual(
+    features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id"
+) -> DataFrame:
+    """Bands over BOTH gram families for hysteresis-band docs.
+
+    The band number carries the FAMILY tag (word bands 0..b-1, char
+    bands b..2b-1), so a boundary-straddling near-dup pair — one doc
+    char-primary, the other word-primary, both inside the hysteresis
+    band — collides in the family they share; without the tag the two
+    families' band spaces would only meet by hash accident. Docs
+    outside the band have null alt_sig and emit exactly their primary
+    family (single-family behavior, bit-identical candidates up to the
+    family offset). Features without the dual columns (standalone
+    query paths) fall back to plain primary banding."""
+    if "alt_sig" not in features.columns or "char_primary" not in features.columns:
+        return band_table(features, cfg, id_col)
+    b = cfg.lsh_bands
+    fam = lambda is_char: F.when(is_char, F.lit(b)).otherwise(F.lit(0)).cast("long")  # noqa: E731
+    primary = band_table(
+        features, cfg, id_col, sig_col="sig", band_offset=fam(F.col("char_primary"))
+    )
+    alt = band_table(
+        features.filter(F.col("alt_sig").isNotNull()),
+        cfg,
+        id_col,
+        sig_col="alt_sig",
+        band_offset=fam(~F.col("char_primary")),
+    )
+    return primary.unionByName(alt)
 
 
 def salted_groups(

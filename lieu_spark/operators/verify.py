@@ -77,6 +77,25 @@ def classify(jaccard_col, exact_col, cfg: DedupeConfig):
     )
 
 
+def _stage_families(
+    enriched: DataFrame, primary_col: str, alt_col: str
+) -> DataFrame:
+    """Stage per-side gram-family columns as concrete projections
+    (_word_*/_char_*) so the family-selection CASE below references
+    plain attributes instead of duplicating the array expressions.
+    char_primary decides which stored column is which family; docs
+    outside the hysteresis band carry empty/null alt, so exactly one
+    family is populated for them."""
+    out = enriched
+    for side in ("a", "b"):
+        cp = F.col(f"char_primary_{side}")
+        prim = F.col(f"{primary_col}_{side}")
+        alt = F.col(f"{alt_col}_{side}")
+        out = out.withColumn(f"_word_{side}", F.when(cp, alt).otherwise(prim))
+        out = out.withColumn(f"_char_{side}", F.when(cp, prim).otherwise(alt))
+    return out
+
+
 def verify_pairs(
     pairs: DataFrame, features: DataFrame, cfg: DedupeConfig, method: str = "minhash_lsh"
 ) -> DataFrame:
@@ -119,13 +138,57 @@ def verify_pairs(
         )
         j = F.col("soft6").cast("double") / F.lit(1e6)
     elif cfg.verify_mode == "signatures":
-        cols = ["sig", "text_sha"]
+        dual = "alt_sig" in features.columns and "char_primary" in features.columns
+        cols = ["sig", "text_sha"] + (["alt_sig", "char_primary"] if dual else [])
         enriched = join_pair_features(pairs, features, cols)
-        j = signature_agreement(F.col("sig_a"), F.col("sig_b"), cfg.num_perm)
+        if dual:
+            # family-aligned agreement (hysteresis band): compare the
+            # family BOTH sides carry, preferring word; sides outside
+            # the band have null alt_sig, so the word/char selection
+            # degenerates to the primary sig exactly as before
+            enriched = _stage_families(enriched, "sig", "alt_sig")
+            word_ok = F.col("_word_a").isNotNull() & F.col("_word_b").isNotNull()
+            char_ok = F.col("_char_a").isNotNull() & F.col("_char_b").isNotNull()
+            j = (
+                F.when(
+                    word_ok,
+                    signature_agreement(
+                        F.col("_word_a"), F.col("_word_b"), cfg.num_perm
+                    ),
+                )
+                .when(
+                    char_ok,
+                    signature_agreement(
+                        F.col("_char_a"), F.col("_char_b"), cfg.num_perm
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+            )
+        else:
+            j = signature_agreement(F.col("sig_a"), F.col("sig_b"), cfg.num_perm)
     else:
-        cols = ["shingle_hashes", "text_sha"]
+        dual = "alt_hashes" in features.columns and "char_primary" in features.columns
+        cols = ["shingle_hashes", "text_sha"] + (
+            ["alt_hashes", "char_primary"] if dual else []
+        )
         enriched = join_pair_features(pairs, features, cols)
-        j = jaccard_on_shingles(F.col("shingle_hashes_a"), F.col("shingle_hashes_b"))
+        if dual:
+            # family-aligned Jaccard: a straddling pair (one side char-
+            # primary in the hysteresis band, the other word-primary)
+            # compares word-to-word via the band side's alt set instead
+            # of intersecting disjoint hash families (guaranteed J=0,
+            # the round-2 advisory's recall cliff). Out-of-band docs
+            # carry empty alt arrays, so latin/latin and cjk/cjk pairs
+            # reduce to the primary sets exactly as before.
+            enriched = _stage_families(enriched, "shingle_hashes", "alt_hashes")
+            word_ok = (F.size("_word_a") > 0) & (F.size("_word_b") > 0)
+            j = F.when(
+                word_ok, jaccard_on_shingles(F.col("_word_a"), F.col("_word_b"))
+            ).otherwise(jaccard_on_shingles(F.col("_char_a"), F.col("_char_b")))
+        else:
+            j = jaccard_on_shingles(
+                F.col("shingle_hashes_a"), F.col("shingle_hashes_b")
+            )
     exact = F.col("text_sha_a") == F.col("text_sha_b")
     out = enriched.withColumn("jaccard", j).withColumn("is_exact", exact)
     out = out.withColumn("status", classify(F.col("jaccard"), F.col("is_exact"), cfg))

@@ -99,6 +99,43 @@ def adaptive_shingle_hashes(text: str | None, cfg: DedupeConfig) -> list[int]:
     return shingle_hashes(text, cfg.shingle_k)
 
 
+def in_fallback_band(text: str | None, cfg: DedupeConfig) -> bool:
+    """Twin of functions/text.char_fallback_band."""
+    if cfg.char_fallback_hysteresis <= 0:
+        return False
+    t = tokens(text)
+    if not t:
+        return False
+    c = canonicalize(text).replace(" ", "")
+    # multiplicative form, matching char_fallback_band bit for bit
+    lo = cfg.char_fallback_avg_len * (1.0 - cfg.char_fallback_hysteresis)
+    hi = cfg.char_fallback_avg_len * (1.0 + cfg.char_fallback_hysteresis)
+    return lo * len(t) <= len(c) < hi * len(t)
+
+
+def family_hashes(text: str | None, cfg: DedupeConfig) -> tuple[list[int], list[int]]:
+    """Twin of the (word, char) family columns build_features emits:
+    (word_hashes, char_hashes) — the primary family always populated,
+    the other only inside the hysteresis band."""
+    char_primary = use_char_fallback(text, cfg)
+    banded = in_fallback_band(text, cfg)
+    word = shingle_hashes(text, cfg.shingle_k) if (not char_primary or banded) else []
+    char = (
+        char_kgram_hashes(text, cfg.char_kgram_k) if (char_primary or banded) else []
+    )
+    return word, char
+
+
+def family_jaccard(text_a: str | None, text_b: str | None, cfg: DedupeConfig) -> float:
+    """Twin of verify_pairs' family-aligned jaccard (shingles mode):
+    word-to-word when both sides carry word sets, else char-to-char."""
+    wa, ca = family_hashes(text_a, cfg)
+    wb, cb = family_hashes(text_b, cfg)
+    if wa and wb:
+        return jaccard(set(wa), set(wb))
+    return jaccard(set(ca), set(cb))
+
+
 # ---------------------------------------------------------------------------
 # MinHash / LSH
 # ---------------------------------------------------------------------------

@@ -27,10 +27,11 @@ from pyspark.sql import functions as F
 
 from .checkpoint import StageStore
 from .config import DEFAULT_CONFIG, DedupeConfig
-from .functions.minhash import with_minhash
+from .functions.minhash import make_minhash_udf, with_minhash
 from .functions.simhash import make_simhash_udf
 from .functions.text import (
     canon_nospace,
+    char_fallback_band,
     char_fallback_cond,
     char_kgram_hash_set,
     shingle_hash_set,
@@ -41,7 +42,7 @@ from .metrics import record_stage
 from .operators.assemble import assemble_conversations
 from .operators.cluster import clusters_with_singletons, connected_components
 from .operators.exact import exact_star_pairs
-from .operators.lsh import band_stats, band_table, candidate_pairs
+from .operators.lsh import band_stats, band_table_dual, candidate_pairs
 from .operators.simhash_path import simhash_candidate_pairs
 from .operators.spans import copied_spans, span_candidates, winnow_span_candidates
 from .operators.verify import dupe_pairs, verify_pairs
@@ -85,17 +86,49 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
     # the taken branch, so latin rows never pay the char-gram pass
     df = df.withColumn("_canon_ns", canon_nospace(F.col("doc")))
     df = df.withColumn(
+        "char_primary",
+        char_fallback_cond(
+            F.col("_canon_ns"), F.col("tokens"), cfg.char_fallback_avg_len
+        ),
+    )
+    df = df.withColumn(
         "shingle_hashes",
         F.when(
-            char_fallback_cond(
-                F.col("_canon_ns"), F.col("tokens"), cfg.char_fallback_avg_len
-            ),
+            F.col("char_primary"),
             char_kgram_hash_set(F.col("_canon_ns"), cfg.char_kgram_k),
         ).otherwise(shingle_hash_set(F.col("token_hashes"), cfg.shingle_k)),
     )
+    # hysteresis band: docs near the fallback boundary ALSO carry the
+    # other family (alt_hashes/alt_sig), so a near-dup pair straddling
+    # the boundary still shares a family end-to-end (banding via
+    # band_table_dual, verification via the family-aligned jaccard).
+    # Out-of-band docs (virtually the whole corpus) carry empty arrays —
+    # no extra shuffle volume, no extra kernel cost.
+    df = df.withColumn(
+        "alt_hashes",
+        F.when(
+            char_fallback_band(
+                F.col("_canon_ns"), F.col("tokens"),
+                cfg.char_fallback_avg_len, cfg.char_fallback_hysteresis,
+            ),
+            F.when(
+                F.col("char_primary"),
+                shingle_hash_set(F.col("token_hashes"), cfg.shingle_k),
+            ).otherwise(char_kgram_hash_set(F.col("_canon_ns"), cfg.char_kgram_k)),
+        ).otherwise(F.array().cast("array<long>")),
+    )
     df = with_minhash(df, cfg)
+    df = df.withColumn(
+        "alt_sig",
+        F.when(
+            F.size("alt_hashes") > 0, make_minhash_udf(cfg)(F.col("alt_hashes"))
+        ),
+    )
     df = df.withColumn("simhash", make_simhash_udf()(F.col("token_hashes")))
-    keep = ["conv_id", "n_turns", "text_sha", "shingle_hashes", "sig", "simhash"]
+    keep = [
+        "conv_id", "n_turns", "text_sha", "shingle_hashes", "sig", "simhash",
+        "char_primary", "alt_hashes", "alt_sig",
+    ]
     if cfg.verify_mode == "soft_tfidf":
         # the soft verifier needs raw tokens; other modes keep the
         # feature table narrow (shuffle volume at scale)
@@ -151,7 +184,10 @@ def run_pipeline(
     )
     features = stage("features", lambda: build_features(conversations, cfg), cache=True)
 
-    slim_cols = ["conv_id", "text_sha", "shingle_hashes", "sig", "simhash"]
+    slim_cols = [
+        "conv_id", "text_sha", "shingle_hashes", "sig", "simhash",
+        "char_primary", "alt_hashes", "alt_sig",
+    ]
     if cfg.verify_mode == "soft_tfidf":
         slim_cols.insert(2, "tokens")
     feat_slim = features.select(*slim_cols)
@@ -172,7 +208,7 @@ def run_pipeline(
         .drop("_rep")
     )
 
-    bands = stage("bands", lambda: band_table(feat_reps, cfg))
+    bands = stage("bands", lambda: band_table_dual(feat_reps, cfg))
     bstats = stage("band_stats", lambda: band_stats(bands, cfg))
 
     def build_candidates() -> DataFrame:

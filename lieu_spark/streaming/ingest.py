@@ -43,7 +43,7 @@ from ..config import DEFAULT_CONFIG, DedupeConfig
 from ..metrics import record_stage
 from ..operators.assemble import assemble_conversations
 from ..operators.exact import exact_star_pairs
-from ..operators.lsh import band_table, candidate_pairs, match_pairs
+from ..operators.lsh import band_table_dual, candidate_pairs, match_pairs
 from ..operators.verify import verify_pairs
 from ..pipeline import build_features
 
@@ -182,7 +182,7 @@ class IncrementalDeduper:
         partitioned by band-hash bucket (same overwrite-own-subdir
         idempotence recipe as the feature fold)."""
         (
-            band_table(feats, self.cfg)
+            band_table_dual(feats, self.cfg)
             .withColumn(
                 "bh_bucket",
                 F.pmod(F.col("band_hash"), F.lit(BAND_BUCKETS)).cast("int"),
@@ -268,7 +268,7 @@ class IncrementalDeduper:
             .filter(F.col("conv_id") == F.col("_rep"))
             .drop("_rep")
         )
-        feat_bands = band_table(feat_reps, self.cfg)
+        feat_bands = band_table_dual(feat_reps, self.cfg)
         within = candidate_pairs(feat_bands, self.cfg).unionByName(
             exact_star_pairs(feats)
         )

@@ -96,3 +96,109 @@ def test_fallback_untouched_for_latin(spark):
         char_fallback_cond(F.col("cns"), F.col("tokens"), 10.0)
     ).count()
     assert n_fallback == 0
+
+
+def _boundary_transcripts(spark):
+    """Near-dup pairs that STRADDLE the fallback boundary (ratio ~10):
+    a mostly-CJK clause plus a tail of latin tokens; the dup drops two
+    latin tokens, nudging its chars-per-token ratio across avg_len while
+    the original stays below. Both land inside the default 20%
+    hysteresis band."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    cjk_letters = CJK37.replace(" ", "")
+    for c in range(8):
+        # one 107-char unsegmented CJK token + 20 latin tokens of 5
+        # chars: base ratio (107+100)/21 = 9.86 (word-primary, in band);
+        # dup drops the LAST latin token -> (107+95)/20 = 10.1
+        # (char-primary, in band) — a genuine straddle. Word-shingle
+        # J = 16/17 = 0.941 >= threshold_likely.
+        clause = "".join(
+            cjk_letters[(c * 11 + i) % len(cjk_letters)] for i in range(107)
+        )
+        tail = [f"w{c}{i:02d}x" for i in range(20)]
+        base = clause + " " + " ".join(tail)
+        dup = clause + " " + " ".join(tail[:-1])
+        rows.append((f"bconv{c}", 0, "user", base, None, t0))
+        rows.append((f"bdup{c}", 0, "user", dup, None, t0))
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_boundary_straddling_pairs_found_with_hysteresis(spark):
+    """Round-2 advisory: a near-dup pair with one doc on each side of
+    char_fallback_avg_len used to land in disjoint hash families
+    (guaranteed J=0, pair lost). With the hysteresis band both docs
+    emit both families, band in both, and verify family-aligned."""
+    from pyspark.sql import functions as F2
+
+    from lieu_spark.functions.text import canon_nospace, char_fallback_cond, tokenize
+    from lieu_spark.oracle import family_jaccard
+
+    tr = _boundary_transcripts(spark)
+    cfg = DedupeConfig()
+
+    # fixture sanity: at least one pair must genuinely straddle avg_len
+    docs = tr.withColumn("tokens", tokenize(F2.col("text"))).withColumn(
+        "cns", canon_nospace(F2.col("text"))
+    )
+    sides = {
+        r.conv_id: r.cp
+        for r in docs.select(
+            "conv_id",
+            char_fallback_cond(
+                F2.col("cns"), F2.col("tokens"), cfg.char_fallback_avg_len
+            ).alias("cp"),
+        ).collect()
+    }
+    straddling = [
+        c for c in range(8) if sides[f"bconv{c}"] != sides[f"bdup{c}"]
+    ]
+    assert straddling, f"fixture never straddles the boundary: {sides}"
+
+    res = run_pipeline(spark, tr, cfg, with_spans=False)
+    got = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in dupe_pairs(res.verified).select("id_a", "id_b").collect()
+    }
+    texts = {r.conv_id: r.text for r in tr.collect()}
+    for c in straddling:
+        pair = tuple(sorted((f"bconv{c}", f"bdup{c}")))
+        # only require pairs the family-aligned oracle scores as dupes
+        if family_jaccard(texts[pair[0]], texts[pair[1]], cfg) >= cfg.threshold_likely:
+            assert pair in got, (pair, sorted(got))
+
+    # regression direction: with hysteresis disabled these same pairs
+    # are guaranteed lost (disjoint families -> J=0)
+    res0 = run_pipeline(
+        spark, tr, DedupeConfig(char_fallback_hysteresis=0.0), with_spans=False
+    )
+    got0 = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in dupe_pairs(res0.verified).select("id_a", "id_b").collect()
+    }
+    for c in straddling:
+        assert tuple(sorted((f"bconv{c}", f"bdup{c}"))) not in got0
+
+
+def test_hysteresis_zero_alt_columns_empty(spark):
+    """char_fallback_hysteresis=0 reproduces the single-family feature
+    table exactly: alt arrays empty, alt sigs null — and the latin
+    corpus never pays the band even at the default setting."""
+    from pyspark.sql import functions as F2
+
+    from lieu_spark.corpus import generate_df
+    from lieu_spark.operators.assemble import assemble_conversations
+    from lieu_spark.pipeline import build_features
+
+    convs = assemble_conversations(generate_df(spark, 42, 40))
+    for cfg in (DedupeConfig(), DedupeConfig(char_fallback_hysteresis=0.0)):
+        feats = build_features(convs, cfg)
+        n_alt = feats.filter(
+            (F2.size("alt_hashes") > 0) | F2.col("alt_sig").isNotNull()
+        ).count()
+        assert n_alt == 0, cfg.char_fallback_hysteresis

@@ -203,7 +203,7 @@ def test_stream_match_plan_no_index_reband(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from lieu_spark.operators.assemble import assemble_conversations
-    from lieu_spark.operators.lsh import band_table, match_pairs
+    from lieu_spark.operators.lsh import band_table_dual, match_pairs
     from lieu_spark.pipeline import build_features
     from lieu_spark.streaming.ingest import IncrementalDeduper
 
@@ -234,7 +234,7 @@ def test_stream_match_plan_no_index_reband(spark, tmp_path):
         .filter(F.col("conv_id") == F.col("_rep"))
         .drop("_rep")
     )
-    feat_bands = band_table(feat_reps, CFG)
+    feat_bands = band_table_dual(feat_reps, CFG)
     stored = ded._band_state(before_batch=1)
     cross = match_pairs(
         ded._prune_buckets(stored, feat_bands), feat_bands, CFG,
@@ -245,9 +245,10 @@ def test_stream_match_plan_no_index_reband(spark, tmp_path):
             "simple"
         )
     )
-    # exactly ONE Generate: the incoming micro-batch's own banding; the
-    # stored side is a plain parquet scan of pre-derived bands
-    assert plan.count("Generate") == 1, plan
+    # exactly TWO Generates, BOTH on the incoming micro-batch side (its
+    # primary- and alt-family banding); the stored side is a plain
+    # parquet scan of pre-derived bands — zero Generate over the index
+    assert plan.count("Generate") == 2, plan
     # the stored side is a parquet FileScan of pre-derived bands …
     assert "FileScan parquet" in plan, plan
     # … partition-pruned: the batch touches < all BAND_BUCKETS buckets,
