@@ -57,6 +57,11 @@ TRANSCRIPT_DDL = (
 # micro-batch's match join prunes to the buckets it actually touches
 BAND_BUCKETS = 64
 
+# cap on the candidate-id literal list pushed into the verify-side index
+# scan (In(conv_id, ...) row-group pruning); larger candidate sets fall
+# back to the plain join — a physical knob, not a semantic one
+VERIFY_ID_CAP = 10_000
+
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
     """(FileSystem, Path) for a string path via Spark's Hadoop conf —
@@ -216,6 +221,25 @@ class IncrementalDeduper:
             .drop("batch_id")
         )
 
+    def _bounded_index(self, index: DataFrame, cand: DataFrame) -> DataFrame:
+        """Index features restricted to the ids verification can touch
+        (cand's id_a side — id_b is always batch-local). A bounded
+        collect (≤ VERIFY_ID_CAP + 1, over the PERSISTED candidate set)
+        turns the restriction into a pushed In(conv_id, ...) predicate,
+        so the scan of the wide feature columns row-group-prunes against
+        the sorted per-batch fold; past the cap the plain full join
+        stands (parity-exact either way — dropped rows cannot join)."""
+        ids = [
+            r[0]
+            for r in cand.select("id_a")
+            .distinct()
+            .limit(VERIFY_ID_CAP + 1)
+            .collect()
+        ]
+        if len(ids) > VERIFY_ID_CAP:
+            return index
+        return index.filter(F.col("conv_id").isin(ids))
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Candidates = within-batch self-pairs (LSH bands + exact-sha
         star — the same families as the batch pipeline, so a batch's OWN
@@ -244,9 +268,13 @@ class IncrementalDeduper:
         micro-batch is small) against the stored, pre-derived band
         state pruned to the batch's own band-hash buckets: no sig
         explode over the index, no shuffle of the stored side. The
-        remaining O(index) touch is the column-pruned feature join in
-        verification (conv_id/text_sha/shingle sets for matched ids),
-        which is a scan, not a recompute.
+        verify-side feature fetch is bounded to the candidate ids
+        (_bounded_index: a pushed In(conv_id,...) predicate that
+        row-group-prunes the wide columns against the sorted fold).
+        The one remaining full touch of the index is the text_sha
+        equi-join — two thin columns, broadcast-joined against the
+        batch; at extreme scale a sha bloom filter folded per batch
+        would prune it the same way the band store prunes the LSH side.
 
         Exactly-once state under at-least-once foreachBatch: pairs,
         index fold, and band fold are written to per-batch
@@ -292,10 +320,18 @@ class IncrementalDeduper:
             ).select("id_a", "id_b")
             cand = within.unionByName(cross_lsh).unionByName(
                 cross_sha
-            ).dropDuplicates(["id_a", "id_b"])
-            all_feats = index.unionByName(feats)
+            ).dropDuplicates(["id_a", "id_b"]).persist()
+            # bound the verify-side index scan: the only canonical
+            # features verification can touch are the cand id_a rows
+            # (the id_b side is always this batch). For the typical
+            # trickle batch that is a short literal list — pushed into
+            # the parquet scan as In(conv_id, ...), it row-group-prunes
+            # the WIDE columns (shingle sets) via the min/max stats the
+            # sorted fold below guarantees. Past the cap, fall back to
+            # the plain join (AQE broadcasts the candidate side).
+            all_feats = self._bounded_index(index, cand).unionByName(feats)
         else:
-            cand = within.dropDuplicates(["id_a", "id_b"])
+            cand = within.dropDuplicates(["id_a", "id_b"]).persist()
             all_feats = feats
         # persist: pairs write and the index fold below are two actions
         # over this plan — unpersisted, the second re-runs banding,
@@ -306,6 +342,7 @@ class IncrementalDeduper:
         verified.write.mode("overwrite").parquet(
             f"{self.pairs_dir}/batch_id={batch_id}"
         )
+        cand.unpersist()
         dupe_ids = (
             verified.filter(
                 F.col("status").isin("exact_duplicate", "likely_duplicate")
@@ -314,10 +351,12 @@ class IncrementalDeduper:
             .distinct()
         )
         new_uniques = feats.join(dupe_ids, "conv_id", "left_anti").persist()
-        # S8 parity: fold this batch's uniques into the canonical index,
-        # then fold their DERIVED band table (same subdir recipe) so no
-        # later batch ever re-bands the index
-        new_uniques.write.mode("overwrite").parquet(
+        # S8 parity: fold this batch's uniques into the canonical index
+        # (sorted within partitions by conv_id so parquet min/max stats
+        # make later batches' In(conv_id, ...) verify pushdown prune row
+        # groups), then fold their DERIVED band table (same subdir
+        # recipe) so no later batch ever re-bands the index
+        new_uniques.sortWithinPartitions("conv_id").write.mode("overwrite").parquet(
             f"{self.index_dir}/batch_id={batch_id}"
         )
         self._write_bands(new_uniques, batch_id)

@@ -284,3 +284,42 @@ def test_stream_config_fingerprint_guard(spark, tmp_path):
         )
     # same config resumes fine
     run_stream(spark, str(in_dir), str(work), CFG, available_now=True)
+
+
+def test_stream_verify_index_scan_bounded(spark, tmp_path):
+    """The verify-side index fetch pushes the candidate-id list into the
+    parquet scan (In(conv_id, ...) in PushedFilters) so the wide feature
+    columns row-group-prune — the scan is bounded by the MATCHED ids,
+    not the index size."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lieu_spark.streaming.ingest import IncrementalDeduper
+
+    ts = dt.datetime(2026, 1, 1)
+    b1 = _mini_batch(spark, [
+        (f"a{i}", 0, "user",
+         f"alpha beta gamma delta epsilon zeta {i} eta theta iota kappa",
+         None, ts)
+        for i in range(5)
+    ])
+    work = tmp_path / "wb"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", CFG,
+        bands_dir=f"{work}/bands",
+    )
+    ded.process_batch(b1, 0)
+    index = ded._load_index(before_batch=1)
+    cand = spark.createDataFrame(
+        [("a0", "n1"), ("a3", "n2")], "id_a string, id_b string"
+    )
+    bounded = ded._bounded_index(index, cand)
+    plan = bounded._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "In(conv_id" in plan, plan
+    got = sorted(r.conv_id for r in bounded.collect())
+    assert got == ["a0", "a3"], got
