@@ -323,3 +323,41 @@ def test_stream_verify_index_scan_bounded(spark, tmp_path):
     assert "In(conv_id" in plan, plan
     got = sorted(r.conv_id for r in bounded.collect())
     assert got == ["a0", "a3"], got
+
+
+def test_stream_cross_batch_boundary_straddling_pair(spark, tmp_path):
+    """A hysteresis-band near-dup pair split ACROSS batches: the word-
+    primary doc arrives first and folds into the index; its char-primary
+    near-dup (ratio just past avg_len) arrives a batch later. The match
+    must come through the STORED family-tagged band table — the
+    streaming twin of the batch hysteresis test."""
+    import datetime as dt
+
+    from lieu_spark.queries import CJK37
+    from lieu_spark.streaming.ingest import IncrementalDeduper
+
+    ts = dt.datetime(2026, 1, 1)
+    cjk_letters = CJK37.replace(" ", "")
+    clause = "".join(cjk_letters[(7 + i) % len(cjk_letters)] for i in range(107))
+    tail = [f"s{i:03d}x" for i in range(20)]
+    base = clause + " " + " ".join(tail)        # ratio 9.86: word-primary, in band
+    dup = clause + " " + " ".join(tail[:-1])    # ratio 10.10: char-primary, in band
+
+    work = tmp_path / "wstrad"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", CFG,
+        bands_dir=f"{work}/bands",
+    )
+    ded.process_batch(_mini_batch(spark, [("orig", 0, "user", base, None, ts)]), 0)
+    ded.process_batch(_mini_batch(spark, [("copy", 0, "user", dup, None, ts)]), 1)
+
+    pairs = spark.read.parquet(f"{work}/pairs")
+    dupes = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(
+            "status in ('exact_duplicate', 'likely_duplicate')"
+        ).collect()
+    }
+    assert ("orig", "copy") in dupes, sorted(
+        (r.id_a, r.id_b, r.status, round(r.jaccard, 3)) for r in pairs.collect()
+    )
