@@ -11,10 +11,13 @@ batch-over-batch index merge, /root/reference/lib/lieu/spark/tfidf.py:43-45).
       --work-dir /path/to/stream_state \
       [--metrics-dir DIR] [--continuous] [--files-per-trigger 8]
       [--shingle-k 5] [--threshold 0.9]
-      [--verify-mode shingles|signatures|soft_tfidf]
+      [--verify-mode shingles|signatures|soft_tfidf] [--compact]
 
 State under --work-dir:
     index/batch_id=N/   canonical feature index, folded per batch
+    bands/batch_id=N/   derived LSH band table, folded per batch
+                        (bucketed by band_hash; the per-batch match
+                        reads this, never re-bands the index)
     pairs/batch_id=N/   verified pairs per batch (overwrite-
                         idempotent: a checkpoint replay rewrites its
                         own subdir instead of appending a duplicate)
@@ -53,12 +56,18 @@ def main() -> None:
         choices=["shingles", "signatures", "soft_tfidf"],
         default="shingles",
     )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="after draining, merge all-but-newest index/band batch "
+             "subdirs into one (keeps long-lived state at O(1) subdirs; "
+             "crash-safe, row-identical — streaming/ingest.compact_state)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from lieu_spark.config import DedupeConfig
-    from lieu_spark.streaming.ingest import run_stream
+    from lieu_spark.streaming.ingest import compact_state, run_stream
 
     spark = SparkSession.builder.appName("lieu_spark_stream").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -95,8 +104,13 @@ def main() -> None:
             return 0
         return spark.read.parquet(path).count()
 
+    compacted = None
+    if args.compact:
+        compacted = compact_state(spark, args.work_dir)
+
     summary = {
         "wall_sec": round(time.time() - t0, 2),
+        "compacted": compacted,
         "index_size": _count(os.path.join(args.work_dir, "index")),
         "pairs": _count(os.path.join(args.work_dir, "pairs")),
         "config_fingerprint": cfg.fingerprint(),

@@ -112,6 +112,129 @@ def _batch_subdir_ids(spark: SparkSession, dir_str: str) -> list[int] | None:
     return ids
 
 
+COMPACT_TMP = "_compacting"
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS (same store as the
+    state it describes — works for hdfs:// and s3:// work dirs)."""
+    fs, path = _hadoop_fs(spark, path_str)
+    out = fs.create(path, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def _fs_read_text(spark: SparkSession, path_str: str) -> str:
+    """Read a small text file through the Hadoop FS. (NOT
+    spark.read.text: Hadoop's hidden-file filter silently ignores the
+    underscore-prefixed names the manifest must use so parquet readers
+    skip it.)"""
+    fs, path = _hadoop_fs(spark, path_str)
+    stream = fs.open(path)
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def _finish_compaction(spark: SparkSession, state_dir: str) -> bool:
+    """Complete (or clean up) a pending compaction swap.
+
+    The tmp dir holds the FULL merged data; its manifest (written last)
+    is the commit point. Missing manifest = aborted build: original
+    subdirs are intact, so the tmp is garbage and is deleted. Present
+    manifest = committed: deleting the merged subdirs and renaming the
+    tmp to batch_id=<target> is idempotent, so a crash anywhere in the
+    swap is healed by re-running this (readers call it before every
+    state load)."""
+    import json as _json
+
+    tmp = f"{state_dir}/{COMPACT_TMP}"
+    if not _path_exists(spark, tmp):
+        return False
+    fs, _ = _hadoop_fs(spark, state_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    manifest_path = f"{tmp}/_MANIFEST.txt"
+    if not _path_exists(spark, manifest_path):
+        fs.delete(jvm_path(tmp), True)  # aborted build; originals intact
+        return False
+    manifest = _json.loads(_fs_read_text(spark, manifest_path))
+    for b in manifest["merged"]:
+        p = jvm_path(f"{state_dir}/batch_id={b}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    fs.rename(jvm_path(tmp), jvm_path(f"{state_dir}/batch_id={manifest['target']}"))
+    return True
+
+
+def compact_state(spark: SparkSession, work_dir: str, keep_last: int = 1) -> dict:
+    """Merge all but the newest ``keep_last`` batch subdirectories of the
+    index and band state into ONE subdir each (labeled with the highest
+    merged batch id, so every `batch_id < N` read is unchanged).
+
+    Why: per-batch subdirs are the idempotence unit, but a long-lived
+    stream accumulates one per micro-batch — at 10^5 batches the
+    listStatus and partition discovery that make per-batch reads cheap
+    become the bottleneck themselves. Periodic compaction keeps the
+    subdir count O(1) while preserving exact semantics: the merged data
+    is the union of the merged subdirs (row-identical), the newest
+    ``keep_last`` batches stay un-merged because only the newest batch
+    can be replayed by the at-least-once checkpoint, and the index is
+    rewritten clustered+sorted by conv_id so the verify-side
+    In(conv_id, ...) pushdown prunes even better than against the raw
+    fold. Crash-safe: data lands in a tmp dir first, the manifest is
+    the commit point, and readers auto-heal a half-finished swap
+    (_finish_compaction). Pairs subdirs are NOT compacted — they are a
+    results log with per-batch provenance, not matcher state."""
+    import json as _json
+
+    out: dict = {}
+    fs, _ = _hadoop_fs(spark, work_dir)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    for kind in ("index", "bands"):
+        state_dir = f"{work_dir}/{kind}"
+        _finish_compaction(spark, state_dir)
+        ids = sorted(_batch_subdir_ids(spark, state_dir) or [])
+        if len(ids) - keep_last < 2:
+            out[kind] = {"merged": 0}
+            continue
+        merge = ids[: len(ids) - keep_last]
+        target = max(merge)
+        df = (
+            spark.read.parquet(state_dir)
+            .filter(F.col("batch_id").isin(merge))
+            .drop("batch_id")
+        )
+        tmp = f"{state_dir}/{COMPACT_TMP}"
+        if _path_exists(spark, tmp):
+            fs.delete(jvm_path(tmp), True)
+        if kind == "index":
+            (
+                df.repartition(
+                    max(spark.sparkContext.defaultParallelism, 1), F.col("conv_id")
+                )
+                .sortWithinPartitions("conv_id")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            (
+                df.repartition(F.col("bh_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bh_bucket")
+                .parquet(tmp)
+            )
+        _fs_write_text(
+            spark,
+            f"{tmp}/_MANIFEST.txt",
+            _json.dumps({"merged": merge, "target": target}),
+        )
+        _finish_compaction(spark, state_dir)
+        out[kind] = {"merged": len(merge), "target": target}
+    return out
+
+
 class IncrementalDeduper:
     """foreachBatch handler: match each micro-batch against the canonical
     index, append verified pairs, fold new uniques (and their derived
@@ -163,6 +286,11 @@ class IncrementalDeduper:
         than the current batch means the stream checkpoint was lost or
         re-pointed — batch ids restarted — and proceeding would
         OVERWRITE old state subdir by subdir."""
+        # auto-heal a half-finished compaction swap before ANY state
+        # read — the tmp dir holds the full merged data, so completion
+        # is deterministic (see _finish_compaction)
+        _finish_compaction(self.spark, self.index_dir)
+        _finish_compaction(self.spark, self.bands_dir)
         newest = self._newest_state_batch()
         if newest is not None and newest > before_batch:
             raise ValueError(

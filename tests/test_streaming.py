@@ -361,3 +361,100 @@ def test_stream_cross_batch_boundary_straddling_pair(spark, tmp_path):
     assert ("orig", "copy") in dupes, sorted(
         (r.id_a, r.id_b, r.status, round(r.jaccard, 3)) for r in pairs.collect()
     )
+
+
+def test_stream_state_compaction(spark, tmp_path):
+    """compact_state merges all-but-newest batch subdirs into one,
+    row-identically, without disturbing the checkpoint-loss guard or
+    subsequent matching; a simulated mid-swap crash (merged subdir
+    deleted, tmp + manifest present) auto-heals on the next state read."""
+    import datetime as dt
+    import json
+
+    from lieu_spark.streaming.ingest import (
+        COMPACT_TMP,
+        IncrementalDeduper,
+        _batch_subdir_ids,
+        compact_state,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+
+    def batch(i):
+        return _mini_batch(spark, [
+            (f"c{i}_{j}", 0, "user",
+             f"unique words for batch {i} row {j} " + " ".join(
+                 f"tok{i}{j}{k}" for k in range(10)),
+             None, ts)
+            for j in range(3)
+        ])
+
+    work = tmp_path / "wc"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", CFG,
+        bands_dir=f"{work}/bands",
+    )
+    for i in range(4):
+        ded.process_batch(batch(i), i)
+
+    index_before = sorted(
+        r.conv_id for r in spark.read.parquet(f"{work}/index").collect()
+    )
+    bands_before = sorted(
+        (r.id, r.band, r.band_hash)
+        for r in spark.read.parquet(f"{work}/bands").collect()
+    )
+
+    summary = compact_state(spark, str(work))
+    assert summary["index"]["merged"] == 3 and summary["index"]["target"] == 2
+    assert sorted(_batch_subdir_ids(spark, f"{work}/index")) == [2, 3]
+    assert sorted(_batch_subdir_ids(spark, f"{work}/bands")) == [2, 3]
+
+    # row-identical state after the merge
+    assert sorted(
+        r.conv_id for r in spark.read.parquet(f"{work}/index").collect()
+    ) == index_before
+    assert sorted(
+        (r.id, r.band, r.band_hash)
+        for r in spark.read.parquet(f"{work}/bands").collect()
+    ) == bands_before
+
+    # the stream continues: an exact copy of a COMPACTED batch's conv
+    # must still match through the merged state
+    dup = _mini_batch(spark, [(
+        "zdup", 0, "user",
+        "unique words for batch 0 row 1 " + " ".join(
+            f"tok01{k}" for k in range(10)),
+        None, ts,
+    )])
+    ded.process_batch(dup, 4)
+    pairs = spark.read.parquet(f"{work}/pairs")
+    hits = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter("status = 'exact_duplicate'").collect()
+    }
+    assert ("c0_1", "zdup") in hits, sorted(hits)
+    # checkpoint-loss guard still fires after compaction
+    with pytest.raises(ValueError, match="checkpoint"):
+        ded.process_batch(batch(0), 0)
+
+    # crash recovery: rebuild a pending swap by hand — tmp with manifest,
+    # one merged subdir already deleted — and let the next read heal it
+    idx_dir = f"{work}/index"
+    full = spark.read.parquet(idx_dir)
+    merged_rows = sorted(r.conv_id for r in full.collect())
+    fs = spark._jvm.org.apache.hadoop.fs.Path(idx_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    P = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = f"{idx_dir}/{COMPACT_TMP}"
+    full.filter("batch_id in (2, 3)").drop("batch_id").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    out = fs.create(P(f"{tmp}/_MANIFEST.txt"), True)
+    out.write(bytearray(json.dumps({"merged": [2, 3], "target": 3}).encode()))
+    out.close()
+    fs.delete(P(f"{idx_dir}/batch_id=2"), True)  # simulated mid-swap crash
+    healed = ded._load_index(before_batch=5)
+    assert sorted(r.conv_id for r in healed.collect()) == merged_rows
+    assert sorted(_batch_subdir_ids(spark, idx_dir)) == [3, 4]
