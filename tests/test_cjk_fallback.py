@@ -202,3 +202,48 @@ def test_hysteresis_zero_alt_columns_empty(spark):
             (F2.size("alt_hashes") > 0) | F2.col("alt_sig").isNotNull()
         ).count()
         assert n_alt == 0, cfg.char_fallback_hysteresis
+
+
+def test_boundary_straddling_pair_signatures_mode(spark):
+    """The family alignment must hold in verify_mode='signatures' too:
+    a straddling pair compares word-sig to word-sig via the band side's
+    alt_sig, not primary-to-primary across disjoint families."""
+    tr = _boundary_transcripts(spark)
+    cfg = DedupeConfig(verify_mode="signatures")
+    res = run_pipeline(spark, tr, cfg, with_spans=False)
+    got = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in dupe_pairs(res.verified).select("id_a", "id_b").collect()
+    }
+    # identical token multisets -> identical word sigs -> agreement 1.0;
+    # the byte-identical fixture pairs are the guaranteed subset
+    # (signature agreement is an ESTIMATOR for near-dups, so only exact
+    # word-set twins are asserted here)
+    from pyspark.sql import functions as F2
+
+    from lieu_spark.functions.text import canon_nospace, char_fallback_cond, tokenize
+
+    docs = tr.withColumn("tokens", tokenize(F2.col("text"))).withColumn(
+        "cns", canon_nospace(F2.col("text"))
+    )
+    sides = {
+        r.conv_id: r.cp
+        for r in docs.select(
+            "conv_id",
+            char_fallback_cond(
+                F2.col("cns"), F2.col("tokens"), cfg.char_fallback_avg_len
+            ).alias("cp"),
+        ).collect()
+    }
+    straddling = [c for c in range(8) if sides[f"bconv{c}"] != sides[f"bdup{c}"]]
+    assert straddling
+    # word-shingle sets differ only by trailing windows (J=16/17), so
+    # sig agreement is high; require the pairs to at least be CANDIDATES
+    # that verified >= review tier rather than vanishing at J=0
+    reviewed = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in res.verified.filter("jaccard >= 0.7").select("id_a", "id_b").collect()
+    }
+    for c in straddling:
+        pair = tuple(sorted((f"bconv{c}", f"bdup{c}")))
+        assert pair in (got | reviewed), (pair, sorted(got | reviewed))
