@@ -186,7 +186,15 @@ def compact_state(spark: SparkSession, work_dir: str, keep_last: int = 1) -> dic
     fold. Crash-safe: data lands in a tmp dir first, the manifest is
     the commit point, and readers auto-heal a half-finished swap
     (_finish_compaction). Pairs subdirs are NOT compacted — they are a
-    results log with per-batch provenance, not matcher state."""
+    results log with per-batch provenance, not matcher state.
+
+    Run this with the stream STOPPED (the --compact CLI flag runs it
+    after an availableNow drain): crash-recovery covers a compactor
+    that dies, but a reader that lists the state dir in the window
+    between the swap's deletes and its rename would see a partial
+    union — single-writer-at-a-time is the contract, same as every
+    non-transactional parquet layout (an Iceberg-backed deployment
+    gets this atomicity from the table format instead)."""
     import json as _json
 
     out: dict = {}
