@@ -18,6 +18,9 @@ State under --work-dir:
     bands/batch_id=N/   derived LSH band table, folded per batch
                         (bucketed by band_hash; the per-batch match
                         reads this, never re-bands the index)
+    shas/batch_id=N/    (conv_id, text_sha) fold, sha-sorted — the
+                        cross-batch exact match reads this with the
+                        batch's shas pushed into the scan
     pairs/batch_id=N/   verified pairs per batch (overwrite-
                         idempotent: a checkpoint replay rewrites its
                         own subdir instead of appending a duplicate)

@@ -200,7 +200,7 @@ def compact_state(spark: SparkSession, work_dir: str, keep_last: int = 1) -> dic
     out: dict = {}
     fs, _ = _hadoop_fs(spark, work_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    for kind in ("index", "bands"):
+    for kind in ("index", "bands", "shas"):
         state_dir = f"{work_dir}/{kind}"
         _finish_compaction(spark, state_dir)
         ids = sorted(_batch_subdir_ids(spark, state_dir) or [])
@@ -223,6 +223,18 @@ def compact_state(spark: SparkSession, work_dir: str, keep_last: int = 1) -> dic
                     max(spark.sparkContext.defaultParallelism, 1), F.col("conv_id")
                 )
                 .sortWithinPartitions("conv_id")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        elif kind == "shas":
+            # range-partitioned + sorted: each file covers a contiguous
+            # sha range, so the In(text_sha, ...) pushdown skips files
+            (
+                df.repartitionByRange(
+                    max(spark.sparkContext.defaultParallelism // 4, 1),
+                    F.col("text_sha"),
+                )
+                .sortWithinPartitions("text_sha")
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
@@ -257,11 +269,13 @@ class IncrementalDeduper:
         metrics_dir: str | None = None,
         run_id: str = "stream",
         bands_dir: str | None = None,
+        shas_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.index_dir = index_dir
         self.pairs_dir = pairs_dir
         self.bands_dir = bands_dir or f"{index_dir}_bands"
+        self.shas_dir = shas_dir or f"{index_dir}_shas"
         self.cfg = cfg
         self.metrics_dir = metrics_dir
         self.run_id = run_id
@@ -299,6 +313,7 @@ class IncrementalDeduper:
         # is deterministic (see _finish_compaction)
         _finish_compaction(self.spark, self.index_dir)
         _finish_compaction(self.spark, self.bands_dir)
+        _finish_compaction(self.spark, self.shas_dir)
         newest = self._newest_state_batch()
         if newest is not None and newest > before_batch:
             raise ValueError(
@@ -357,6 +372,57 @@ class IncrementalDeduper:
             .drop("batch_id")
         )
 
+    def _write_shas(self, feats: DataFrame, batch_id: int) -> None:
+        """Fold the batch's (conv_id, text_sha) projection into per-batch
+        state, ONE file sorted by text_sha — so the cross-batch exact
+        match reads a dedicated two-column table whose row groups prune
+        against the batch's pushed In(text_sha, ...) predicate instead
+        of scanning the full feature index."""
+        (
+            feats.select("conv_id", "text_sha")
+            .coalesce(1)
+            .sortWithinPartitions("text_sha")
+            .write.mode("overwrite")
+            .parquet(f"{self.shas_dir}/batch_id={batch_id}")
+        )
+
+    def _sha_state(self, before_batch: int) -> DataFrame | None:
+        """Stored (conv_id, text_sha) table as of ``before_batch``;
+        backfills pre-upgrade work_dirs from the feature index (the
+        projection is exact, so backfill reproduces the fold)."""
+        sha_ids = set(_batch_subdir_ids(self.spark, self.shas_dir) or [])
+        index_ids = _batch_subdir_ids(self.spark, self.index_dir) or []
+        prior = [i for i in index_ids if i < before_batch]
+        for i in sorted(set(prior) - sha_ids):
+            self._write_shas(
+                self.spark.read.parquet(f"{self.index_dir}/batch_id={i}"), i
+            )
+        if not prior:
+            return None
+        return (
+            self.spark.read.parquet(self.shas_dir)
+            .filter(F.col("batch_id") < before_batch)
+            .drop("batch_id")
+        )
+
+    def _pruned_shas(self, stored_shas: DataFrame, feats: DataFrame) -> DataFrame:
+        """Prune the stored sha table to the batch's own shas: a bounded
+        collect of the batch's distinct text_shas (micro-batch-sized)
+        pushed as In(text_sha, ...) — row groups of the sha-sorted fold
+        skip. Past the cap the plain join stands (a matching stored row
+        must share text_sha with some batch row, so pruning is
+        parity-exact)."""
+        shas = [
+            r[0]
+            for r in feats.select("text_sha")
+            .distinct()
+            .limit(VERIFY_ID_CAP + 1)
+            .collect()
+        ]
+        if len(shas) > VERIFY_ID_CAP:
+            return stored_shas
+        return stored_shas.filter(F.col("text_sha").isin(shas))
+
     def _bounded_index(self, index: DataFrame, cand: DataFrame) -> DataFrame:
         """Index features restricted to the ids verification can touch
         (cand's id_a side — id_b is always batch-local). A bounded
@@ -407,10 +473,11 @@ class IncrementalDeduper:
         verify-side feature fetch is bounded to the candidate ids
         (_bounded_index: a pushed In(conv_id,...) predicate that
         row-group-prunes the wide columns against the sorted fold).
-        The one remaining full touch of the index is the text_sha
-        equi-join — two thin columns, broadcast-joined against the
-        batch; at extreme scale a sha bloom filter folded per batch
-        would prune it the same way the band store prunes the LSH side.
+        The cross-batch exact match reads a dedicated sha-sorted
+        (conv_id, text_sha) fold pruned to the batch's own shas
+        (_pruned_shas) — so EVERY per-batch touch of the canonical
+        state is pruned or bounded; nothing scales with raw index size
+        except the (skippable) row groups themselves.
 
         Exactly-once state under at-least-once foreachBatch: pairs,
         index fold, and band fold are written to per-batch
@@ -448,10 +515,13 @@ class IncrementalDeduper:
                 F.col("canonical_id").alias("id_a"),
                 F.col("incoming_id").alias("id_b"),
             )
-            cross_sha = index.select(
+            stored_shas = self._sha_state(before_batch=batch_id)
+            cross_sha = self._pruned_shas(stored_shas, feats).select(
                 F.col("conv_id").alias("id_a"), "text_sha"
             ).join(
-                feats.select(F.col("conv_id").alias("id_b"), "text_sha"),
+                F.broadcast(
+                    feats.select(F.col("conv_id").alias("id_b"), "text_sha")
+                ),
                 "text_sha",
             ).select("id_a", "id_b")
             cand = within.unionByName(cross_lsh).unionByName(
@@ -496,6 +566,7 @@ class IncrementalDeduper:
             f"{self.index_dir}/batch_id={batch_id}"
         )
         self._write_bands(new_uniques, batch_id)
+        self._write_shas(new_uniques, batch_id)
         if self.metrics_dir is not None:
             # per-batch, per-partition lineage (north_rule): one cheap
             # pass over the PERSISTED feature table, no recompute
@@ -594,6 +665,7 @@ def run_stream(
     dedupe = IncrementalDeduper(
         spark, f"{work_dir}/index", f"{work_dir}/pairs", cfg,
         metrics_dir=metrics_dir, bands_dir=f"{work_dir}/bands",
+        shas_dir=f"{work_dir}/shas",
     )
     stream = stream_transcripts(spark, input_dir, files_per_trigger)
     writer = (

@@ -458,3 +458,98 @@ def test_stream_state_compaction(spark, tmp_path):
     healed = ded._load_index(before_batch=5)
     assert sorted(r.conv_id for r in healed.collect()) == merged_rows
     assert sorted(_batch_subdir_ids(spark, idx_dir)) == [3, 4]
+
+
+def test_stream_sha_state_pruned_and_correct(spark, tmp_path):
+    """The cross-batch exact match reads the dedicated sha fold with the
+    batch's shas pushed into the scan (In(text_sha, ...)); the fold is
+    row-identical to the index's (conv_id, text_sha) projection and
+    compaction covers it."""
+    import datetime as dt
+
+    from lieu_spark.pipeline import build_features
+    from lieu_spark.operators.assemble import assemble_conversations
+    from lieu_spark.streaming.ingest import (
+        IncrementalDeduper,
+        _batch_subdir_ids,
+        compact_state,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+    b1 = _mini_batch(spark, [
+        (f"s{i}", 0, "user", f"first batch doc {i} " + " ".join(
+            f"w{i}{k}" for k in range(8)), None, ts)
+        for i in range(4)
+    ])
+    work = tmp_path / "wsha"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", CFG,
+        bands_dir=f"{work}/bands", shas_dir=f"{work}/shas",
+    )
+    ded.process_batch(b1, 0)
+
+    # fold row-identical to the index projection
+    idx = {
+        (r.conv_id, r.text_sha)
+        for r in spark.read.parquet(f"{work}/index").select(
+            "conv_id", "text_sha"
+        ).collect()
+    }
+    shas = {
+        (r.conv_id, r.text_sha)
+        for r in spark.read.parquet(f"{work}/shas").select(
+            "conv_id", "text_sha"
+        ).collect()
+    }
+    assert shas == idx
+
+    # pruned scan: batch shas land in PushedFilters as In(text_sha ...)
+    b2 = _mini_batch(spark, [
+        ("z0", 0, "user", "first batch doc 0 " + " ".join(
+            f"w0{k}" for k in range(8)), None, ts),
+    ])
+    feats = build_features(assemble_conversations(b2), CFG)
+    stored = ded._sha_state(before_batch=1)
+    pruned = ded._pruned_shas(stored, feats)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    # a 1-element isin folds to EqualTo — either way it reaches
+    # PushedFilters on the sha scan
+    assert "In(text_sha" in plan or "EqualTo(text_sha" in plan, plan
+    # and the pruned state still carries exactly the matching row
+    got = {r.conv_id for r in pruned.collect()}
+    assert got == {"s0"}, got
+
+    # second batch matches through it end-to-end
+    ded.process_batch(b2, 1)
+    pairs = spark.read.parquet(f"{work}/pairs")
+    hits = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter("status = 'exact_duplicate'").collect()
+    }
+    assert ("s0", "z0") in hits, sorted(hits)
+
+    # compaction covers the sha state
+    ded.process_batch(_mini_batch(spark, [
+        ("y0", 0, "user", "a third batch document " + " ".join(
+            f"y{k}" for k in range(8)), None, ts),
+    ]), 2)
+    summary = compact_state(spark, str(work))
+    assert summary["shas"]["merged"] == 2
+    assert sorted(_batch_subdir_ids(spark, f"{work}/shas")) == [1, 2]
+    shas_after = {
+        (r.conv_id, r.text_sha)
+        for r in spark.read.parquet(f"{work}/shas").select(
+            "conv_id", "text_sha"
+        ).collect()
+    }
+    idx_after = {
+        (r.conv_id, r.text_sha)
+        for r in spark.read.parquet(f"{work}/index").select(
+            "conv_id", "text_sha"
+        ).collect()
+    }
+    assert shas_after == idx_after
