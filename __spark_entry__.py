@@ -274,12 +274,12 @@ def _q_multimodal_meta(spark, sf_dir):
 
 
 def _q_doc_fingerprint(spark, sf_dir):
-    """Rolling polynomial fingerprint, oracle-checked via the exported
-    per-token hash sequence: BOTH engines re-derive the ordered fold
-    from the export (DuckDB: list_reduce over list(th ORDER BY pos)) —
-    the order-sensitive relational half is value-verified; only the
-    xxhash64 token kernel stays pytest-verified."""
-    from lieu_spark.functions.analysis import MOD31
+    """Rolling polynomial fingerprint: Spark returns the PRODUCTION
+    functions/analysis.doc_fingerprint column; DuckDB independently
+    re-derives the ordered fold from the exported per-token hash
+    sequence (list_reduce over list(th ORDER BY pos)) — the
+    order-sensitive fold is value-verified against the product itself,
+    and only the xxhash64 token kernel stays pytest-verified."""
     from lieu_spark.functions.text import tokenize
     from lieu_spark.oracle_export import export_for_oracle
 
@@ -293,28 +293,18 @@ def _q_doc_fingerprint(spark, sf_dir):
             "doc_id", "pos", F.pmod(F.xxhash64("tok"), F.lit(1 << 31)).alias("th")
         )
     )
-    exp = export_for_oracle(spark, th, "doc_token_hashes")
-    folded = (
-        exp.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "th"))).alias("s"))
-        .select(
-            "doc_id",
-            (
-                F.aggregate(
-                    F.transform(F.col("s"), lambda x: x["th"]),
-                    F.lit(0).cast("long"),
-                    lambda acc, t: (acc * 131 + t) % F.lit(MOD31),
-                )
-                % F.lit(MOD31)
-            ).alias("fingerprint"),
-        )
-    )
-    return (
-        d.select("doc_id")
-        .join(folded, "doc_id", "left")
-        .na.fill({"fingerprint": 0})
-        .orderBy("doc_id")
-    )
+    export_for_oracle(spark, th, "doc_token_hashes")
+    # the SPARK side returns the PRODUCTION fingerprint column
+    # (functions/analysis.doc_fingerprint) — DuckDB independently
+    # re-derives the fold from the exported hash sequence, so a change
+    # to the production multiplier/modulus/token handling MISMATCHES
+    # instead of being silently copied into both sides (the check
+    # verifies the product, not a twin of itself)
+    from lieu_spark.functions.analysis import doc_fingerprint
+
+    return d.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

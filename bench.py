@@ -173,21 +173,34 @@ def run_one(
     )
 
     emb = Q.load(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
     lsh_topk = hyperplane_lsh_topk(emb, k=5).persist()
     ann = lsh_topk.count()
     timings["ann_lsh_topk"] = time.time() - t2
+    # IVF recall must be measured on vectors OUTSIDE the k-means
+    # training sample (training members bias cell assignment recall
+    # upward): train on the LOWEST ids, query the HIGHEST — disjoint
+    n_rq = int(os.environ.get("ANN_RECALL_QUERIES", "200"))
+    from lieu_spark.operators.ann import ivf_centroids
+
+    cents = ivf_centroids(
+        emb, ncentroids=16, sample_limit=min(4096, max(16, n_emb - n_rq))
+    )
     t2b = time.time()
-    ivf = ivf_topk(emb, k=5).persist()
+    ivf = ivf_topk(emb, k=5, centroids=cents).persist()
     ivf.count()
     timings["ann_ivf_topk"] = time.time() - t2b
 
     # measured ANN recall@5 vs exact-cosine ground truth (VERDICT r2 #6):
-    # truth for a bounded query sample (ANN_RECALL_QUERIES lowest ids)
-    # against ALL candidates — Q*n pairs, distributed, never n^2
-    n_rq = int(os.environ.get("ANN_RECALL_QUERIES", "200"))
+    # truth for a bounded query sample (ANN_RECALL_QUERIES highest ids —
+    # held out of IVF training) against ALL candidates — Q*n pairs,
+    # distributed, never n^2
     qids = [
         r.vec_id
-        for r in emb.select("vec_id").orderBy("vec_id").limit(n_rq).collect()
+        for r in emb.select("vec_id")
+        .orderBy(F.col("vec_id").desc())
+        .limit(n_rq)
+        .collect()
     ]
     qdf = emb.filter(F.col("vec_id").isin(qids))
     truth_topk = _topk(

@@ -66,6 +66,14 @@ def main() -> None:
              "crash-safe, row-identical — streaming/ingest.compact_state)",
     )
     args = ap.parse_args()
+    if args.compact and args.continuous:
+        # compaction is single-writer (see compact_state): it must not
+        # run concurrently with a live stream, and silently skipping it
+        # would let state grow one subdir per micro-batch unnoticed
+        ap.error(
+            "--compact requires drain mode: stop the stream (or use the "
+            "default availableNow catch-up run) before compacting"
+        )
 
     from pyspark.sql import SparkSession
 

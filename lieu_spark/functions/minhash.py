@@ -85,5 +85,59 @@ def make_minhash_udf(cfg: DedupeConfig):
     return minhash_udf
 
 
+def make_minhash_pair_udf(cfg: DedupeConfig):
+    """pandas UDF: (primary hashes, alt hashes) -> struct(sig, alt_sig)
+    in ONE Arrow pass. Spark's UDF extraction evaluates a python UDF
+    unconditionally even under a CASE guard, so a separate alt-sig UDF
+    would cost a second full-column round trip per feature build; fusing
+    the two means the (virtually always empty) alt arrays ride along in
+    the same batch for near-zero marginal bytes, and alt_sig is computed
+    only for the rows that actually carry an alt family (null
+    otherwise)."""
+    from pyspark.sql.types import StructField, StructType
+
+    num_perm = cfg.num_perm
+    schema = StructType(
+        [
+            StructField("sig", ArrayType(LongType())),
+            StructField("alt_sig", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def minhash_pair_udf(hashes: pd.Series, alt: pd.Series) -> pd.DataFrame:
+        sig = oph_batch(hashes, num_perm)
+        n = len(alt)
+        alt_out: list = [None] * n
+        nz = [i for i in range(n) if len(alt.iat[i])]
+        if nz:
+            alt_sigs = oph_batch(
+                pd.Series([alt.iat[i] for i in nz]), num_perm
+            )
+            for j, i in enumerate(nz):
+                alt_out[i] = alt_sigs.iat[j]
+        return pd.DataFrame({"sig": sig, "alt_sig": alt_out})
+
+    return minhash_pair_udf
+
+
 def with_minhash(df, cfg: DedupeConfig, hashes_col: str = "shingle_hashes"):
     return df.withColumn("sig", make_minhash_udf(cfg)(F.col(hashes_col)))
+
+
+def with_minhash_dual(
+    df,
+    cfg: DedupeConfig,
+    hashes_col: str = "shingle_hashes",
+    alt_col: str = "alt_hashes",
+):
+    """Attach sig AND alt_sig from one fused Arrow pass (see
+    make_minhash_pair_udf); alt_sig is null for rows with no alt
+    family — identical values to two with_minhash calls."""
+    pair = make_minhash_pair_udf(cfg)(F.col(hashes_col), F.col(alt_col))
+    return (
+        df.withColumn("_mh", pair)
+        .withColumn("sig", F.col("_mh.sig"))
+        .withColumn("alt_sig", F.col("_mh.alt_sig"))
+        .drop("_mh")
+    )

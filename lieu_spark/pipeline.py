@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .checkpoint import StageStore
 from .config import DEFAULT_CONFIG, DedupeConfig
-from .functions.minhash import make_minhash_udf, with_minhash
+from .functions.minhash import with_minhash_dual
 from .functions.simhash import make_simhash_udf
 from .functions.text import (
     canon_nospace,
@@ -102,8 +102,11 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
     # other family (alt_hashes/alt_sig), so a near-dup pair straddling
     # the boundary still shares a family end-to-end (banding via
     # band_table_dual, verification via the family-aligned jaccard).
-    # Out-of-band docs (virtually the whole corpus) carry empty arrays —
-    # no extra shuffle volume, no extra kernel cost.
+    # Out-of-band docs (virtually the whole corpus) carry empty arrays:
+    # near-zero extra shuffle bytes, and the alt signature rides the
+    # SAME fused Arrow pass as the primary (with_minhash_dual) so there
+    # is no second per-row python round trip — the kernel itself runs
+    # only on in-band rows.
     df = df.withColumn(
         "alt_hashes",
         F.when(
@@ -117,13 +120,7 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
             ).otherwise(char_kgram_hash_set(F.col("_canon_ns"), cfg.char_kgram_k)),
         ).otherwise(F.array().cast("array<long>")),
     )
-    df = with_minhash(df, cfg)
-    df = df.withColumn(
-        "alt_sig",
-        F.when(
-            F.size("alt_hashes") > 0, make_minhash_udf(cfg)(F.col("alt_hashes"))
-        ),
-    )
+    df = with_minhash_dual(df, cfg)
     df = df.withColumn("simhash", make_simhash_udf()(F.col("token_hashes")))
     keep = [
         "conv_id", "n_turns", "text_sha", "shingle_hashes", "sig", "simhash",

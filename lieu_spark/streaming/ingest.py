@@ -51,10 +51,13 @@ TRANSCRIPT_DDL = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
 
-# physical layout knob (NOT part of the semantic config fingerprint —
-# changing it relayouts state, it cannot change any result): stored
-# bands are partitioned by pmod(band_hash, BAND_BUCKETS) so a
-# micro-batch's match join prunes to the buckets it actually touches
+# default band-store partitioning modulus for NEW state dirs: stored
+# bands are partitioned by pmod(band_hash, buckets) so a micro-batch's
+# match join prunes to the buckets it actually touches. The modulus an
+# EXISTING store was written with is stamped in its _layout.json and
+# always wins — pruning with a different modulus than the one baked
+# into the directory names would silently drop true matches, so this
+# constant only seeds brand-new state.
 BAND_BUCKETS = 64
 
 # cap on the candidate-id literal list pushed into the verify-side index
@@ -333,6 +336,29 @@ class IncrementalDeduper:
             .drop("batch_id")
         )
 
+    def _band_buckets(self) -> int:
+        """Partitioning modulus of the band store: read from the store's
+        _layout.json (stamped on first write). A store that predates the
+        marker was written with the original constant 64 and is stamped
+        as such; only a brand-new store adopts the current BAND_BUCKETS.
+        Pruning/folding MUST use the stored modulus — the bucket values
+        are baked into directory names."""
+        import json as _json
+
+        if getattr(self, "_band_buckets_cached", None) is not None:
+            return self._band_buckets_cached
+        marker = f"{self.bands_dir}/_layout.json"
+        if _path_exists(self.spark, marker):
+            buckets = int(_json.loads(_fs_read_text(self.spark, marker))["band_buckets"])
+        else:
+            legacy = _batch_subdir_ids(self.spark, self.bands_dir)
+            buckets = 64 if legacy else BAND_BUCKETS
+            _fs_write_text(
+                self.spark, marker, _json.dumps({"band_buckets": buckets})
+            )
+        self._band_buckets_cached = buckets
+        return buckets
+
     def _write_bands(self, feats: DataFrame, batch_id: int) -> None:
         """Fold the batch's derived band table into per-batch state,
         partitioned by band-hash bucket (same overwrite-own-subdir
@@ -341,7 +367,7 @@ class IncrementalDeduper:
             band_table_dual(feats, self.cfg)
             .withColumn(
                 "bh_bucket",
-                F.pmod(F.col("band_hash"), F.lit(BAND_BUCKETS)).cast("int"),
+                F.pmod(F.col("band_hash"), F.lit(self._band_buckets())).cast("int"),
             )
             .repartition(F.col("bh_bucket"))
             .write.mode("overwrite")
@@ -352,18 +378,32 @@ class IncrementalDeduper:
     def _band_state(self, before_batch: int) -> DataFrame | None:
         """Stored band table as of the start of ``before_batch``.
 
-        Pre-r3 work_dirs carry an index without folded bands; any index
-        batch missing its band subdir is backfilled here (one-time, from
-        the already-folded features — band derivation is deterministic,
-        so backfill reproduces exactly what the fold would have written).
-        """
+        Any index batch missing its band subdir (manual state surgery, a
+        crash in the window between the index write and the band fold of
+        a batch that was then never replayed) is backfilled here — band
+        derivation is deterministic, so backfill reproduces exactly what
+        the fold would have written. Backfill REQUIRES the dual-family
+        feature schema: an index written by a pre-dual build would
+        backfill family-untagged bands and silently lose char-family
+        matches, so it is refused loudly instead (such state is already
+        unresumable — the config fingerprint changed — and must be
+        rebuilt by replaying the landing directory)."""
         band_ids = set(_batch_subdir_ids(self.spark, self.bands_dir) or [])
         index_ids = _batch_subdir_ids(self.spark, self.index_dir) or []
         prior = [i for i in index_ids if i < before_batch]
         for i in sorted(set(prior) - band_ids):
-            self._write_bands(
-                self.spark.read.parquet(f"{self.index_dir}/batch_id={i}"), i
-            )
+            feats = self.spark.read.parquet(f"{self.index_dir}/batch_id={i}")
+            missing = {"alt_sig", "char_primary"} - set(feats.columns)
+            if missing:
+                raise ValueError(
+                    f"index batch {i} at {self.index_dir} lacks the dual-"
+                    f"family feature columns {sorted(missing)} — it was "
+                    "written by a pre-dual-schema build and cannot be "
+                    "band-backfilled safely. Rebuild the stream state in "
+                    "a fresh work_dir (replaying the landing directory "
+                    "reproduces it)."
+                )
+            self._write_bands(feats, i)
         if not prior:
             return None
         return (
@@ -374,13 +414,16 @@ class IncrementalDeduper:
 
     def _write_shas(self, feats: DataFrame, batch_id: int) -> None:
         """Fold the batch's (conv_id, text_sha) projection into per-batch
-        state, ONE file sorted by text_sha — so the cross-batch exact
-        match reads a dedicated two-column table whose row groups prune
-        against the batch's pushed In(text_sha, ...) predicate instead
-        of scanning the full feature index."""
+        state, range-partitioned + sorted by text_sha — each file covers
+        a contiguous sha range, so the cross-batch exact match's pushed
+        In(text_sha, ...) predicate skips files/row groups instead of
+        scanning the full feature index. Range partitioning (not
+        coalesce(1)): a large catch-up batch or an index-sized backfill
+        must not funnel its whole sort+write through one task."""
+        parts = max(self.spark.sparkContext.defaultParallelism // 4, 1)
         (
             feats.select("conv_id", "text_sha")
-            .coalesce(1)
+            .repartitionByRange(parts, F.col("text_sha"))
             .sortWithinPartitions("text_sha")
             .write.mode("overwrite")
             .parquet(f"{self.shas_dir}/batch_id={batch_id}")
@@ -388,8 +431,9 @@ class IncrementalDeduper:
 
     def _sha_state(self, before_batch: int) -> DataFrame | None:
         """Stored (conv_id, text_sha) table as of ``before_batch``;
-        backfills pre-upgrade work_dirs from the feature index (the
-        projection is exact, so backfill reproduces the fold)."""
+        a missing sha subdir (same crash/surgery cases as _band_state)
+        is backfilled from the feature index — the projection is exact,
+        so backfill reproduces the fold bit-for-bit."""
         sha_ids = set(_batch_subdir_ids(self.spark, self.shas_dir) or [])
         index_ids = _batch_subdir_ids(self.spark, self.index_dir) or []
         prior = [i for i in index_ids if i < before_batch]
@@ -590,22 +634,24 @@ class IncrementalDeduper:
         buckets the micro-batch actually touches. A matching stored row
         shares band_hash with some incoming row, hence its bucket —
         filtered rows cannot match, so pruning is parity-exact. The
-        bucket list is a bounded collect (≤ BAND_BUCKETS values) over
+        bucket list is a bounded collect (≤ the store's modulus) over
         the micro-batch's own bands; with the listed values in an
         ``isin`` predicate on the partition column, Spark skips the
         untouched bucket directories entirely — the trickle-batch case
-        reads a fraction of the stored state."""
+        reads a fraction of the stored state. The modulus comes from
+        the STORE's layout marker, never the module constant — pruning
+        with a different modulus than the directory names were written
+        with would silently drop true matches."""
+        mod = self._band_buckets()
         buckets = sorted(
             r[0]
             for r in feat_bands.select(
-                F.pmod(F.col("band_hash"), F.lit(BAND_BUCKETS))
-                .cast("int")
-                .alias("b")
+                F.pmod(F.col("band_hash"), F.lit(mod)).cast("int").alias("b")
             )
             .distinct()
             .collect()
         )
-        if len(buckets) >= BAND_BUCKETS:
+        if len(buckets) >= mod:
             return stored_bands
         return stored_bands.filter(F.col("bh_bucket").isin(buckets))
 
