@@ -73,3 +73,39 @@ def test_identical_sets_identical_signatures():
 def test_empty_signature_sentinel():
     sig = oracle.minhash_signature([], CFG)
     assert len(sig) == CFG.num_perm and all(s == -1 for s in sig)  # MASK64 as signed
+
+
+def test_fused_dual_minhash_equals_two_passes(spark):
+    """with_minhash_dual must be value-identical to two independent
+    with_minhash calls: same sig for every row, alt_sig = minhash of
+    alt_hashes where non-empty, null where empty (the fused Arrow pass
+    is a performance shape, never a semantics change)."""
+    from pyspark.sql import functions as F
+
+    from lieu_spark.config import DedupeConfig
+    from lieu_spark.functions.minhash import with_minhash, with_minhash_dual
+
+    cfg = DedupeConfig()
+    rows = [
+        (f"d{i}",
+         [j * 7919 + i for j in range(i % 5 * 10)],          # primary
+         [j * 104729 + i for j in range(20)] if i % 3 == 0 else [])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, shingle_hashes array<long>, alt_hashes array<long>"
+    )
+    fused = {
+        r.conv_id: (tuple(r.sig), tuple(r.alt_sig) if r.alt_sig is not None else None)
+        for r in with_minhash_dual(df, cfg).collect()
+    }
+    prim = {r.conv_id: tuple(r.sig) for r in with_minhash(df, cfg).collect()}
+    alt = {
+        r.conv_id: tuple(r.sig)
+        for r in with_minhash(
+            df.filter(F.size("alt_hashes") > 0), cfg, hashes_col="alt_hashes"
+        ).collect()
+    }
+    for cid, (sig, alt_sig) in fused.items():
+        assert sig == prim[cid], cid
+        assert alt_sig == alt.get(cid), cid
