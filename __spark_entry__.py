@@ -116,7 +116,7 @@ def _q_copied_spans(spark, sf_dir):
     feats = Q.doc_features(spark, sf_dir)
     cand = winnow_span_candidates(feats, cfg)
     docs = feats.select("conv_id", "doc")
-    export_for_oracle(spark, docs, "span_docs")
+    export_for_oracle(spark, docs, "span_docs", single_file=False)
     pa = docs.select(F.col("conv_id").alias("id_a"), F.col("doc").alias("doc_a"))
     pb = docs.select(F.col("conv_id").alias("id_b"), F.col("doc").alias("doc_b"))
     spans = copied_spans(cand.join(pa, "id_a").join(pb, "id_b"), cfg)
@@ -293,7 +293,7 @@ def _q_doc_fingerprint(spark, sf_dir):
             "doc_id", "pos", F.pmod(F.xxhash64("tok"), F.lit(1 << 31)).alias("th")
         )
     )
-    export_for_oracle(spark, th, "doc_token_hashes")
+    export_for_oracle(spark, th, "doc_token_hashes", single_file=False)
     # the SPARK side returns the PRODUCTION fingerprint column
     # (functions/analysis.doc_fingerprint) — DuckDB independently
     # re-derives the fold from the exported hash sequence, so a change

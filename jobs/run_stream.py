@@ -117,7 +117,7 @@ def main() -> None:
 
     compacted = None
     if args.compact:
-        compacted = compact_state(spark, args.work_dir)
+        compacted = compact_state(spark, args.work_dir, cfg=cfg)
 
     summary = {
         "wall_sec": round(time.time() - t0, 2),

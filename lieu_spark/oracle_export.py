@@ -50,11 +50,18 @@ def export_path(name: str) -> str:
     return os.path.join(EXPORT_DIR, f"{name}.parquet")
 
 
-def export_for_oracle(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+def export_for_oracle(
+    spark: SparkSession, df: DataFrame, name: str, single_file: bool = True
+) -> DataFrame:
     """Write ``df`` to the shared export location and return a frame
-    reading it back (single file: the exports are bounded metadata
-    tables, and one file keeps the DuckDB side trivially addressable).
-    """
+    reading it back (single file by default: most exports are bounded
+    metadata tables — a few rows per document — and one file keeps the
+    listing trivial). The DuckDB side reads ``{name}.parquet/*.parquet``
+    either way, so the handful of exports that are NOT bounded per doc
+    (per-token tables, full doc texts) pass ``single_file=False`` and
+    keep their write parallel instead of funneling the sort/serialize
+    through one task."""
     path = export_path(name)
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

@@ -163,15 +163,55 @@ def _finish_compaction(spark: SparkSession, state_dir: str) -> bool:
         fs.delete(jvm_path(tmp), True)  # aborted build; originals intact
         return False
     manifest = _json.loads(_fs_read_text(spark, manifest_path))
+    # Hadoop FileSystem reports failure by RETURNING FALSE, not raising.
+    # An unchecked failed delete of the target subdir would make the
+    # rename below move the tmp dir INSIDE the still-existing target
+    # (HDFS rename-into-directory semantics), stranding the only copy of
+    # the merged batches in a hidden nested path — so every step is
+    # checked and a failure raises with the swap still healable (tmp +
+    # manifest intact, re-running this completes it).
     for b in manifest["merged"]:
         p = jvm_path(f"{state_dir}/batch_id={b}")
-        if fs.exists(p):
-            fs.delete(p, True)
-    fs.rename(jvm_path(tmp), jvm_path(f"{state_dir}/batch_id={manifest['target']}"))
+        if fs.exists(p) and not fs.delete(p, True):
+            raise IOError(
+                f"compaction swap: failed to delete merged subdir {p} of "
+                f"{state_dir}; tmp+manifest left intact — re-run to heal"
+            )
+    target = jvm_path(f"{state_dir}/batch_id={manifest['target']}")
+    if not fs.rename(jvm_path(tmp), target):
+        raise IOError(
+            f"compaction swap: failed to rename {tmp} to {target}; "
+            "tmp+manifest left intact — re-run to heal"
+        )
     return True
 
 
-def compact_state(spark: SparkSession, work_dir: str, keep_last: int = 1) -> dict:
+def _resolve_state_dirs(spark: SparkSession, work_dir: str) -> dict[str, str]:
+    """Map state kinds to their directories, honoring BOTH layouts:
+    run_stream's ``{work_dir}/{bands,shas}`` and IncrementalDeduper's
+    constructor defaults ``{index_dir}_bands`` / ``{index_dir}_shas``.
+    Existence decides (the legacy suffix layout wins only when the
+    run_stream dir is absent and it is present) — compacting the wrong
+    path would silently no-op the kind while still compacting the index,
+    leaving band/sha batch ids out of sync with the merged index."""
+    index_dir = f"{work_dir}/index"
+    dirs = {"index": index_dir}
+    for kind, suffix in (("bands", "_bands"), ("shas", "_shas")):
+        primary = f"{work_dir}/{kind}"
+        legacy = f"{index_dir}{suffix}"
+        if not _path_exists(spark, primary) and _path_exists(spark, legacy):
+            dirs[kind] = legacy
+        else:
+            dirs[kind] = primary
+    return dirs
+
+
+def compact_state(
+    spark: SparkSession,
+    work_dir: str,
+    keep_last: int = 1,
+    cfg: DedupeConfig | None = None,
+) -> dict:
     """Merge all but the newest ``keep_last`` batch subdirectories of the
     index and band state into ONE subdir each (labeled with the highest
     merged batch id, so every `batch_id < N` read is unchanged).
@@ -197,15 +237,63 @@ def compact_state(spark: SparkSession, work_dir: str, keep_last: int = 1) -> dic
     between the swap's deletes and its rename would see a partial
     union — single-writer-at-a-time is the contract, same as every
     non-transactional parquet layout (an Iceberg-backed deployment
-    gets this atomicity from the table format instead)."""
+    gets this atomicity from the table format instead).
+
+    Holes first: any index batch missing its band/sha subdir (the
+    crash/surgery cases _band_state and _sha_state backfill) is
+    backfilled BEFORE merging — merging around a hole would bake it
+    into state permanently, because afterwards the per-kind batch ids
+    line up again and the backfill can never detect the missing rows
+    (silent recall loss for every doc in the lost subdir). Sha backfill
+    is a pure projection; band backfill derives bands and therefore
+    needs the stream's ``cfg`` — required only when a band hole
+    actually exists, and checked against the work_dir's config marker
+    so a wrong config can't corrupt the store."""
     import json as _json
 
     out: dict = {}
     fs, _ = _hadoop_fs(spark, work_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    for kind in ("index", "bands", "shas"):
-        state_dir = f"{work_dir}/{kind}"
+    dirs = _resolve_state_dirs(spark, work_dir)
+    for state_dir in dirs.values():
         _finish_compaction(spark, state_dir)
+    index_ids = _batch_subdir_ids(spark, dirs["index"]) or []
+    if index_ids:
+        after_newest = max(index_ids) + 1
+        ded = IncrementalDeduper(
+            spark,
+            dirs["index"],
+            f"{work_dir}/pairs",
+            cfg or DEFAULT_CONFIG,
+            bands_dir=dirs["bands"],
+            shas_dir=dirs["shas"],
+        )
+        # sha backfill: exact projection of the index, config-free
+        ded._sha_state(before_batch=after_newest)
+        band_holes = set(index_ids) - set(
+            _batch_subdir_ids(spark, dirs["bands"]) or []
+        )
+        if band_holes:
+            if cfg is None:
+                raise ValueError(
+                    f"band state at {dirs['bands']} is missing subdirs for "
+                    f"index batches {sorted(band_holes)}; backfilling them "
+                    "derives bands and needs the stream's DedupeConfig — "
+                    "pass cfg= (merging around the hole would bake it in)"
+                )
+            marker = f"{work_dir}/_config_marker"
+            if _path_exists(spark, marker):
+                lines = [r.value for r in spark.read.text(marker).collect()]
+                stored = _json.loads("".join(lines))["fingerprint"]
+                if stored != cfg.fingerprint():
+                    raise ValueError(
+                        f"work_dir {work_dir} was built with config "
+                        f"fingerprint {stored}; backfilling bands with the "
+                        f"given config ({cfg.fingerprint()}) would corrupt "
+                        "the store"
+                    )
+            ded._band_state(before_batch=after_newest)
+    for kind, state_dir in dirs.items():
         ids = sorted(_batch_subdir_ids(spark, state_dir) or [])
         if len(ids) - keep_last < 2:
             out[kind] = {"merged": 0}
@@ -351,18 +439,36 @@ class IncrementalDeduper:
         if _path_exists(self.spark, marker):
             buckets = int(_json.loads(_fs_read_text(self.spark, marker))["band_buckets"])
         else:
+            # infer WITHOUT writing: this accessor also serves read-only
+            # paths (pruning, diagnostics against a store another writer
+            # owns) and a reader must not mutate state under the
+            # single-writer contract — the marker is stamped by
+            # _write_bands (the write path) only
             legacy = _batch_subdir_ids(self.spark, self.bands_dir)
             buckets = 64 if legacy else BAND_BUCKETS
-            _fs_write_text(
-                self.spark, marker, _json.dumps({"band_buckets": buckets})
-            )
         self._band_buckets_cached = buckets
         return buckets
+
+    def _stamp_band_layout(self) -> None:
+        """Persist the band store's partitioning modulus (write path
+        only — called from _write_bands before the first fold so every
+        later reader prunes with the modulus the directory names were
+        actually written with)."""
+        import json as _json
+
+        marker = f"{self.bands_dir}/_layout.json"
+        if not _path_exists(self.spark, marker):
+            _fs_write_text(
+                self.spark,
+                marker,
+                _json.dumps({"band_buckets": self._band_buckets()}),
+            )
 
     def _write_bands(self, feats: DataFrame, batch_id: int) -> None:
         """Fold the batch's derived band table into per-batch state,
         partitioned by band-hash bucket (same overwrite-own-subdir
         idempotence recipe as the feature fold)."""
+        self._stamp_band_layout()
         (
             band_table_dual(feats, self.cfg)
             .withColumn(

@@ -553,3 +553,98 @@ def test_stream_sha_state_pruned_and_correct(spark, tmp_path):
         ).collect()
     }
     assert shas_after == idx_after
+
+
+def test_compaction_backfills_band_holes_and_legacy_dirs(spark, tmp_path):
+    """compact_state (a) resolves the deduper's constructor-default
+    ``{index_dir}_shas`` layout instead of silently no-opping that kind,
+    (b) refuses to merge around a band-subdir hole without the stream's
+    config, and (c) given the config, backfills the hole row-identically
+    BEFORE merging — merging around it would bake the loss into state
+    permanently (the per-kind batch ids line up again afterwards, so the
+    ordinary backfill could never detect it)."""
+    import datetime as dt
+    import shutil
+
+    from lieu_spark.streaming.ingest import (
+        IncrementalDeduper,
+        _batch_subdir_ids,
+        compact_state,
+    )
+
+    ts = dt.datetime(2026, 1, 1)
+
+    def batch(i):
+        return _mini_batch(spark, [
+            (f"h{i}_{j}", 0, "user",
+             f"hole test batch {i} row {j} " + " ".join(
+                 f"hk{i}{j}{k}" for k in range(10)),
+             None, ts)
+            for j in range(2)
+        ])
+
+    work = tmp_path / "wh"
+    # shas_dir intentionally omitted: constructor default {index}_shas
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", CFG,
+        bands_dir=f"{work}/bands",
+    )
+    for i in range(4):
+        ded.process_batch(batch(i), i)
+
+    bands_before = sorted(
+        (r.id, r.band, r.band_hash)
+        for r in spark.read.parquet(f"{work}/bands").collect()
+    )
+    shas_before = sorted(
+        (r.conv_id, r.text_sha)
+        for r in spark.read.parquet(f"{work}/index_shas").collect()
+    )
+
+    # punch a hole: batch 1's band fold is lost (crash between the
+    # index write and the band fold, never replayed)
+    shutil.rmtree(f"{work}/bands/batch_id=1")
+
+    with pytest.raises(ValueError, match="missing subdirs"):
+        compact_state(spark, str(work))
+
+    summary = compact_state(spark, str(work), cfg=CFG)
+    # the legacy-layout sha dir was found and compacted, not no-opped
+    assert summary["shas"]["merged"] == 3
+    assert sorted(_batch_subdir_ids(spark, f"{work}/index_shas")) == [2, 3]
+    assert summary["bands"]["merged"] == 3
+    # the hole was backfilled before the merge: row-identical band state
+    assert sorted(
+        (r.id, r.band, r.band_hash)
+        for r in spark.read.parquet(f"{work}/bands").collect()
+    ) == bands_before
+    assert sorted(
+        (r.conv_id, r.text_sha)
+        for r in spark.read.parquet(f"{work}/index_shas").collect()
+    ) == shas_before
+
+
+def test_band_layout_marker_only_written_by_write_path(spark, tmp_path):
+    """_band_buckets on a read-only path must not mutate the store
+    (single-writer contract): the _layout.json marker appears only once
+    the write path folds bands."""
+    import datetime as dt
+    import os
+
+    from lieu_spark.streaming.ingest import BAND_BUCKETS, IncrementalDeduper
+
+    work = tmp_path / "wm"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", CFG,
+        bands_dir=f"{work}/bands",
+    )
+    assert ded._band_buckets() == BAND_BUCKETS
+    assert not os.path.exists(f"{work}/bands/_layout.json")
+
+    ts = dt.datetime(2026, 1, 1)
+    ded.process_batch(_mini_batch(spark, [(
+        "m0", 0, "user",
+        "marker stamp doc " + " ".join(f"mk{k}" for k in range(10)),
+        None, ts,
+    )]), 0)
+    assert os.path.exists(f"{work}/bands/_layout.json")
