@@ -257,6 +257,49 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe hyperplane LSH (single-bit lowest-margin
+    perturbations, Lv et al. VLDB'07 — operators/ann.py
+    hyperplane_probes): a query's candidates are its probe list joined
+    against MEMBER buckets (probe_rank 0) — the IVF probes-vs-members
+    shape, so recall rises without growing the stored index. Oracle-
+    checked via the exported (id, table, probe_rank, bucket) table;
+    measured at iso-candidate-budget on the sf0.1 vectors: recall@5
+    0.676 vs the single-probe default's 0.642 with HALF the tables
+    (BENCH.md knob table)."""
+    from pyspark.sql import Window
+
+    from lieu_spark.operators.ann import hyperplane_probes
+    from lieu_spark.oracle_export import export_for_oracle
+
+    e = Q.load(spark, sf_dir, "embeddings")
+    probes = export_for_oracle(
+        spark,
+        hyperplane_probes(e, nbits=8, ntables=8, nprobes=8),
+        "mp_probes",
+    )
+    members = probes.filter(F.col("probe_rank") == 0).select(
+        F.col("id").alias("id_b"), "table", "bucket"
+    )
+    cand = (
+        probes.select(F.col("id").alias("id_a"), "table", "bucket")
+        .join(members, ["table", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = _cos6_rerank(e, cand)
+    w = Window.partitionBy("id_a").orderBy(F.col("cos6").desc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("id_a").alias("vec_id"), "rank", F.col("id_b").alias("nbr_id"), "cos6"
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     """mapInPandas binary decode, oracle-checked via the exported
     metadata table: DuckDB recomputes n_bytes INDEPENDENTLY from the
@@ -373,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # condition, see _q_copied_spans)
         "copied_spans": _q_copied_spans,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_multiprobe_topk": _q_ann_multiprobe_topk,
     }
     return base
 

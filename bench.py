@@ -231,10 +231,16 @@ def run_one(
     # (nbits=8, ntables=8) buckets that embedding_neardup_pairs uses
     truth_nd = truth_topk.filter(F.col("cosine") >= 0.95)
     nd_topk = hyperplane_lsh_topk(emb, k=5, nbits=8, ntables=8)
+    # multi-probe at the same candidate budget as the single-probe
+    # default but HALF the stored tables (measured frontier, BENCH.md)
+    from lieu_spark.operators.ann import hyperplane_multiprobe_topk
+
+    mp_topk = hyperplane_multiprobe_topk(emb, k=5, nbits=8, ntables=8, nprobes=8)
     ann_recall = {
         "lsh_recall_at_5": _recall(truth_topk, lsh_topk),
         "ivf_recall_at_5": _recall(truth_topk, ivf),
         "lsh_neardup_recall": _recall(truth_nd, nd_topk),
+        "mp_recall_at_5": _recall(truth_topk, mp_topk),
     }
     truth_topk.unpersist()
     lsh_topk.unpersist()
@@ -256,7 +262,6 @@ def run_one(
         )
         from lieu_spark.streaming.ingest import run_stream
 
-        t3 = time.time()
         sp_root = CACHE / f"stream_parity_{cores}"
         if sp_root.exists():
             _sh.rmtree(sp_root)
@@ -267,6 +272,12 @@ def run_one(
             tdf.withColumn("chunk", chunk).filter(F.col("chunk") == c).drop(
                 "chunk"
             ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        # timer starts AFTER input staging: fabricating the 3 arrival
+        # chunks (3 corpus scans through single-task writes) is test
+        # fixture setup, not the system under test — the batch headline
+        # likewise starts with its corpus already on disk. The timed
+        # window is run_stream (ingest+match+fold) + the parity check.
+        t3 = time.time()
         run_stream(
             spark, str(in_dir), str(sp_root / "work"), cfg,
             available_now=True, files_per_trigger=1,

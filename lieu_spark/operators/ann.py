@@ -136,6 +136,135 @@ def hyperplane_buckets(
     ).withColumn("table", F.col("table").cast("long"))
 
 
+def _make_probes_udf(nbits: int, ntables: int, seed: int, nprobes: int):
+    """pandas UDF: embedding -> flat array of ntables*nprobes bucket
+    keys, ordered (table 0 probes 0..P-1, table 1 probes 0..P-1, ...).
+    Probe 0 is the member bucket; probe p >= 1 flips the bit with the
+    p-th SMALLEST projection margin |dot(v, h_i)| — the bit most likely
+    to be on the wrong side for a true neighbor (multi-probe LSH,
+    Lv et al., VLDB'07, single-bit perturbations). Same
+    one-matmul-per-Arrow-batch shape as the bucket UDF; plane cache
+    shared per (dim).
+
+    nprobes is clamped to nbits+1 (member + one flip per bit): the UDF
+    must emit EXACTLY ntables*nprobes keys per vector or the caller's
+    pos -> (table, probe_rank) arithmetic misaligns."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    nprobes = min(nprobes, nbits + 1)
+    powers = (1 << np.arange(nbits, dtype=np.int64))[None, None, :]
+    cache: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        n, dim = x.shape
+        w = cache.get(dim)
+        if w is None:
+            w = hyperplanes(dim, nbits, ntables, seed).reshape(
+                ntables * nbits, dim
+            ).T.copy()
+            cache[dim] = w
+        proj = (x @ w).reshape(n, ntables, nbits)
+        bits = proj >= 0
+        main = (bits * powers).sum(axis=2)  # (n, T)
+        if nprobes == 1:
+            return pd.Series(list(main.astype(np.int64)))
+        # bit indices by |margin| ascending; flipping bit i == XOR 2^i
+        order = np.argsort(np.abs(proj), axis=2, kind="stable")[
+            :, :, : nprobes - 1
+        ]  # (n, T, P-1)
+        flipped = main[:, :, None] ^ (1 << order.astype(np.int64))
+        keys = np.concatenate([main[:, :, None], flipped], axis=2)  # (n, T, P)
+        return pd.Series(list(keys.reshape(n, ntables * nprobes).astype(np.int64)))
+
+    return probes
+
+
+def hyperplane_probes(
+    embeddings: DataFrame,
+    nbits: int = 8,
+    ntables: int = 8,
+    seed: int = 42,
+    nprobes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, probe_rank, bucket) — probe_rank 0 is the member
+    bucket (identical to ``hyperplane_buckets`` at the same knobs),
+    ranks 1..nprobes-1 are lowest-margin single-bit flips. The member
+    rows ARE the index; probe rows exist only on the query side, so
+    multi-probe raises recall without growing the stored index — the
+    standard trade against adding tables (which doubles BOTH sides of
+    the collision join and the index footprint)."""
+    nprobes = min(nprobes, nbits + 1)  # same clamp as the UDF
+    udf = _make_probes_udf(nbits, ntables, seed, nprobes)
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return base.select(
+        "id", F.posexplode(udf(F.col("vec"))).alias("pos", "bucket")
+    ).select(
+        "id",
+        (F.col("pos") / nprobes).cast("long").alias("table"),
+        F.pmod(F.col("pos"), F.lit(nprobes)).cast("int").alias("probe_rank"),
+        "bucket",
+    )
+
+
+def hyperplane_multiprobe_topk(
+    embeddings: DataFrame,
+    k: int,
+    nbits: int = 8,
+    ntables: int = 8,
+    seed: int = 42,
+    nprobes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane LSH top-k: candidates = a query's probe
+    list (all ranks) joined against MEMBER buckets (rank 0) per table —
+    the IVF probes-vs-members shape — then exact-cosine re-rank.
+
+    Scale shape: shuffles on (table, bucket); the member side is the
+    same size as single-probe LSH (n*T rows), only the query side grows
+    by the probe factor. At equal recall this beats raising ntables,
+    which multiplies the index, both join sides, AND the signature
+    cost."""
+    probes = hyperplane_probes(
+        embeddings, nbits, ntables, seed, nprobes, id_col, vec_col
+    )
+    members = probes.filter(F.col("probe_rank") == 0).select(
+        F.col("id").alias("id_b"), "table", "bucket"
+    )
+    cand = (
+        probes.select(F.col("id").alias("id_a"), "table", "bucket")
+        .join(members, ["table", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    base = _with_norm(embeddings, id_col, vec_col)
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            cosine_with_norms(
+                dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a"), F.col("nrm_b")
+            ),
+        )
+        .select("id_a", "id_b", "cosine")
+    )
+    return _topk(scored, k)
+
+
 def hyperplane_lsh_topk(
     embeddings: DataFrame,
     k: int,

@@ -1085,6 +1085,25 @@ SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
 ) WHERE rank <= 5 ORDER BY vec_id, rank
 """
 
+# Multi-probe LSH from the exported (id, table, probe_rank, bucket)
+# table: members are probe_rank = 0 rows, a query's candidates are the
+# members of every bucket on its probe list (the IVF probes-vs-members
+# shape); exact-cosine re-rank + top-5 on (cos6 desc, id)
+ORACLE["ann_multiprobe_topk"] = f"""
+WITH p AS (SELECT id, "table", probe_rank, bucket FROM read_parquet('{_ep("mp_probes")}/*.parquet')),
+cand AS (
+    SELECT DISTINCT q.id AS id_a, m.id AS id_b
+    FROM p q JOIN p m ON m."table" = q."table" AND m.bucket = q.bucket
+                     AND m.probe_rank = 0 AND m.id != q.id
+),
+{_rerank_cpairs("embeddings")}
+SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
+    SELECT id_a, id_b, cos6,
+           row_number() OVER (PARTITION BY id_a ORDER BY cos6 DESC, id_b ASC) AS rank
+    FROM cpairs
+) WHERE rank <= 5 ORDER BY vec_id, rank
+"""
+
 # LSH near-dup runs over the AUGMENTED vectors (planted exact copies),
 # with its own bucket export; re-rank restricted to exported candidates
 ORACLE["embedding_neardup_lsh"] = f"""

@@ -14,7 +14,10 @@ from lieu_spark.functions.multimodal import (
 )
 from lieu_spark.operators.ann import (
     brute_force_topk,
+    hyperplane_buckets,
     hyperplane_lsh_topk,
+    hyperplane_multiprobe_topk,
+    hyperplane_probes,
     ivf_centroids,
     ivf_topk,
 )
@@ -39,6 +42,42 @@ def test_lsh_topk_recall_vs_brute_force(spark, embeddings):
     lsh_set = {(r.id_a, r.id_b) for r in lsh.collect()}
     recall = len(bf_set & lsh_set) / len(bf_set)
     assert recall >= 0.4, recall
+
+
+def test_multiprobe_probe0_is_member_bucket(spark, embeddings):
+    """probe_rank 0 of hyperplane_probes is bit-identical to
+    hyperplane_buckets at the same knobs — the member rows ARE the
+    single-probe index, so the stored side never grows with nprobes."""
+    b = hyperplane_buckets(embeddings, nbits=8, ntables=8)
+    p0 = hyperplane_probes(
+        embeddings, nbits=8, ntables=8, nprobes=4
+    ).filter("probe_rank = 0").select("id", "table", "bucket")
+    assert b.exceptAll(p0).count() == 0 and p0.exceptAll(b).count() == 0
+
+
+def test_multiprobe_candidates_superset_and_recall(spark, embeddings):
+    """Multi-probe candidates contain every single-probe collision
+    (probe 0 reproduces them; flips only ADD buckets), so recall@5 is
+    monotone in nprobes; measured on this corpus it must strictly beat
+    the same-knob single-probe run."""
+    k = 5
+    bf = {(r.id_a, r.id_b) for r in brute_force_topk(embeddings, k).collect()}
+    single = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_lsh_topk(
+            embeddings, k, nbits=8, ntables=8
+        ).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_multiprobe_topk(
+            embeddings, k, nbits=8, ntables=8, nprobes=8
+        ).collect()
+    }
+    r_single = len(bf & single) / len(bf)
+    r_multi = len(bf & multi) / len(bf)
+    assert r_multi > r_single, (r_multi, r_single)
+    assert r_multi >= 0.4, r_multi
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, embeddings):
