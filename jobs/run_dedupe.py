@@ -46,14 +46,14 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
 
     from lieu_spark.checkpoint import StageStore
     from lieu_spark.config import DedupeConfig
     from lieu_spark.pipeline import run_pipeline
 
-    spark = SparkSession.builder.appName("lieu_spark_dedupe").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    from lieu_spark.session import attach_session
+
+    spark = attach_session("lieu_spark_dedupe")
 
     cfg = DedupeConfig(
         shingle_k=args.shingle_k,

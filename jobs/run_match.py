@@ -37,14 +37,14 @@ def main() -> None:
     ap.add_argument("--verify-mode", choices=["shingles", "signatures", "soft_tfidf"], default="shingles")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from lieu_spark.api import match
     from lieu_spark.config import DedupeConfig
 
-    spark = SparkSession.builder.appName("lieu_spark_match").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    from lieu_spark.session import attach_session
+
+    spark = attach_session("lieu_spark_match")
 
     cfg = DedupeConfig(
         shingle_k=args.shingle_k,

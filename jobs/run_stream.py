@@ -75,13 +75,13 @@ def main() -> None:
             "default availableNow catch-up run) before compacting"
         )
 
-    from pyspark.sql import SparkSession
 
     from lieu_spark.config import DedupeConfig
     from lieu_spark.streaming.ingest import compact_state, run_stream
 
-    spark = SparkSession.builder.appName("lieu_spark_stream").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    from lieu_spark.session import attach_session
+
+    spark = attach_session("lieu_spark_stream")
 
     cfg = DedupeConfig(
         shingle_k=args.shingle_k,

@@ -40,20 +40,52 @@ def match(
     (canonical_id=id_a side, incoming_id=id_b side) pairs.
 
     Reference: AddressDeduperSpark.match (spark/dedupe.py:24-48).
+
+    Scale guards — the same blocking policy as run_pipeline
+    (pipeline.py:191-206), which banding the raw feature tables would
+    bypass: content-empty docs never band (their all-sentinel MinHash
+    signature collides in EVERY band with every other empty doc — a
+    quadratic blowup match_pairs has no salting against), and the
+    canonical side bands ONE representative per text_sha (a k-copy
+    boilerplate group would otherwise flood each band with all k
+    members). Verified representative pairs are expanded back to every
+    identical-text canonical member afterwards — exact, because
+    identical text implies identical features, hence identical
+    verdicts. Byte-identical matches (including content-empty docs,
+    which the previous banding-only path could only find through the
+    sentinel collision) come from a direct text_sha equi-join. The
+    incoming side is banded unblocked — each incoming id must appear
+    in the output individually, and incoming is the small side.
     """
+    from pyspark.sql import Window
+
     canon = build_features(assemble_conversations(canonical_transcripts), cfg)
     inc = build_features(assemble_conversations(incoming_transcripts), cfg)
-    cb = band_table_dual(canon, cfg)
-    ib = band_table_dual(inc, cfg)
-    cand = match_pairs(cb, ib, cfg).select(
+    rep_w = Window.partitionBy("text_sha")
+    canon_tag = canon.withColumn("_rep", F.min("conv_id").over(rep_w))
+    canon_reps = canon_tag.filter(F.col("conv_id") == F.col("_rep")).drop("_rep")
+    cb = band_table_dual(canon_reps.filter(F.size("shingle_hashes") > 0), cfg)
+    ib = band_table_dual(inc.filter(F.size("shingle_hashes") > 0), cfg)
+    lsh_cand = match_pairs(cb, ib, cfg).select(
         F.col("canonical_id").alias("id_a"), F.col("incoming_id").alias("id_b")
     )
-    # cross-set verification: union the two feature tables (ids disjoint by
-    # construction; caller guarantees distinct key spaces)
-    feats = canon.unionByName(inc)
+    sha_cand = (
+        canon_reps.select(F.col("conv_id").alias("id_a"), "text_sha")
+        .join(inc.select(F.col("conv_id").alias("id_b"), "text_sha"), "text_sha")
+        .select("id_a", "id_b")
+    )
+    cand = lsh_cand.unionByName(sha_cand).dropDuplicates(["id_a", "id_b"])
+    # cross-set verification: union the two feature tables (ids disjoint
+    # by construction; caller guarantees distinct key spaces). Only rep
+    # ids appear on the canonical side of cand, so reps suffice.
+    feats = canon_reps.unionByName(inc)
     v = verify_pairs(cand, feats, cfg, method="match")
-    return v.select(
-        F.col("id_a").alias("canonical_id"),
+    # expand each rep verdict to the rep's identical-text members
+    members = canon_tag.select(
+        F.col("_rep").alias("id_a"), F.col("conv_id").alias("canonical_id")
+    )
+    return v.join(members, "id_a").select(
+        "canonical_id",
         F.col("id_b").alias("incoming_id"),
         "jaccard",
         "is_exact",

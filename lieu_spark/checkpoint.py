@@ -9,21 +9,43 @@ to every stage.
 In production these are Iceberg tables (``df.writeTo(tbl)``, bucket by
 conv_id); this container has no Iceberg runtime jar, so the default
 backend is parquet directories with an atomic ``_meta.json`` marker.
-The marker stores a fingerprint = hash(pipeline config + upstream stage
-fingerprints + input signature): a resume with any changed config or
-input recomputes instead of silently reusing stale outputs
-(SURVEY.md §7.3 hard part e). The Iceberg backend is the same class with
-``fmt="iceberg"`` — gated on the runtime being present.
+The marker stores a fingerprint = hash(pipeline config + input
+signature): a resume with any changed config or input recomputes instead
+of silently reusing stale outputs (SURVEY.md §7.3 hard part e). The
+input signature is the hashed sorted source-file list
+(``input_signature``) — metadata-only, no data scan; an in-memory input
+(no backing files) contributes nothing and falls back to config-only
+addressing, and files overwritten IN PLACE under the same names are not
+detected (an Iceberg deployment gets true content addressing from
+snapshot ids instead). Marker I/O goes through the Hadoop FileSystem
+(``lieu_spark.fsutil``) so hdfs:// / s3:// checkpoint roots behave like
+local ones — a driver-local ``open()`` would crash on the scheme prefix
+after the (expensive) stage data write already succeeded.
+The Iceberg backend is the same class with ``fmt="iceberg"`` — gated on
+the runtime being present.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
-import os
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .fsutil import fs_delete, fs_read_text, fs_rename, fs_write_text, path_exists
+
+
+def input_signature(df: DataFrame) -> str:
+    """Metadata-only signature of a DataFrame's file sources: hash of the
+    sorted input-file list (``df.inputFiles()`` — a listing, not a scan).
+    Empty for non-file inputs (in-memory test frames): those fall back to
+    config-only checkpoint addressing."""
+    files = sorted(df.inputFiles())
+    if not files:
+        return ""
+    return hashlib.sha256("\n".join(files).encode("utf-8")).hexdigest()[:16]
 
 
 @dataclass
@@ -32,17 +54,27 @@ class StageStore:
     fmt: str = "parquet"  # or "iceberg" (needs iceberg-spark-runtime on cp)
 
     def _dir(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+        return f"{self.root}/{stage}"
 
     def _meta_path(self, stage: str) -> str:
-        return os.path.join(self.root, f"{stage}._meta.json")
+        return f"{self.root}/{stage}._meta.json"
 
-    def has(self, stage: str, fingerprint: str) -> bool:
+    def _spark(self, spark: SparkSession | None) -> SparkSession:
+        s = spark or SparkSession.getActiveSession()
+        if s is None:
+            raise RuntimeError("StageStore needs an active SparkSession")
+        return s
+
+    def has(
+        self, stage: str, fingerprint: str, spark: SparkSession | None = None
+    ) -> bool:
+        spark = self._spark(spark)
         try:
-            with open(self._meta_path(stage)) as f:
-                meta = json.load(f)
+            if not path_exists(spark, self._meta_path(stage)):
+                return False
+            meta = json.loads(fs_read_text(spark, self._meta_path(stage)))
             return meta.get("fingerprint") == fingerprint and meta.get("complete")
-        except (OSError, json.JSONDecodeError):
+        except (OSError, ValueError):
             return False
 
     def save(self, spark: SparkSession, stage: str, df: DataFrame, fingerprint: str) -> DataFrame:
@@ -57,10 +89,14 @@ class StageStore:
             "complete": True,
             "created_unix": time.time(),
         }
+        # write-tmp-then-rename marker: the rename is the commit point,
+        # so a crash mid-write leaves no marker and the stage recomputes
         tmp = self._meta_path(stage) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path(stage))  # atomic marker
+        fs_write_text(spark, tmp, json.dumps(meta))
+        if path_exists(spark, self._meta_path(stage)):
+            fs_delete(spark, self._meta_path(stage))
+        if not fs_rename(spark, tmp, self._meta_path(stage)):
+            raise IOError(f"failed to commit checkpoint marker for stage {stage}")
         return self.load(spark, stage)
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
@@ -68,8 +104,7 @@ class StageStore:
             return spark.read.format("iceberg").load(f"{self.root}.{stage}")
         return spark.read.parquet(self._dir(stage))
 
-    def invalidate(self, stage: str) -> None:
-        try:
-            os.remove(self._meta_path(stage))
-        except OSError:
-            pass
+    def invalidate(self, stage: str, spark: SparkSession | None = None) -> None:
+        spark = self._spark(spark)
+        if path_exists(spark, self._meta_path(stage)):
+            fs_delete(spark, self._meta_path(stage))

@@ -56,4 +56,8 @@ def record_stage(
 
 
 def read_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(metrics_dir, "stage_metrics"))
+    # explicit schema: stable types independent of footer inference,
+    # and the declared DDL can't silently drift from what's written
+    return spark.read.schema(METRICS_SCHEMA).parquet(
+        os.path.join(metrics_dir, "stage_metrics")
+    )

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .checkpoint import StageStore
+from .checkpoint import StageStore, input_signature
 from .config import DEFAULT_CONFIG, DedupeConfig
 from .functions.minhash import with_minhash_dual
 from .functions.simhash import make_simhash_udf
@@ -152,18 +152,32 @@ def run_pipeline(
     useless for benchmarking attribution (bench.py runs eager)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     walls: dict[str, float] = {}
+    # checkpoint fingerprint = config + INPUT signature: resuming the
+    # same checkpoint dir against a different --input must recompute,
+    # not reuse the old corpus's stages (checkpoint.input_signature —
+    # metadata-only; in-memory inputs contribute nothing and fall back
+    # to config-only addressing, as the tests' generated frames do)
     fp = cfg.fingerprint()
+    in_sig = input_signature(transcripts)
+    if in_sig:
+        fp = f"{fp}-in{in_sig}"
 
     def stage(name: str, build, cache: bool = False) -> DataFrame:
         t0 = time.time()
-        if store is not None and store.has(name, fp):
+        if store is not None and store.has(name, fp, spark):
             df = store.load(spark, name)
             walls[name] = 0.0  # resumed, not recomputed
             return df
         df = build()
         if store is not None:
             df = store.save(spark, name, df, fp)
-        elif cache or eager:
+        elif cache or eager or metrics_dir is not None:
+            # metrics imply persist: record_stage's lineage pass is an
+            # action over this plan — unpersisted, it would execute the
+            # stage once for metrics and AGAIN for the first downstream
+            # consumer (doubling the heavy candidate/span stages). With
+            # a store the save/load round-trip is the materialization,
+            # so the lineage pass only rescans the written table.
             df = df.persist()
         if eager:
             df.count()

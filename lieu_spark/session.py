@@ -52,3 +52,28 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def attach_session(app_name: str) -> SparkSession:
+    """getOrCreate for spark-submit entrypoints (jobs/): master, deploy
+    mode, and executor sizing come from the submit command; the
+    SESSION-level confs build_session tunes are applied post-attach —
+    they are runtime-settable and otherwise silently revert to defaults
+    (shuffle.partitions=200, machine-local timezone), dropping the
+    measured one-wave win and making ts-derived output host-dependent.
+    Shuffle partitions are only pinned under a local[N] master — on a
+    real cluster they size to input volume / AQE as documented above."""
+    spark = SparkSession.builder.appName(app_name).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    if spark.sparkContext.master.startswith("local"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
+    return spark

@@ -68,6 +68,16 @@ def coalesce_aliases(
     discarded. ``extra_aliases`` appends per-deployment names after the
     built-ins."""
     alias_map = {k: list(v) for k, v in TRANSCRIPT_ALIASES.items()}
+    known = {f.name for f in TRANSCRIPT_SCHEMA.fields}
+    unknown = set(extra_aliases or {}) - known
+    if unknown:
+        # a typo'd key would otherwise be silently ignored (the output
+        # loop iterates canonical fields only) and ship an all-null
+        # column with no warning
+        raise ValueError(
+            f"extra_aliases keys {sorted(unknown)} are not TRANSCRIPT_SCHEMA "
+            f"fields {sorted(known)}"
+        )
     for k, names in (extra_aliases or {}).items():
         alias_map.setdefault(k, []).extend(n for n in names if n not in alias_map[k])
     cols = set(df.columns)
@@ -106,11 +116,17 @@ def read_transcripts_json(
 def parse_transcript_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     """S2 parity for pre-loaded line DataFrames (e.g. Kafka values):
     from_json with the fixed schema; malformed rows -> null conv_id,
-    filtered (PERMISSIVE semantics made explicit)."""
+    filtered (PERMISSIVE semantics made explicit). Rows with null
+    turn_idx are dropped too — the same policy as coalesce_aliases: a
+    null sort key would land the turn at an arbitrary position in the
+    assembled doc, making text_sha (and therefore dedupe results)
+    depend on which ingest path a conversation arrived through."""
     parsed = lines.select(
         F.from_json(F.col(col), TRANSCRIPT_SCHEMA).alias("r")
     ).select("r.*")
-    return parsed.filter(F.col("conv_id").isNotNull())
+    return parsed.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
 
 
 def read_transcripts_iceberg(spark: SparkSession, table: str) -> DataFrame:

@@ -66,17 +66,13 @@ BAND_BUCKETS = 64
 VERIFY_ID_CAP = 10_000
 
 
-def _hadoop_fs(spark: SparkSession, path_str: str):
-    """(FileSystem, Path) for a string path via Spark's Hadoop conf —
-    works uniformly for local, hdfs:// and s3:// state dirs."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(path_str)
-    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
-
-
-def _path_exists(spark: SparkSession, path_str: str) -> bool:
-    fs, path = _hadoop_fs(spark, path_str)
-    return bool(fs.exists(path))
+# small-file / marker I/O through the Hadoop FS (shared with the
+# checkpoint stage store — see lieu_spark.fsutil for why driver-local
+# open() is wrong for hdfs:// / s3:// state dirs)
+from ..fsutil import fs_read_text as _fs_read_text  # noqa: E402
+from ..fsutil import fs_write_text as _fs_write_text  # noqa: E402
+from ..fsutil import hadoop_fs as _hadoop_fs  # noqa: E402
+from ..fsutil import path_exists as _path_exists  # noqa: E402
 
 
 def _batch_subdir_ids(spark: SparkSession, dir_str: str) -> list[int] | None:
@@ -116,29 +112,6 @@ def _batch_subdir_ids(spark: SparkSession, dir_str: str) -> list[int] | None:
 
 
 COMPACT_TMP = "_compacting"
-
-
-def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
-    """Write a small text file through the Hadoop FS (same store as the
-    state it describes — works for hdfs:// and s3:// work dirs)."""
-    fs, path = _hadoop_fs(spark, path_str)
-    out = fs.create(path, True)
-    out.write(bytearray(text.encode("utf-8")))
-    out.close()
-
-
-def _fs_read_text(spark: SparkSession, path_str: str) -> str:
-    """Read a small text file through the Hadoop FS. (NOT
-    spark.read.text: Hadoop's hidden-file filter silently ignores the
-    underscore-prefixed names the manifest must use so parquet readers
-    skip it.)"""
-    fs, path = _hadoop_fs(spark, path_str)
-    stream = fs.open(path)
-    try:
-        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-    finally:
-        stream.close()
-    return bytes(data).decode("utf-8")
 
 
 def _finish_compaction(spark: SparkSession, state_dir: str) -> bool:

@@ -84,3 +84,32 @@ def test_dedupe_responses_shape_and_ordering(spark):
             assert any(x.other_id == cid for x in got[e.other_id].same_as), (
                 cid, e.other_id,
             )
+
+
+def test_match_empty_docs_and_boilerplate_groups(spark):
+    """The run_pipeline blocking policy applies to match() too:
+    content-empty docs match via the text_sha equi-join (never via the
+    sentinel-signature band collision), and a canonical identical-text
+    group is banded once but every member still appears in the output
+    with the rep's exact verdict."""
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    body = "shared boilerplate text " + " ".join(f"bp{k}" for k in range(12))
+
+    class R:
+        def __init__(self, cid, text):
+            self.conv_id, self.turn_idx, self.role = cid, 0, "user"
+            self.text, self.tool, self.ts = text, None, ts
+
+    canon = [R("c1", body), R("c2", body), R("c3", body), R("c9", "   ")]
+    inc = [R("n1", body), R("n2", "   ")]
+    got = match(spark, _tdf(spark, canon), _tdf(spark, inc), CFG)
+    pairs = {(r.canonical_id, r.incoming_id): (r.status, r.is_exact) for r in got.collect()}
+    # every member of the canonical boilerplate group matches n1 exactly
+    for cid in ("c1", "c2", "c3"):
+        assert pairs.get((cid, "n1")) == ("exact_duplicate", True), pairs
+    # whitespace-only (content-empty) docs pair via the sha path
+    assert pairs.get(("c9", "n2")) == ("exact_duplicate", True), pairs
+    # and no spurious empty-vs-content pairs exist
+    assert ("c9", "n1") not in pairs

@@ -63,3 +63,24 @@ def test_config_change_invalidates(spark, tdf, tmp_path):
     res2 = run_pipeline(spark, tdf, cfg2, store=store)
     # different fingerprint => stages recomputed, not reused
     assert res2.stage_wall["features"] > 0
+
+
+def test_checkpoint_invalidates_on_input_change(spark, tmp_path):
+    """Resuming the same checkpoint dir against a DIFFERENT input must
+    recompute, not serve the old corpus's stages: the stage fingerprint
+    carries the hashed input-file list (checkpoint.input_signature), so
+    file-backed inputs are input-addressed. (In-memory frames have no
+    files and keep config-only addressing — the other tests here.)"""
+    p1, p2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    corpus.generate_df(spark, 42, 30).write.parquet(p1)
+    corpus.generate_df(spark, 42, 50).write.parquet(p2)
+    store = StageStore(str(tmp_path / "stages"))
+    r1 = run_pipeline(
+        spark, spark.read.parquet(p1), CFG, store=store, with_spans=False
+    )
+    n1 = r1.conversations.count()
+    r2 = run_pipeline(
+        spark, spark.read.parquet(p2), CFG, store=store, with_spans=False
+    )
+    n2 = r2.conversations.count()
+    assert n1 == 30 and n2 == 50, (n1, n2)  # stale reuse would return 30

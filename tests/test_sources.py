@@ -156,3 +156,30 @@ def test_alias_map_ingest_mixed_native_types(spark):
     )
     out = {(r.conv_id, r.turn_idx) for r in coalesce_aliases(df).collect()}
     assert out == {("s1", 0), ("s2", 3)}
+
+
+def test_alias_map_unknown_key_raises(spark):
+    """A typo'd extra_aliases key must fail loudly — the output loop
+    iterates canonical fields only, so it would otherwise be silently
+    ignored and ship an all-null column."""
+    import pytest
+
+    from lieu_spark.sources.io import coalesce_aliases
+
+    df = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
+    with pytest.raises(ValueError, match="timestmap"):
+        coalesce_aliases(df, extra_aliases={"timestmap": ["event_ts"]})
+
+
+def test_parse_lines_drops_null_turn_idx(spark):
+    """A JSON line without turn_idx has no stable position in the
+    assembled doc — same drop policy as coalesce_aliases, so dedupe
+    results cannot depend on the ingest path."""
+    rows = [
+        ('{"conv_id":"c1","turn_idx":0,"role":"user","text":"a"}',),
+        ('{"conv_id":"c1","role":"user","text":"b"}',),  # no turn_idx
+        ('{"role":"user","text":"c"}',),  # no conv_id either
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_transcript_lines(df).collect()
+    assert len(out) == 1 and out[0].turn_idx == 0
