@@ -59,10 +59,18 @@ def match(
     """
     from pyspark.sql import Window
 
+    # both feature tables fan out to several consumers below (banding,
+    # sha equi-join, verify features, member expansion) — persist so the
+    # assembly shuffle + MinHash/SimHash UDF pass over each corpus runs
+    # ONCE per action, not once per consumer subtree (column pruning
+    # gives each branch a different subtree, so Catalyst cannot reuse
+    # the exchange on its own). Lazy markers: populated at the caller's
+    # first action, evicted LRU; long-lived drivers running many
+    # match() calls can spark.catalog.clearCache() between them.
     canon = build_features(assemble_conversations(canonical_transcripts), cfg)
-    inc = build_features(assemble_conversations(incoming_transcripts), cfg)
+    inc = build_features(assemble_conversations(incoming_transcripts), cfg).persist()
     rep_w = Window.partitionBy("text_sha")
-    canon_tag = canon.withColumn("_rep", F.min("conv_id").over(rep_w))
+    canon_tag = canon.withColumn("_rep", F.min("conv_id").over(rep_w)).persist()
     canon_reps = canon_tag.filter(F.col("conv_id") == F.col("_rep")).drop("_rep")
     cb = band_table_dual(canon_reps.filter(F.size("shingle_hashes") > 0), cfg)
     ib = band_table_dual(inc.filter(F.size("shingle_hashes") > 0), cfg)

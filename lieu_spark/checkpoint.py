@@ -32,9 +32,16 @@ import json
 import time
 from dataclasses import dataclass
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession
 
-from .fsutil import fs_delete, fs_read_text, fs_rename, fs_write_text, path_exists
+from .fsutil import (
+    fs_delete,
+    fs_read_text,
+    fs_rename_overwrite,
+    fs_write_text,
+    path_exists,
+)
 
 
 def input_signature(df: DataFrame) -> str:
@@ -74,7 +81,12 @@ class StageStore:
                 return False
             meta = json.loads(fs_read_text(spark, self._meta_path(stage)))
             return meta.get("fingerprint") == fingerprint and meta.get("complete")
-        except (OSError, ValueError):
+        except (OSError, ValueError, Py4JJavaError):
+            # Py4JJavaError: the Hadoop-FS read path surfaces transient
+            # store errors (or a marker deleted between the exists check
+            # and the read) as Java exceptions — any unreadable marker
+            # means "recompute", the same contract the old local-open()
+            # code had via OSError
             return False
 
     def save(self, spark: SparkSession, stage: str, df: DataFrame, fingerprint: str) -> DataFrame:
@@ -89,14 +101,13 @@ class StageStore:
             "complete": True,
             "created_unix": time.time(),
         }
-        # write-tmp-then-rename marker: the rename is the commit point,
-        # so a crash mid-write leaves no marker and the stage recomputes
+        # write-tmp-then-rename marker: the atomic overwrite rename is
+        # the commit point — a crash mid-write leaves the old marker (or
+        # none) intact and the stage recomputes; there is never a window
+        # with no valid marker at the final path
         tmp = self._meta_path(stage) + ".tmp"
         fs_write_text(spark, tmp, json.dumps(meta))
-        if path_exists(spark, self._meta_path(stage)):
-            fs_delete(spark, self._meta_path(stage))
-        if not fs_rename(spark, tmp, self._meta_path(stage)):
-            raise IOError(f"failed to commit checkpoint marker for stage {stage}")
+        fs_rename_overwrite(spark, tmp, self._meta_path(stage))
         return self.load(spark, stage)
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame:

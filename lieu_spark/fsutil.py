@@ -30,8 +30,13 @@ def fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
     """Write a small text file (overwrite)."""
     fs, path = hadoop_fs(spark, path_str)
     out = fs.create(path, True)
-    out.write(bytearray(text.encode("utf-8")))
-    out.close()
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        # close even when write() throws: an unclosed HDFS output
+        # stream holds the file lease, and every retry of this path
+        # then fails with lease errors until it expires
+        out.close()
 
 
 def fs_read_text(spark: SparkSession, path_str: str) -> str:
@@ -55,3 +60,39 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
 def fs_delete(spark: SparkSession, path_str: str) -> bool:
     fs, path = hadoop_fs(spark, path_str)
     return bool(fs.delete(path, True))
+
+
+def fs_rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomically rename ``src`` onto ``dst``, replacing it.
+
+    FileSystem.rename refuses an existing destination, and
+    delete-then-rename opens a window where NO valid file exists at
+    ``dst`` — a concurrent reader in that window sees a missing marker
+    and recomputes work another process may be reading. FileContext's
+    Options.Rename.OVERWRITE is the Hadoop-blessed atomic replace
+    (atomic on HDFS and local; object stores degrade to copy+delete,
+    which is why object-store deployments should use the Iceberg
+    backend's snapshot commit instead). Falls back to
+    delete-then-rename only if the scheme has no AbstractFileSystem
+    binding (raw FileContext unsupported)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            src_p.toUri(), conf
+        )
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(src_p, dst_p, opts)
+        return
+    except Exception as exc:  # no AbstractFileSystem for this scheme
+        if "UnsupportedFileSystemException" not in str(exc):
+            raise
+    if path_exists(spark, dst):
+        fs_delete(spark, dst)
+    if not fs_rename(spark, src, dst):
+        raise IOError(f"rename {src} -> {dst} failed")

@@ -46,7 +46,20 @@ def assemble_conversations(
     the same key as the groupBy, so capping adds no extra exchange
     (the window's shuffle is reused). Capped conversations are flagged
     ``truncated`` for the metrics table.
+
+    Rows with a null conv_id or null turn_idx are dropped HERE, at the
+    shared choke point every ingest path funnels through: a null
+    turn_idx has no stable position in the assembled doc (struct-sort
+    placement is an implementation detail), so keeping such rows would
+    make text_sha — and therefore every dedupe verdict — depend on
+    which ingest path a conversation arrived through. The per-source
+    filters (coalesce_aliases, parse_transcript_lines) apply the same
+    policy earlier as an optimization, but this is where it is
+    guaranteed.
     """
+    transcripts = transcripts.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
     struct_cols = F.struct(
         F.col("turn_idx"),
         F.col("role"),

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .checkpoint import StageStore, input_signature
 from .config import DEFAULT_CONFIG, DedupeConfig
@@ -171,14 +172,21 @@ def run_pipeline(
         df = build()
         if store is not None:
             df = store.save(spark, name, df, fp)
-        elif cache or eager or metrics_dir is not None:
+        elif cache or eager:
+            df = df.persist()
+        elif metrics_dir is not None:
             # metrics imply persist: record_stage's lineage pass is an
             # action over this plan — unpersisted, it would execute the
             # stage once for metrics and AGAIN for the first downstream
             # consumer (doubling the heavy candidate/span stages). With
             # a store the save/load round-trip is the materialization,
             # so the lineage pass only rescans the written table.
-            df = df.persist()
+            # DISK_ONLY, not the MEMORY_AND_DISK default: a store-less
+            # production job with metrics on would otherwise pin EVERY
+            # stage's deserialized rows on the executor heap for the
+            # whole app — the profile that GC-locks large corpora under
+            # modest heaps (see CLAUDE.md eager-mode note).
+            df = df.persist(StorageLevel.DISK_ONLY)
         if eager:
             df.count()
         wall = time.time() - t0

@@ -71,6 +71,7 @@ def attach_session(app_name: str) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     if spark.sparkContext.master.startswith("local"):
         spark.conf.set(
             "spark.sql.shuffle.partitions",

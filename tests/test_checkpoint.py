@@ -84,3 +84,19 @@ def test_checkpoint_invalidates_on_input_change(spark, tmp_path):
     )
     n2 = r2.conversations.count()
     assert n1 == 30 and n2 == 50, (n1, n2)  # stale reuse would return 30
+
+
+def test_marker_commit_is_atomic_overwrite(spark, tmp_path):
+    """fs_rename_overwrite replaces an existing marker in one step: the
+    destination always holds either the old or the new contents, never
+    neither (the delete-then-rename window a concurrent reader could
+    observe as 'no marker')."""
+    from lieu_spark.fsutil import fs_read_text, fs_rename_overwrite, fs_write_text
+
+    dst = str(tmp_path / "m._meta.json")
+    tmp = dst + ".tmp"
+    fs_write_text(spark, dst, "old")
+    fs_write_text(spark, tmp, "new")
+    fs_rename_overwrite(spark, tmp, dst)
+    assert fs_read_text(spark, dst) == "new"
+    assert not (tmp_path / "m._meta.json.tmp").exists()

@@ -146,3 +146,23 @@ def test_assembly_turn_cap_bounds_pathological_conversations(spark):
     assert again == {k: v.doc for k, v in capped.items()}
     # default path keeps its schema (no truncated column)
     assert "truncated" not in assemble_conversations(tdf).columns
+
+
+def test_assembly_drops_null_keys_on_every_path(spark):
+    """Null conv_id / null turn_idx rows are dropped at the assembly
+    choke point, not only in some ingest wrappers — so text_sha (and
+    every dedupe verdict derived from it) cannot depend on which ingest
+    path a conversation arrived through."""
+    ts = datetime(2026, 1, 1)
+    base = [("c1", 0, "user", "hello world", None, ts),
+            ("c1", 1, "asst", "general reply", None, ts)]
+    noisy = base + [
+        ("c1", None, "user", "floating turn", None, ts),  # null turn_idx
+        (None, 0, "user", "orphan", None, ts),            # null conv_id
+    ]
+    schema = corpus.TRANSCRIPT_SCHEMA
+    clean = assemble_conversations(spark.createDataFrame(base, schema))
+    dirty = assemble_conversations(spark.createDataFrame(noisy, schema))
+    got_clean = {(r.conv_id, r.n_turns, r.text_sha) for r in clean.collect()}
+    got_dirty = {(r.conv_id, r.n_turns, r.text_sha) for r in dirty.collect()}
+    assert got_clean == got_dirty and len(got_dirty) == 1
