@@ -2,14 +2,15 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schemas, Arrow batch shape,
-``mapInPandas`` signatures, partitioning — is real and tested; the
-actual codec work is STUBBED because no image/audio libraries exist in
-this container:
+``mapInPandas`` signatures, partitioning — is real and tested. Codec
+status (no image/audio libraries exist in this container):
 
-- ``decode_image_meta`` uses a deterministic fake decoder (dimensions
-  derived from the payload hash) so tests are reproducible;
-- ``decode_image_real`` raises NotImplementedError with the intended
-  production behavior documented.
+- BMP decodes AND resizes natively (``decode_bmp``, ``_bmp_pixels``,
+  ``resize_image_real`` — pure struct/numpy, zero dependencies);
+- other formats raise NotImplementedError with the intended
+  production (PIL/libvips) behavior documented;
+- ``decode_image_metadata(decoder="fake")`` is the deterministic
+  oracle-fixture path (dimensions derived from the payload hash).
 """
 
 from __future__ import annotations
@@ -144,12 +145,75 @@ def decode_image_metadata(
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
+def _bmp_pixels(payload: bytes):
+    """Parse an uncompressed 24/32-bpp BMP into an (h, w, c) uint8 numpy
+    array (row 0 = top). Raises ValueError on paletted/compressed BMPs —
+    resize through a palette needs a colour-space decision this
+    dependency-free path deliberately does not make."""
+    import struct
+
+    import numpy as np
+
+    width, height, channels = decode_bmp(payload)
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    (raw_height,) = struct.unpack_from("<i", payload, 22)
+    if compression != 0:
+        raise ValueError(f"compressed BMP (BI_ code {compression}) not supported")
+    if channels < 3:
+        raise ValueError("paletted (<24-bpp) BMP pixel access not supported")
+    stride = (width * channels + 3) & ~3
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes < {need} expected")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_offset)
+    img = rows.reshape(height, stride)[:, : width * channels].reshape(height, width, channels)
+    if raw_height > 0:  # bottom-up storage (the common case): flip to top-first
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _bmp_from_pixels(img) -> bytes:
+    """Encode an (h, w, c>=3) uint8 array as a bottom-up BI_RGB BMP —
+    the exact inverse of ``_bmp_pixels`` (roundtrip is byte-stable on
+    the pixel content)."""
+    import struct
+
+    import numpy as np
+
+    height, width, channels = img.shape
+    stride = (width * channels + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * channels] = img[::-1].reshape(height, width * channels)
+    pixel_bytes = rows.tobytes()
+    header = b"BM" + struct.pack(
+        "<IHHI", 14 + 40 + len(pixel_bytes), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, channels * 8, 0, len(pixel_bytes), 2835, 2835, 0, 0
+    )
+    return header + pixel_bytes
+
+
 def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
-    """Production resize — requires Pillow/libvips, absent here."""
+    """Real resize path: uncompressed 24/32-bpp BMPs resize natively
+    (nearest-neighbor via numpy index gather — zero dependencies) and
+    re-encode as BMP; other formats require an imaging library absent
+    in this container (production impl: PIL.Image.open(io.BytesIO(
+    payload)).resize((width, height)).save(buf, 'BMP'))."""
+    if payload[:2] == b"BM":
+        import numpy as np
+
+        if width <= 0 or height <= 0:
+            raise ValueError(f"invalid target size {width}x{height}")
+        img = _bmp_pixels(payload)
+        src_h, src_w = img.shape[:2]
+        # nearest-neighbor: pixel-center mapping, same convention as PIL NEAREST
+        ys = np.minimum(((np.arange(height) + 0.5) * src_h / height).astype(np.int64), src_h - 1)
+        xs = np.minimum(((np.arange(width) + 0.5) * src_w / width).astype(np.int64), src_w - 1)
+        return _bmp_from_pixels(img[np.ix_(ys, xs)])
     raise NotImplementedError(
-        "image resize requires an imaging library not present in this "
-        "container; production impl: PIL.Image.open(io.BytesIO(payload))"
-        ".resize((width, height)).save(buf, format=...) -> buf.getvalue()"
+        "only BMP resizes natively here; other formats require an "
+        "imaging library not present in this container"
     )
 
 

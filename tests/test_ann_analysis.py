@@ -325,3 +325,65 @@ def test_bmp_real_decode_end_to_end(spark):
     # non-BMP payloads still refuse loudly through the real path
     with pytest.raises(NotImplementedError):
         decode_image_real(b"not-an-image")
+
+
+def test_bmp_native_resize_real():
+    """Native BMP resize (nearest-neighbor, zero dependencies): pixel
+    roundtrip is exact, upscale duplicates blocks, downscale picks
+    pixel centers, top-down inputs normalize, and the output is itself
+    a decodable BMP — the resize path is no longer stub-only for BMP."""
+    import struct
+
+    import numpy as np
+
+    from lieu_spark.functions.multimodal import (
+        _bmp_from_pixels,
+        _bmp_pixels,
+        decode_bmp,
+        resize_image_real,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    payload = _bmp_from_pixels(img)
+    assert decode_bmp(payload) == (13, 9, 3)
+    assert np.array_equal(_bmp_pixels(payload), img)  # exact roundtrip
+
+    # upscale 2x: every source pixel becomes a 2x2 block (NN semantics)
+    small = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = _bmp_pixels(resize_image_real(_bmp_from_pixels(small), 4, 4))
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up, np.repeat(np.repeat(small, 2, axis=0), 2, axis=1))
+
+    # downscale matches an independent center-sampling oracle
+    big = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    down = _bmp_pixels(resize_image_real(_bmp_from_pixels(big), 5, 7))
+    ys = np.minimum(((np.arange(7) + 0.5) * 16 / 7).astype(int), 15)
+    xs = np.minimum(((np.arange(5) + 0.5) * 16 / 5).astype(int), 15)
+    assert np.array_equal(down, big[np.ix_(ys, xs)])
+
+    # top-down (negative height) input resizes to the same pixels
+    td = bytearray(_bmp_from_pixels(img))
+    h, stride = 9, (13 * 3 + 3) & ~3
+    (data_offset,) = struct.unpack_from("<I", bytes(td), 10)
+    body = bytes(td)[data_offset:]
+    flipped = b"".join(
+        body[(h - 1 - r) * stride : (h - r) * stride] for r in range(h)
+    )
+    struct.pack_into("<i", td, 22, -h)
+    td = bytes(td)[:data_offset] + flipped
+    assert np.array_equal(_bmp_pixels(td), img)
+    assert np.array_equal(
+        _bmp_pixels(resize_image_real(td, 26, 18)),
+        _bmp_pixels(resize_image_real(payload, 26, 18)),
+    )
+
+    # refusals: paletted pixels, bad target size, non-BMP
+    from lieu_spark.functions.multimodal import encode_bmp
+
+    with pytest.raises(ValueError):
+        _bmp_pixels(encode_bmp(8, 8, 1))
+    with pytest.raises(ValueError):
+        resize_image_real(payload, 0, 4)
+    with pytest.raises(NotImplementedError):
+        resize_image_real(b"\x89PNG....", 8, 8)
