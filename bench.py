@@ -73,6 +73,7 @@ def run_one(
     stream_parity: bool = False,
     verify_mode: str = "shingles",
     pipeline_only: bool = False,
+    store_dir: str | None = None,
 ) -> None:
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
@@ -110,9 +111,22 @@ def run_one(
     # eager mode: each stage persists + materializes as it is built, so
     # stage_wall attributes cost to the stage that did the work (the lazy
     # DAG would bill everything to the first action). Checkpointed mode
-    # is exercised in pytest.
+    # is exercised in pytest — and selectable here (--store-dir) for
+    # headroom probes past ~20x sf0.1: eager pins EVERY stage's
+    # deserialized blocks for the whole run, which exceeds this box's
+    # ~73 GB scratch at 30x (measured: shuffle-spill ENOSPC), while the
+    # store path writes compressed parquet stage tables, cuts lineage at
+    # each save so the ContextCleaner can drop finished shuffles, and is
+    # the resumable production deployment shape. Stage walls stay
+    # attributed: save() is the materialization point.
+    store = None
+    if store_dir:
+        from lieu_spark.checkpoint import StageStore
+
+        shutil.rmtree(store_dir, ignore_errors=True)  # probe never resumes
+        store = StageStore(str(store_dir))
     t0 = time.time()
-    res = run_pipeline(spark, tdf, cfg, store=None, eager=True)
+    res = run_pipeline(spark, tdf, cfg, store=store, eager=store is None)
     n_pairs = res.verified.count()
     n_candidates = res.candidates.count()
     n_docs = res.conversations.count()
@@ -335,6 +349,7 @@ def run_one(
         "stream_parity_equal": stream_equal,
         "stream_batches": 3 if stream_parity else None,
         "stream_batch_walls": stream_batch_walls,
+        "mode": "store" if store_dir else "eager",
         "stage_sec": {k: round(v, 3) for k, v in timings.items()},
     }
     Path(out_json).write_text(json.dumps(payload))
@@ -414,6 +429,7 @@ def main() -> None:
     ap.add_argument("--stream-parity", action="store_true")
     ap.add_argument("--verify-mode", default="shingles")
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--store-dir", default=None)
     args = ap.parse_args()
 
     if args.run_one:
@@ -422,6 +438,7 @@ def main() -> None:
             stream_parity=args.stream_parity,
             verify_mode=args.verify_mode,
             pipeline_only=args.pipeline_only,
+            store_dir=args.store_dir,
         )
         return
 
