@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": Q.q_revenue_by_nation,
         "window_events": Q.q_window_events,
         "sessionize": Q.q_sessionize,
+        "asof_join": Q.q_asof_join,
         "id_assignment": Q.q_id_assignment,
         "json_extract": Q.q_json_extract,
         "term_counts_top": Q.q_term_counts_top,

@@ -1163,3 +1163,23 @@ WHERE s.length >= 40
   AND substr(a.doc, s.start_a + 1, s.length) = substr(b.doc, s.start_b + 1, s.length)
 ORDER BY s.id_a, s.id_b
 """
+
+# as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+# union+window composition in operators/asof.py; the build side is
+# pre-deduped per (user_id, ts) so tie-breaking is engine-portable
+ORACLE["asof_join"] = """
+WITH clicks AS (
+    SELECT user_id, ts, max(event_id) AS click_id
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+errs AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id,
+       epoch_us(e.ts) AS err_us,
+       coalesce(c.click_id, -1) AS click_id,
+       coalesce(epoch_us(e.ts) - epoch_us(c.ts), -1) AS gap_us
+FROM errs e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY event_id
+"""

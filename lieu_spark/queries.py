@@ -19,6 +19,7 @@ from .functions import text as T
 from .functions.minhash import with_minhash
 from .functions.multimodal import with_binary_payload
 from .functions.vectors import cosine_with_norms, dot, norm
+from .operators.asof import asof_join
 from .operators.cluster import clusters_with_singletons, connected_components
 from .operators.exact import exact_star_pairs
 from .operators.lsh import band_table, candidate_pairs
@@ -1194,3 +1195,31 @@ def q_embedding_neardup(spark, sf_dir):
         .select("id_a", "id_b", "cos6")
         .orderBy("id_a", "id_b")
     )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): attribute every 'error' event to
+    the newest preceding-or-simultaneous 'click' by the same user. The
+    build side is pre-deduped to one row per (user_id, ts) so the
+    greatest-event_id tie rule is engine-portable (DuckDB ASOF picks an
+    unspecified row on duplicate build timestamps)."""
+    e = load(spark, sf_dir, "events")
+    errs = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(errs, clicks, on=["user_id"], ts_col="ts",
+                  build_cols=["click_id"], prefix="c_")
+    # parquet ts is TIMESTAMP_NTZ; ANSI forbids a direct numeric cast —
+    # route via ltz (session tz UTC) for epoch-microsecond longs
+    err_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    click_us = F.unix_micros(F.col("c_ts").cast("timestamp_ltz"))
+    return j.select(
+        "event_id",
+        "user_id",
+        err_us.alias("err_us"),
+        F.coalesce(F.col("c_click_id"), F.lit(-1).cast("long")).alias("click_id"),
+        F.coalesce(err_us - click_us, F.lit(-1).cast("long")).alias("gap_us"),
+    ).orderBy("event_id")
