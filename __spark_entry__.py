@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_events": Q.q_window_events,
         "sessionize": Q.q_sessionize,
         "asof_join": Q.q_asof_join,
+        "range_join_events": Q.q_range_join_events,
         "id_assignment": Q.q_id_assignment,
         "json_extract": Q.q_json_extract,
         "term_counts_top": Q.q_term_counts_top,

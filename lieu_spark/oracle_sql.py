@@ -1183,3 +1183,28 @@ FROM errs e ASOF LEFT JOIN clicks c
   ON e.user_id = c.user_id AND e.ts >= c.ts
 ORDER BY event_id
 """
+
+# bounded range join: plain SQL BETWEEN join is the oracle for the
+# time-bucketed equi-join in operators/rangejoin.py
+ORACLE["range_join_events"] = """
+WITH errs AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'error'
+),
+clicks AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id
+    FROM events WHERE event_type = 'click'
+),
+matched AS (
+    SELECT e.event_id, count(*) AS n_clicks_72h, max(c.click_id) AS last_click_id
+    FROM errs e JOIN clicks c
+      ON e.user_id = c.user_id
+     AND c.ts_us BETWEEN e.ts_us - 259200000000 AND e.ts_us
+    GROUP BY e.event_id
+)
+SELECT e.event_id, e.user_id,
+       coalesce(m.n_clicks_72h, 0) AS n_clicks_72h,
+       coalesce(m.last_click_id, -1) AS last_click_id
+FROM errs e LEFT JOIN matched m USING (event_id)
+ORDER BY event_id
+"""

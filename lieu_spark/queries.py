@@ -20,6 +20,7 @@ from .functions.minhash import with_minhash
 from .functions.multimodal import with_binary_payload
 from .functions.vectors import cosine_with_norms, dot, norm
 from .operators.asof import asof_join
+from .operators.rangejoin import interval_join
 from .operators.cluster import clusters_with_singletons, connected_components
 from .operators.exact import exact_star_pairs
 from .operators.lsh import band_table, candidate_pairs
@@ -1223,3 +1224,36 @@ def q_asof_join(spark, sf_dir):
         F.coalesce(F.col("c_click_id"), F.lit(-1).cast("long")).alias("click_id"),
         F.coalesce(err_us - click_us, F.lit(-1).cast("long")).alias("gap_us"),
     ).orderBy("event_id")
+
+
+def q_range_join_events(spark, sf_dir):
+    """Bounded range join (operators/rangejoin.py): per error event,
+    count clicks by the same user in the preceding 72 hours and keep
+    the newest such click id. The bucketed equi-join does the pairing;
+    zero-click errors re-attach via a left join on event_id."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    errs = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("ts_us"), F.col("event_id").alias("click_id")
+    )
+    j = interval_join(
+        errs, clicks, on=["user_id"], ts_col="ts_us",
+        lo=-259_200_000_000, hi=0, prefix="c_",
+    )
+    counts = j.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks_72h"),
+        F.max("c_click_id").alias("last_click_id"),
+    )
+    return (
+        errs.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks_72h", F.lit(0).cast("long")).alias("n_clicks_72h"),
+            F.coalesce("last_click_id", F.lit(-1).cast("long")).alias("last_click_id"),
+        )
+        .orderBy("event_id")
+    )
