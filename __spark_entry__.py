@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.q_sessionize,
         "asof_join": Q.q_asof_join,
         "range_join_events": Q.q_range_join_events,
+        "split_assign": Q.q_split_assign,
         "id_assignment": Q.q_id_assignment,
         "json_extract": Q.q_json_extract,
         "term_counts_top": Q.q_term_counts_top,

@@ -1,0 +1,73 @@
+"""Deterministic hash sampling and train/val/test split assignment.
+
+Training-data pipelines need splits and samples that are (a) stable
+under reshuffles, backfills, and cluster-size changes, (b) reproducible
+from the row's identity alone — never ``rand()``, whose output depends
+on partitioning and task retry order. The standard recipe: hash the id
+with a salt, quantize to a bucket in [0, 1e6), and threshold.
+
+The hash is md5 (not xxhash64) deliberately: md5 is bit-identical
+across Spark, DuckDB, and every other engine that might re-derive the
+assignment downstream, so the split is portable — a row's membership
+can be audited with one line of SQL anywhere. 15 hex chars = 60 bits,
+uniform mod 1e6 to within 2^-40 bias.
+
+Salting: a new ``salt`` gives an independent re-split (e.g. per
+experiment); the same salt always reproduces the same assignment.
+Everything here is a pure Catalyst expression — whole-stage codegen,
+no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt || id) — engine-portable
+    (DuckDB twin: CAST(concat('0x', substr(md5(...), 1, 15)) AS BIGINT) %
+    1000000)."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(BUCKETS)
+    )
+
+
+def split_assign(
+    id_col: Column,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> Column:
+    """Split label from cumulative weight thresholds over the hash
+    bucket. ``weights`` map label -> fraction (must sum to ~1); dict
+    order defines the threshold order, so iterate deterministically."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    cum = 0.0
+    labels = list(weights.items())
+    for label, frac in labels[:-1]:
+        cum += frac
+        cond = bucket < int(round(cum * BUCKETS))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = labels[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(F.lit(last))).alias("split")
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str, salt: str = ""
+) -> DataFrame:
+    """Stable ``rate``-fraction sample: a row is in the sample for every
+    run, every partitioning, every engine. Supersampling property: the
+    sample at rate r1 < r2 is a subset of the sample at r2 (same salt),
+    so nested subsamples come for free."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(round(rate * BUCKETS)))

@@ -1208,3 +1208,23 @@ SELECT e.event_id, e.user_id,
 FROM errs e LEFT JOIN matched m USING (event_id)
 ORDER BY event_id
 """
+
+# deterministic split: md5 is bit-identical across engines, so DuckDB
+# re-derives every row's assignment from scratch (no export channel)
+ORACLE["split_assign"] = """
+WITH assigned AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5('r3' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000 AS bucket
+    FROM documents
+),
+labeled AS (
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+)
+SELECT split, lang, count(*) AS n_docs, bit_xor(doc_id) AS xor_ids
+FROM labeled GROUP BY split, lang ORDER BY split, lang
+"""

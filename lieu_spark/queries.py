@@ -18,6 +18,7 @@ from .functions import analysis as A
 from .functions import text as T
 from .functions.minhash import with_minhash
 from .functions.multimodal import with_binary_payload
+from .functions.sampling import split_assign
 from .functions.vectors import cosine_with_norms, dot, norm
 from .operators.asof import asof_join
 from .operators.rangejoin import interval_join
@@ -1256,4 +1257,21 @@ def q_range_join_events(spark, sf_dir):
             F.coalesce("last_click_id", F.lit(-1).cast("long")).alias("last_click_id"),
         )
         .orderBy("event_id")
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (functions/sampling.py): md5
+    hash-bucket thresholding, portable across engines. Per-(split, lang)
+    counts plus a bit_xor checksum of doc_ids so the compare verifies
+    the ASSIGNMENT of every row, not just the split sizes."""
+    d = load(spark, sf_dir, "documents")
+    d = d.withColumn("split", split_assign(F.col("doc_id"), salt="r3"))
+    return (
+        d.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(doc_id)").alias("xor_ids"),
+        )
+        .orderBy("split", "lang")
     )

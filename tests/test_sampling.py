@@ -1,0 +1,87 @@
+"""functions/sampling.py — determinism, portability, and distribution.
+
+The property that matters for training pipelines: assignment is a pure
+function of (id, salt) — identical across partitionings, runs, and
+engines (the md5 recipe is re-derived in pure python here, no Spark
+code shared) — and subsamples nest (rate r1 < r2 => sample(r1) ⊆
+sample(r2))."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lieu_spark.functions.sampling import (
+    BUCKETS,
+    deterministic_sample,
+    hash_bucket,
+    split_assign,
+)
+
+
+def _py_bucket(ident, salt=""):
+    h = hashlib.md5((salt + str(ident)).encode()).hexdigest()
+    return int(h[:15], 16) % BUCKETS
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    return spark.range(0, 2000).select(F.col("id").cast("long"))
+
+
+def test_bucket_matches_pure_python(spark, ids_df):
+    rows = ids_df.select("id", hash_bucket(F.col("id"), "s1").alias("b")).collect()
+    for r in rows:
+        assert r["b"] == _py_bucket(r["id"], "s1")
+
+
+def test_split_partition_invariant_and_sized(spark, ids_df):
+    a = {
+        r["id"]: r["split"]
+        for r in ids_df.select("id", split_assign(F.col("id"), salt="x")).collect()
+    }
+    b = {
+        r["id"]: r["split"]
+        for r in ids_df.repartition(17)
+        .select("id", split_assign(F.col("id"), salt="x"))
+        .collect()
+    }
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+
+
+def test_salt_gives_independent_resplit(spark, ids_df):
+    a = [r["split"] for r in ids_df.select("id", split_assign(F.col("id"), salt="a")).orderBy("id").collect()]
+    b = [r["split"] for r in ids_df.select("id", split_assign(F.col("id"), salt="b")).orderBy("id").collect()]
+    agree = sum(1 for x, y in zip(a, b) if x == y) / len(a)
+    # independent splits agree only by chance: 0.8^2 + 0.1^2 + 0.1^2 = 0.66
+    assert 0.55 < agree < 0.77
+
+
+def test_nested_subsamples(spark, ids_df):
+    small = {r["id"] for r in deterministic_sample(ids_df, 0.1, "id", "s").collect()}
+    big = {r["id"] for r in deterministic_sample(ids_df, 0.4, "id", "s").collect()}
+    assert small <= big
+    assert abs(len(big) / 2000 - 0.4) < 0.05
+
+
+def test_bad_args_rejected(spark, ids_df):
+    with pytest.raises(ValueError):
+        split_assign(F.col("id"), weights={"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        deterministic_sample(ids_df, 1.5, "id")
+
+
+def test_no_shuffle_no_udf_plan(spark, ids_df):
+    """Scale contract: assignment is a pure projection — no Exchange, no
+    Python UDF (BatchEvalPython/ArrowEvalPython) in the plan."""
+    plan = (
+        ids_df.select("id", split_assign(F.col("id")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
