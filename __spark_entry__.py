@@ -388,6 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": Q.q_doc_quality,
         "doc_langid": Q.q_doc_langid,
         "binary_meta": Q.q_binary_meta,
+        "pii_scrub": Q.q_pii_scrub,
+        "doc_repetition": Q.q_doc_repetition,
+        "cluster_representatives": Q.q_cluster_representatives,
         # export-backed (early in the dict so a time-budgeted driver run
         # never truncates them out of the artifact, as happened in r02)
         "multimodal_meta": _q_multimodal_meta,

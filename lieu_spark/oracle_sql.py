@@ -1228,3 +1228,106 @@ labeled AS (
 SELECT split, lang, count(*) AS n_docs, bit_xor(doc_id) AS xor_ids
 FROM labeled GROUP BY split, lang ORDER BY split, lang
 """
+
+# PII scrub: byte-identical Java/RE2 regex patterns imported from the
+# production module so a pattern change mismatches instead of drifting;
+# replacement order (email, ssn, phone, ip) replayed verbatim.
+from .functions.redact import PII_PATTERNS as _PII  # noqa: E402
+
+_P_EMAIL = _PII["email"]
+_P_SSN = _PII["ssn"]
+_P_PHONE = _PII["phone"]
+_P_IP = _PII["ip"]
+
+ORACLE["pii_scrub"] = f"""
+WITH aug AS (
+    SELECT doc_id,
+           coalesce(text, '') || CASE doc_id % 5
+             WHEN 0 THEN printf(' contact user%d@example.com', doc_id)
+             WHEN 1 THEN printf(' call 555-867-%04d now', doc_id % 10000)
+             WHEN 2 THEN printf(' host 10.%d.0.1 up', doc_id % 256)
+             WHEN 3 THEN printf(' ssn 123-45-%04d on file', doc_id % 10000)
+             ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_P_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_P_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_P_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{_P_SSN}')) AS BIGINT) AS n_ssns,
+       sha256(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_P_EMAIL}', '<EMAIL>', 'g'),
+           '{_P_SSN}', '<SSN>', 'g'),
+           '{_P_PHONE}', '<PHONE>', 'g'),
+           '{_P_IP}', '<IP>', 'g')) AS redacted_sha
+FROM aug ORDER BY doc_id
+"""
+
+# composite quality score over docs_aug (twin of analysis.quality_score6:
+# same operation order so the IEEE doubles round identically)
+_AUG_QUALITY = f"""
+{_DOCS_AUG},
+qtok AS (SELECT doc_id, coalesce(text, '') AS text, {_TOKS} AS toks FROM aug),
+qfeat AS (
+    SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS alpha6,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS punct6,
+       CASE WHEN len(toks) > 0 THEN CAST(round(
+            CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+            * 1e6 / len(toks)) AS BIGINT) ELSE 0 END AS stop6
+    FROM qtok
+),
+qual AS (
+    SELECT doc_id, CAST(round(
+        (0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+         + 0.4 * (CAST(alpha6 AS DOUBLE) / 1e6)
+         + 0.3 * least(CAST(stop6 AS DOUBLE) / 1e6 * 4.0, 1.0))
+        * (1.0 - least(CAST(punct6 AS DOUBLE) / 1e6 * 2.0, 1.0)) * 1e6
+    ) AS BIGINT) AS quality6
+    FROM qfeat
+)
+"""
+
+ORACLE["cluster_representatives"] = f"""
+WITH {_AUG_QUALITY.strip()},
+comp AS (SELECT * FROM ({ORACLE["dedupe_clusters"]})),
+ranked AS (
+    SELECT c.cluster_id, c.doc_id, q.quality6,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality6 DESC, c.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM comp c JOIN qual q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_id, quality6 AS rep_quality6,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+ORACLE["doc_repetition"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM nz
+),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+agg AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           count(*) AS n_distinct_bigrams, max(c) AS top_cnt
+    FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_distinct_bigrams,
+       CAST(round(CAST(top_cnt AS DOUBLE) * 1e6 / n_bigrams) AS BIGINT)
+           AS top_bigram_ratio6,
+       CAST(round(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) * 1e6 / n_bigrams)
+           AS BIGINT) AS dup_bigram_ratio6
+FROM agg ORDER BY doc_id
+"""

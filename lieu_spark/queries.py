@@ -1260,6 +1260,116 @@ def q_range_join_events(spark, sf_dir):
     )
 
 
+def pii_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically planted PII tails (the synthetic
+    corpus is a word soup with no natural PII): doc_id % 5 selects one
+    of email / phone / ip / ssn / none, each synthesized from doc_id so
+    DuckDB builds the byte-identical input with printf."""
+    d = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    tail = (
+        F.when(m == 0, F.format_string(" contact user%d@example.com", F.col("doc_id")))
+        .when(m == 1, F.format_string(" call 555-867-%04d now", F.col("doc_id") % 10000))
+        .when(m == 2, F.format_string(" host 10.%d.0.1 up", F.col("doc_id") % 256))
+        .when(m == 3, F.format_string(" ssn 123-45-%04d on file", F.col("doc_id") % 10000))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id", F.concat(F.coalesce(F.col("text"), F.lit("")), tail).alias("text")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (functions/redact.py) — the scrub pass
+    every training-data pipeline runs before text leaves the raw zone.
+    Pure Catalyst regex projection: no UDF, no shuffle, scales linearly
+    and pushes down with the scan. Counts are taken on the original
+    text; the redacted text is verified whole via its sha256 (same
+    patterns, same fixed rule order, replayed by the DuckDB twin)."""
+    from .functions import redact as R
+
+    d = pii_aug(spark, sf_dir)
+    c = R.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        c["email"].alias("n_emails"),
+        c["phone"].alias("n_phones"),
+        c["ip"].alias("n_ips"),
+        c["ssn"].alias("n_ssns"),
+        F.sha2(R.redact_pii(F.col("text")), 256).alias("redacted_sha"),
+    ).orderBy("doc_id")
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Canonical-document selection: after dedupe clustering, keep ONE
+    representative per cluster — the highest-quality member (composite
+    quality_score6, doc_id tie-break). This is the step that turns a
+    cluster map into the kept corpus. Scale shape: a single map-side-
+    combinable agg (min over a (neg-quality, id) struct) instead of a
+    window sort — one shuffle on cluster_id, no per-cluster sort."""
+    clusters = q_dedupe_clusters(spark, sf_dir)
+    qual = docs_aug(spark, sf_dir).select(
+        "doc_id", A.quality_score6(F.col("text")).alias("quality6")
+    )
+    j = clusters.join(qual, "doc_id")
+    agg = j.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min(
+            F.struct(
+                (-F.col("quality6")).alias("negq"), F.col("doc_id").alias("rep_id")
+            )
+        ).alias("b"),
+    )
+    return agg.select(
+        "cluster_id",
+        F.col("b.rep_id").alias("rep_id"),
+        (-F.col("b.negq")).alias("rep_quality6"),
+        "cluster_size",
+    ).orderBy("cluster_id")
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition signals: per-doc top-bigram fraction
+    and duplicate-bigram fraction — the boilerplate / loop-generation
+    filter signals LLM corpora are screened with. Tokens are staged as
+    a plain column BEFORE the bigram higher-order transform (a computed
+    expression referenced inside a HOF lambda re-evaluates per element);
+    the explode + two-level agg shuffles on (doc_id) with map-side
+    combine — the same shape at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", T.tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = d2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    cnt = big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("c").alias("top_cnt"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "n_distinct_bigrams",
+        A._ratio6(F.col("top_cnt"), F.col("n_bigrams")).alias("top_bigram_ratio6"),
+        A._ratio6(
+            F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.col("n_bigrams")
+        ).alias("dup_bigram_ratio6"),
+    ).orderBy("doc_id")
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test split (functions/sampling.py): md5
     hash-bucket thresholding, portable across engines. Per-(split, lang)
