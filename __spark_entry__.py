@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": Q.q_pii_scrub,
         "doc_repetition": Q.q_doc_repetition,
         "cluster_representatives": Q.q_cluster_representatives,
+        "tool_transitions": Q.q_tool_transitions,
         # export-backed (early in the dict so a time-budgeted driver run
         # never truncates them out of the artifact, as happened in r02)
         "multimodal_meta": _q_multimodal_meta,

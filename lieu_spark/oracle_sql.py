@@ -1309,6 +1309,34 @@ SELECT cluster_id, doc_id AS rep_id, quality6 AS rep_quality6,
 FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """
 
+ORACLE["tool_transitions"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, len(toks) AS n FROM tok WHERE len(toks) > 0),
+turns AS (
+    SELECT doc_id AS conv_id, CAST(i - 1 AS INT) AS turn_idx
+    FROM (SELECT doc_id, unnest(range(1, CAST(ceil(n / 12.0) AS BIGINT) + 1)) AS i
+          FROM nz)
+),
+st AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN turn_idx % 2 = 1 THEN
+                'assistant' || CASE (conv_id + turn_idx) % 4
+                                 WHEN 0 THEN ':search'
+                                 WHEN 1 THEN ':code'
+                                 ELSE '' END
+           ELSE 'user' END AS state
+    FROM turns
+),
+tr AS (
+    SELECT coalesce(lag(state) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                    'START') AS prev_state,
+           state
+    FROM st
+)
+SELECT prev_state, state, count(*) AS n_transitions
+FROM tr GROUP BY prev_state, state ORDER BY prev_state, state
+"""
+
 ORACLE["doc_repetition"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 nz AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),

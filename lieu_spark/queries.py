@@ -1370,6 +1370,38 @@ def q_doc_repetition(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_tool_transitions(spark, sf_dir):
+    """Agent-transcript flow analytics: Markov transition counts over
+    per-turn (role[:tool]) states — the \"what does the agent do after a
+    search\" profile run over conversation logs. role/tool are
+    synthesized deterministically from (conv_id, turn_idx) (the parquet
+    documents table has no transcript twin) so DuckDB derives the same
+    input. Scale shape: one lag window partitioned by conv_id (bounded
+    per-key state, single shuffle) feeding a map-side-combinable count
+    agg over a tiny state space."""
+    t = transcripts_from_docs(spark, sf_dir)
+    state = F.when(
+        F.col("turn_idx") % 2 == 1,
+        F.concat(
+            F.lit("assistant"),
+            F.when((F.col("conv_id") + F.col("turn_idx")) % 4 == 0, ":search")
+            .when((F.col("conv_id") + F.col("turn_idx")) % 4 == 1, ":code")
+            .otherwise(""),
+        ),
+    ).otherwise(F.lit("user"))
+    st = t.select("conv_id", "turn_idx", state.alias("state"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tr = st.select(
+        F.coalesce(F.lag("state").over(w), F.lit("START")).alias("prev_state"),
+        "state",
+    )
+    return (
+        tr.groupBy("prev_state", "state")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("prev_state", "state")
+    )
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic train/val/test split (functions/sampling.py): md5
     hash-bucket thresholding, portable across engines. Per-(split, lang)
