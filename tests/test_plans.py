@@ -180,3 +180,44 @@ def test_assemble_single_shuffle(spark):
     # separate dropDuplicates shuffle
     assert plan.count("Exchange") == 1, plan[:1500]
     assert "SortAggregate" not in plan or "ObjectHashAggregate" in plan
+
+
+def test_pii_scrub_projection_no_shuffle(spark):
+    """The scrub itself is a narrow Catalyst projection: no Exchange, no
+    Python eval, and column pruning still reaches the scan."""
+    from lieu_spark.functions import redact as R
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    c = R.pii_counts(F.col("text"))
+    q = docs.select(
+        "doc_id", c["email"].alias("n_emails"),
+        R.redact_pii(F.col("text")).alias("redacted"),
+    )
+    plan = plan_of(q, "simple")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = [ln for ln in plan_of(q).splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read_schema  # unused columns pruned
+
+
+def test_cluster_representatives_agg_not_window(spark):
+    """Representative selection must be the map-side-combinable struct-min
+    agg — a per-cluster Window sort would serialize hot clusters and add
+    an extra exchange at 100 TB."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["cluster_representatives"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_min" in plan or "partial" in plan, plan[:2000]
+
+
+def test_doc_repetition_partial_agg(spark):
+    """Bigram stats: both aggregation levels must have a map-side partial
+    phase (combinable counts), and no Python eval in the plan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["doc_repetition"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "partial_count" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

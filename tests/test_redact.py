@@ -64,3 +64,19 @@ def test_null_text_yields_zero_counts_and_empty_redaction(spark):
     ).first()
     assert row.e == 0
     assert row.red == ""
+
+
+def test_redaction_idempotent(spark):
+    """redact(redact(x)) == redact(x): placeholders contain nothing any
+    pattern can re-match, so a second scrub pass is a no-op (safe to run
+    the scrub at multiple pipeline stages)."""
+    texts = [
+        "mail a.b+c@sub.example.org call 555-867-5309 host 10.0.0.1 ssn 123-45-6789",
+        "a@b.co a@b.co 192.168.0.1 123-45-6789 555.867.5309",
+        "no pii here at all",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = R.redact_pii(F.col("text"))
+    rows = df.select(once.alias("r1"), R.redact_pii(once).alias("r2")).collect()
+    for r in rows:
+        assert r.r1 == r.r2
