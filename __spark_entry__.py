@@ -8,7 +8,7 @@ lieu_spark/oracle_sql.py. Hash-kernel paths (MinHash bands, SimHash,
 winnow fingerprints, LSH buckets) are oracle-checked through the parquet
 export side-channel (lieu_spark.oracle_export): the kernel output is a
 file both engines read, so the relational halves are value-verified.
-Every queries() key now has an oracle_sql() twin (52/52): the
+Every queries() key now has an oracle_sql() twin (61/61): the
 non-SQL-expressible kernels (LCS argmax, IVF centroids, MinHash/SimHash/
 bucket hashes, fake-codec dims) stay pytest-verified, but their
 downstream relational work — and for copied_spans the substring
@@ -300,6 +300,34 @@ def _q_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup cluster-then-prune (operators/semdedup.py, Abbas et al.
+    arXiv:2303.09540) over emb_aug (25 planted exact copies, so the
+    prune is non-vacuous: a copy lands in its original's cell with the
+    same cent_cos6 and is dropped by the id tie-break). Oracle-checked
+    via the exported (id, cell, cent_cos6) assignment table — the
+    k-means quantizer is the only non-SQL kernel; the rank window, the
+    within-cell ordered pair join, the exact-cosine prune, and the keep
+    flag are rebuilt from that export by BOTH engines."""
+    from lieu_spark.operators.ann import ivf_centroids
+    from lieu_spark.operators.semdedup import semantic_cells, semantic_dedup_flags
+    from lieu_spark.oracle_export import export_for_oracle
+
+    e = Q.emb_aug(spark, sf_dir)
+    cents = ivf_centroids(e, ncentroids=16)
+    asg = export_for_oracle(spark, semantic_cells(e, cents), "semdedup_cells")
+    return (
+        semantic_dedup_flags(e, asg, tau=0.95)
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            "cent_cos6",
+            F.col("keep").cast("int").alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _q_multimodal_meta(spark, sf_dir):
     """mapInPandas binary decode, oracle-checked via the exported
     metadata table: DuckDB recomputes n_bytes INDEPENDENTLY from the
@@ -424,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copied_spans": _q_copied_spans,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
+        "semantic_dedup": _q_semantic_dedup,
     }
     return base
 

@@ -1119,6 +1119,33 @@ SELECT id_a, id_b, cos6 FROM cpairs
 WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
 """
 
+# SemDeDup greedy within-cell prune from the exported (id, cell,
+# cent_cos6) assignment table: rank by (cent_cos6 DESC, id ASC) within
+# cell, a member is dropped iff ANY earlier-ranked member of its cell
+# has cosine >= 0.95 with it (upper-triangular max, the published
+# SemDeDup sweep). The k-means quantizer is the only non-SQL kernel;
+# rank window + ordered pair join + exact-cosine prune + keep flag are
+# all re-derived here.
+ORACLE["semantic_dedup"] = f"""
+WITH {_EMB_AUG},
+asg AS (SELECT id, cell, cent_cos6 FROM read_parquet('{_ep("semdedup_cells")}/*.parquet')),
+rk AS (
+    SELECT id, cell, cent_cos6,
+           row_number() OVER (PARTITION BY cell ORDER BY cent_cos6 DESC, id ASC) AS rnk
+    FROM asg
+),
+cand AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM rk a JOIN rk b ON a.cell = b.cell AND a.rnk < b.rnk
+),
+{_rerank_cpairs("emb")}
+SELECT a.id AS vec_id, a.cell, a.cent_cos6,
+       CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM asg a
+LEFT JOIN (SELECT DISTINCT id_b FROM cpairs WHERE cos6 >= 950000) d ON d.id_b = a.id
+ORDER BY vec_id
+"""
+
 # multimodal decode metadata: DuckDB recomputes n_bytes INDEPENDENTLY
 # from the documents table (octet_length of the UTF-8 payload bytes) and
 # validates doc_id through the join; the fake-codec dims flow through
