@@ -1119,6 +1119,76 @@ SELECT id_a, id_b, cos6 FROM cpairs
 WHERE cos6 >= 950000 AND id_a < id_b ORDER BY id_a, id_b
 """
 
+# Leakage-safe splits: the split is a function of CLUSTER id, so no
+# duplicate pair can straddle splits. DuckDB independently re-derives
+# the pair set (jaccard-or-sha over aug), the recursive-CTE clusters,
+# the md5 split thresholds, AND the leak audit — a regression to
+# per-doc splitting mismatches on xor_ids and leaked_pairs both.
+_LEAK_BUCKET = (
+    "CAST(concat('0x', substr(md5('r3leak' || CAST(cluster_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 1000000"
+)
+ORACLE["leakage_safe_splits"] = f"""
+{_JACCARD_PAIRS},
+shas AS (SELECT doc_id, sha256(text) AS sha FROM aug),
+dupes AS (
+    SELECT p.id_a, p.id_b FROM pairs p
+    JOIN shas sa ON sa.doc_id = p.id_a
+    JOIN shas sb ON sb.doc_id = p.id_b
+    WHERE 10 * p.inter >= 9 * p.uni OR sa.sha = sb.sha
+),
+comp AS (SELECT * FROM ({ORACLE["dedupe_clusters"]})),
+asg AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_LEAK_BUCKET} < 800000 THEN 'train'
+                WHEN {_LEAK_BUCKET} < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+),
+leaks AS (
+    SELECT a.split, sum(CASE WHEN a.split != b.split THEN 1 ELSE 0 END) AS leaked
+    FROM dupes d JOIN asg a ON a.doc_id = d.id_a JOIN asg b ON b.doc_id = d.id_b
+    GROUP BY a.split
+),
+base AS (
+    SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+           bit_xor(doc_id) AS xor_ids
+    FROM asg GROUP BY split
+)
+SELECT b.split, b.n_docs, b.n_clusters, b.xor_ids,
+       CAST(coalesce(l.leaked, 0) AS BIGINT) AS leaked_pairs
+FROM base b LEFT JOIN leaks l USING (split) ORDER BY split
+"""
+
+# Next-fit sequence packing replayed as a recursive CTE: same portable
+# md5 shard, same doc_id order, same fill/rollover rule (new bin when
+# fill + n would exceed 256; an oversize doc gets its own bin). Every
+# per-document (shard, seq) placement is value-verified.
+ORACLE["pack_sequences"] = f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(CAST(concat('0x', substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000000 % 8 AS INT) AS shard
+    FROM tok
+),
+o AS (
+    SELECT doc_id, n_tokens, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM d
+),
+walk(shard, rn, doc_id, n_tokens, fill, seq) AS (
+    SELECT shard, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT) FROM o WHERE rn = 1
+    UNION ALL
+    SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+           CASE WHEN w.fill + n.n_tokens > 256 THEN n.n_tokens
+                ELSE w.fill + n.n_tokens END,
+           CASE WHEN w.fill + n.n_tokens > 256 THEN w.seq + 1 ELSE w.seq END
+    FROM walk w JOIN o n ON n.shard = w.shard AND n.rn = w.rn + 1
+)
+SELECT doc_id, shard, seq, n_tokens FROM walk ORDER BY doc_id
+"""
+
 # SemDeDup greedy within-cell prune from the exported (id, cell,
 # cent_cos6) assignment table: rank by (cent_cos6 DESC, id ASC) within
 # cell, a member is dropped iff ANY earlier-ranked member of its cell

@@ -25,6 +25,7 @@ from .operators.rangejoin import interval_join
 from .operators.cluster import clusters_with_singletons, connected_components
 from .operators.exact import exact_star_pairs
 from .operators.lsh import band_table, candidate_pairs
+from .operators.packing import pack_sequences
 from .operators.verify import verify_pairs
 
 CFG = DedupeConfig()
@@ -1417,3 +1418,69 @@ def q_split_assign(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+def q_leakage_safe_splits(spark, sf_dir):
+    """Leakage-safe train/val/test: assign the split at the NEAR-DUP-
+    CLUSTER level (split_assign over cluster_id), so no duplicate pair
+    can straddle train and test — the contamination-prevention step a
+    per-doc split misses. ``leaked_pairs`` is computed from the engine's
+    own verified pair set and must be 0 for every split; the DuckDB twin
+    independently re-derives pairs, clusters, assignments AND the leak
+    count, so a regression to per-doc splitting mismatches on both the
+    xor checksum and the leak column.
+
+    Scale shape: clusters come from the CC operator (O(log n) rounds);
+    the split is one pure-Catalyst projection; the leak audit is two
+    broadcast-able joins of the pair table against the assignment."""
+    clusters = q_dedupe_clusters(spark, sf_dir)
+    assigned = clusters.withColumn(
+        "split", split_assign(F.col("cluster_id"), salt="r3leak")
+    )
+    pairs = (
+        _shingle_pairs(spark, sf_dir)
+        .filter(10 * F.col("inter") >= 9 * F.col("uni"))
+        .select("id_a", "id_b")
+        .unionByName(q_exact_dup_pairs(spark, sf_dir).select("id_a", "id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    leaks = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(
+            F.sum((F.col("split_a") != F.col("split_b")).cast("int"))
+            .cast("long")
+            .alias("leaked")
+        )
+    )
+    base = assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.expr("bit_xor(doc_id)").alias("xor_ids"),
+    )
+    return (
+        base.join(leaks, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "xor_ids",
+            F.coalesce(F.col("leaked"), F.lit(0).cast("long")).alias("leaked_pairs"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic next-fit sequence packing (operators/packing.py):
+    shard by portable md5 hash, order by doc_id within the shard, fill
+    256-token bins. Returns the per-document assignment — DuckDB replays
+    the identical sweep with a recursive CTE, so every (shard, seq)
+    placement is value-verified, not just the bin counts."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", A.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, capacity=256, nshards=8).orderBy("doc_id")
