@@ -10,6 +10,11 @@ Public API (mirrors lieu's AddressDeduper{Spark}.{dupe_sims,match,unique},
 /root/reference/lib/lieu/spark/dedupe.py:24-115):
 
     from lieu_spark.api import dedupe, match, unique
+
+Beyond the reference, ``lieu_spark.curate.curate`` composes the full
+training-data funnel (annotate -> filter -> scrub -> decontaminate ->
+dedupe -> leakage-safe split -> sequence packing) with per-stage
+checkpoint/resume and lineage metrics.
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,279 @@
+"""End-to-end training-data curation: the composed pipeline a corpus
+actually runs before pretraining.
+
+    annotate -> quality/repetition filter -> PII scrub ->
+    decontaminate (vs a holdout/eval set) -> near-dup dedupe ->
+    cluster representatives -> leakage-safe split -> sequence packing
+
+Every stage flows through the same checkpoint/metrics recipe as
+``pipeline.run_pipeline`` (StageStore fingerprint = config + input
+signature; per-partition lineage via metrics.record_stage), so a 100 TB
+curation run resumes mid-funnel without recomputing completed stages.
+The dedupe stage IS run_pipeline — documents enter as one-turn
+transcripts, so the full blocking/verify/CC machinery (salted hot
+bands, sha-rep blocking, one-wave repartition policy) is reused rather
+than re-implemented.
+
+Scale notes per stage: annotate is pure Catalyst except the repetition
+agg (explode + two-level combinable agg, shuffles on doc_id);
+decontamination is a shingle equi-join (never a cross join); splits are
+assigned at the CLUSTER level so no near-dup pair straddles train/test;
+packing is next-fit per (split, shard) — one shuffle, sequences never
+mix splits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .checkpoint import StageStore, input_signature
+from .config import DedupeConfig
+from .functions import text as T
+from .functions.analysis import (
+    lang_guess,
+    quality_score6,
+    repetition_signals,
+    ws_token_count,
+)
+from .functions.redact import redact_pii
+from .functions.sampling import split_assign
+from .metrics import record_stage
+from .operators.packing import pack_sequences
+from .pipeline import run_pipeline
+
+
+@dataclass
+class CurateConfig:
+    """Thresholds are 1e6-quantized to match the analysis columns."""
+
+    min_tokens: int = 5
+    min_quality6: int = 250000
+    max_top_bigram_ratio6: int = 300000
+    max_dup_bigram_ratio6: int = 500000
+    contamination_min_shared: int = 3
+    contamination_min_containment6: int = 500000
+    split_salt: str = "curate"
+    pack_capacity: int = 2048
+    pack_nshards: int = 64
+    dedupe: DedupeConfig = field(default_factory=DedupeConfig)
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+@dataclass
+class CurateResult:
+    annotated: DataFrame  # every input doc + lang/quality/tokens/repetition
+    clusters: DataFrame  # (doc_id, cluster_id) over the filtered survivors
+    splits: DataFrame  # (doc_id, cluster_id, split) — cluster-level split
+    kept: DataFrame  # scrubbed cluster representatives (the output corpus)
+    packed: DataFrame  # (doc_id, split, shard, seq, n_tokens)
+    stage_wall: dict[str, float]
+    funnel: dict[str, int] | None  # rows per stage; eager runs only
+
+
+def _doc_shingles(docs: DataFrame, cfg: DedupeConfig, id_alias: str) -> DataFrame:
+    t = docs.select(F.col("doc_id").alias(id_alias), T.tokenize(F.col("text")).alias("tokens"))
+    t = t.withColumn("th", T.token_hashes(F.col("tokens")))
+    return t.select(id_alias, T.shingle_hash_set(F.col("th"), cfg.shingle_k).alias("sh"))
+
+
+def curate(
+    spark: SparkSession,
+    documents: DataFrame,
+    cfg: CurateConfig | None = None,
+    holdout: DataFrame | None = None,
+    store: StageStore | None = None,
+    metrics_dir: str | None = None,
+    run_id: str | None = None,
+    eager: bool = False,
+) -> CurateResult:
+    """``documents``: (doc_id, text). ``holdout``: optional (doc_id,
+    text) eval set; any surviving doc containing >= min_shared of a
+    holdout doc's shingles at containment >= threshold is removed.
+    ``eager`` materializes each stage (persist + count) for wall/funnel
+    attribution, exactly like run_pipeline's eager mode."""
+    cfg = cfg or CurateConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    walls: dict[str, float] = {}
+    funnel: dict[str, int] | None = {} if eager else None
+
+    fp = cfg.fingerprint()
+    in_sig = input_signature(documents)
+    if in_sig:
+        fp = f"{fp}-in{in_sig}"
+
+    def stage(name: str, build, cache: bool = False) -> DataFrame:
+        # same recipe as pipeline.run_pipeline.stage (kept in sync):
+        # store hit -> load; else build, checkpoint/persist, record
+        t0 = time.time()
+        if store is not None and store.has(name, fp, spark):
+            df = store.load(spark, name)
+            walls[name] = 0.0
+            if funnel is not None:
+                funnel[name] = df.count()
+            return df
+        df = build()
+        if store is not None:
+            df = store.save(spark, name, df, fp)
+        elif cache or eager:
+            df = df.persist()
+        elif metrics_dir is not None:
+            df = df.persist(StorageLevel.DISK_ONLY)
+        if eager:
+            n = df.count()
+            if funnel is not None:
+                funnel[name] = n
+        wall = time.time() - t0
+        walls[name] = wall
+        record_stage(spark, metrics_dir, run_id, name, df, wall, fp)
+        return df
+
+    def build_annotated() -> DataFrame:
+        base = documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            lang_guess(F.col("text")).alias("lang"),
+            quality_score6(F.col("text")).alias("quality6"),
+            ws_token_count(F.col("text")).alias("n_tokens"),
+        )
+        rep = repetition_signals(documents).select(
+            "doc_id", "top_bigram_ratio6", "dup_bigram_ratio6"
+        )
+        return base.join(rep, "doc_id", "left").na.fill(
+            {"top_bigram_ratio6": 0, "dup_bigram_ratio6": 0}
+        )
+
+    annotated = stage("annotated", build_annotated, cache=True)
+
+    def build_filtered() -> DataFrame:
+        keep = (
+            (F.col("n_tokens") >= cfg.min_tokens)
+            & (F.col("quality6") >= cfg.min_quality6)
+            & (F.col("top_bigram_ratio6") <= cfg.max_top_bigram_ratio6)
+            & (F.col("dup_bigram_ratio6") <= cfg.max_dup_bigram_ratio6)
+        )
+        # scrub AFTER the filter: the regex chain runs only on survivors
+        return annotated.filter(keep).select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("text"),
+            "lang",
+            "quality6",
+            "n_tokens",
+        )
+
+    filtered = stage("filtered", build_filtered, cache=True)
+
+    def build_decontaminated() -> DataFrame:
+        if holdout is None:
+            return filtered
+        ev = _doc_shingles(holdout, cfg.dedupe, "eval_id").select(
+            "eval_id", F.size("sh").alias("eval_sh"), F.explode("sh").alias("h")
+        )
+        tr = _doc_shingles(filtered, cfg.dedupe, "train_id").select(
+            "train_id", F.explode("sh").alias("h")
+        )
+        hits = (
+            ev.join(tr, "h")
+            .groupBy("train_id", "eval_sh")
+            .agg(F.count("*").alias("shared"))
+            .filter(
+                (F.col("shared") >= cfg.contamination_min_shared)
+                & (
+                    F.round(
+                        F.col("shared").cast("double")
+                        / F.col("eval_sh").cast("double")
+                        * 1e6
+                    ).cast("long")
+                    >= cfg.contamination_min_containment6
+                )
+            )
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+        )
+        return filtered.join(hits, "doc_id", "left_anti")
+
+    decon = stage("decontaminated", build_decontaminated, cache=True)
+
+    # dedupe = the full production pipeline over one-turn transcripts
+    tx = decon.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    sub_store = StageStore(f"{store.root}/dedupe", store.fmt) if store else None
+    pres = run_pipeline(
+        spark,
+        tx,
+        cfg.dedupe,
+        store=sub_store,
+        metrics_dir=metrics_dir,
+        run_id=run_id,
+        with_spans=False,
+        eager=eager,
+    )
+    walls.update({f"dedupe_{k}": v for k, v in pres.stage_wall.items()})
+    clusters = pres.clusters.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+    def build_splits() -> DataFrame:
+        return clusters.withColumn(
+            "split", split_assign(F.col("cluster_id"), salt=cfg.split_salt)
+        )
+
+    splits = stage("splits", build_splits)
+
+    def build_kept() -> DataFrame:
+        # one representative per cluster: argmax quality6, lowest-id tie
+        scored = clusters.join(decon.select("doc_id", "quality6"), "doc_id")
+        reps = (
+            scored.groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("quality6")).alias("neg_quality6"),
+                        F.col("doc_id").alias("doc_id"),
+                    )
+                ).alias("best")
+            )
+            .select(F.col("best.doc_id").alias("doc_id"))
+        )
+        return decon.join(reps, "doc_id")
+
+    kept = stage("kept", build_kept, cache=True)
+
+    def build_packed() -> DataFrame:
+        return pack_sequences(
+            kept.join(splits.select("doc_id", "split"), "doc_id").select(
+                "doc_id", "split", "n_tokens"
+            ),
+            capacity=cfg.pack_capacity,
+            nshards=cfg.pack_nshards,
+            group_cols=("split",),
+        )
+
+    packed = stage("packed", build_packed)
+
+    return CurateResult(
+        annotated=annotated,
+        clusters=clusters,
+        splits=splits,
+        kept=kept,
+        packed=packed,
+        stage_wall=walls,
+        funnel=funnel,
+    )

@@ -112,6 +112,49 @@ def lang_guess(text: Column) -> Column:
     ).otherwise(guess)
 
 
+def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher/C4-style repetition signals per doc: top-bigram and
+    duplicate-bigram fractions — the boilerplate / loop-generation
+    filter signals LLM corpora are screened with. Docs with fewer than
+    two tokens produce no row (callers left-join and zero-fill). Tokens
+    are staged as a plain column BEFORE the bigram higher-order
+    transform (a computed expression referenced inside a HOF lambda
+    re-evaluates per element); the explode + two-level agg shuffles on
+    (doc_id) with map-side combine — the same shape at any corpus
+    size."""
+    d2 = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    big = d2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    cnt = big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.max("c").alias("top_cnt"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "n_distinct_bigrams",
+        _ratio6(F.col("top_cnt"), F.col("n_bigrams")).alias("top_bigram_ratio6"),
+        _ratio6(
+            F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.col("n_bigrams")
+        ).alias("dup_bigram_ratio6"),
+    )
+
+
 MOD31 = (1 << 31) - 1
 
 

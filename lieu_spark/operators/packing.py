@@ -63,36 +63,52 @@ def pack_sequences(
     nshards: int = 8,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, shard, seq, n_tokens): next-fit packing of ``docs`` into
-    fixed-capacity sequences. ``seq`` is the bin index within the shard;
-    (shard, seq) identifies a training sequence globally. Input rows
+    """(doc_id, *group_cols, shard, seq, n_tokens): next-fit packing of
+    ``docs`` into fixed-capacity sequences. ``seq`` is the bin index
+    within (*group_cols, shard); (*group_cols, shard, seq) identifies a
+    training sequence globally. ``group_cols`` (e.g. ``("split",)``)
+    hard-partitions the packing so a sequence never mixes rows across a
+    boundary — the train/test wall a packer must respect. Input rows
     with the same id land in the same shard by construction; ordering
-    within a shard is by id, so the output is partition-layout-
+    within a group is by id, so the output is partition-layout-
     independent."""
+    gcols = list(group_cols)
+    schema = PACK_SCHEMA
+    if gcols:
+        gschema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in docs.select(*gcols).schema.fields
+        )
+        schema = f"doc_id long, {gschema}, shard int, seq long, n_tokens long"
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
+        *gcols,
         F.col(tokens_col).cast("long").alias("n_tokens"),
     ).withColumn(
         "shard",
         F.pmod(hash_bucket(F.col("doc_id"), salt="pack"), F.lit(nshards)).cast("int"),
     )
+    out_cols = ["doc_id", *gcols, "shard", "seq", "n_tokens"]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
         pdf["seq"] = _pack_next_fit(
             pdf["n_tokens"].to_numpy(dtype=np.int64), capacity
         )
-        return pdf[["doc_id", "shard", "seq", "n_tokens"]]
+        return pdf[out_cols]
 
-    return base.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+    return base.groupBy(*gcols, "shard").applyInPandas(pack, schema)
 
 
-def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
-    """Per-(shard, seq) audit: fill, doc count, utilization — the
-    waste metric a packing change is judged by."""
+def packing_stats(
+    packed: DataFrame, capacity: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-(*group_cols, shard, seq) audit: fill, doc count, utilization
+    — the waste metric a packing change is judged by."""
     return (
-        packed.groupBy("shard", "seq")
+        packed.groupBy(*group_cols, "shard", "seq")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("fill"),

@@ -1330,45 +1330,13 @@ def q_cluster_representatives(spark, sf_dir):
 
 
 def q_doc_repetition(spark, sf_dir):
-    """Gopher/C4-style repetition signals: per-doc top-bigram fraction
-    and duplicate-bigram fraction — the boilerplate / loop-generation
-    filter signals LLM corpora are screened with. Tokens are staged as
-    a plain column BEFORE the bigram higher-order transform (a computed
-    expression referenced inside a HOF lambda re-evaluates per element);
-    the explode + two-level agg shuffles on (doc_id) with map-side
-    combine — the same shape at any corpus size."""
+    """Gopher/C4-style repetition signals (functions/analysis.
+    repetition_signals — shared with the curate() composed pipeline):
+    per-doc top-bigram fraction and duplicate-bigram fraction — the
+    boilerplate / loop-generation filter signals LLM corpora are
+    screened with."""
     d = load(spark, sf_dir, "documents")
-    d2 = d.select("doc_id", T.tokenize(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    big = d2.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("toks"), i),
-                    F.element_at(F.col("toks"), i + 1),
-                ),
-            )
-        ).alias("bg"),
-    )
-    cnt = big.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bigrams"),
-        F.max("c").alias("top_cnt"),
-    )
-    return agg.select(
-        "doc_id",
-        F.col("n_bigrams").cast("long").alias("n_bigrams"),
-        "n_distinct_bigrams",
-        A._ratio6(F.col("top_cnt"), F.col("n_bigrams")).alias("top_bigram_ratio6"),
-        A._ratio6(
-            F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.col("n_bigrams")
-        ).alias("dup_bigram_ratio6"),
-    ).orderBy("doc_id")
+    return A.repetition_signals(d).orderBy("doc_id")
 
 
 def q_tool_transitions(spark, sf_dir):

@@ -1,0 +1,124 @@
+"""curate() — the composed annotate/filter/scrub/decontaminate/dedupe/
+split/pack funnel (lieu_spark/curate.py).
+
+Plants one case per funnel stage and asserts each is handled, then
+checks checkpoint resume recomputes nothing and packing respects the
+split wall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lieu_spark.checkpoint import StageStore
+from lieu_spark.curate import CurateConfig, curate
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while the calm river "
+    "flows through the green valley and the birds sing in the morning light"
+)
+
+
+def _docs(spark):
+    rows = [
+        # 0-9: clean unique docs (vary content so they don't near-dup)
+        *[
+            (i, GOOD + f" chapter {i} tells the story of day {i} in the town")
+            for i in range(10)
+        ],
+        # 100: near-dup of doc 0 (same text + small suffix)
+        (100, GOOD + " chapter 0 tells the story of day 0 in the town indeed"),
+        # 101: exact dup of doc 1
+        (101, GOOD + " chapter 1 tells the story of day 1 in the town"),
+        # 200: junk (repetition: one bigram looped)
+        (200, "buy now " * 40),
+        # 201: junk (too short)
+        (201, "ok"),
+        # 300: PII-bearing but otherwise fine
+        (300, GOOD + " contact me at alice@example.com for the details please"),
+        # 400: contaminated (contains the holdout doc verbatim)
+        (400, GOOD + " the secret benchmark question asks what is the capital of france and why"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _holdout(spark):
+    return spark.createDataFrame(
+        [(0, "the secret benchmark question asks what is the capital of france and why")],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return curate(
+        spark, _docs(spark), CurateConfig(pack_capacity=64, pack_nshards=2),
+        holdout=_holdout(spark), eager=True,
+    )
+
+
+def test_funnel_filters_junk(result):
+    kept_ids = {r.doc_id for r in result.kept.select("doc_id").collect()}
+    assert 200 not in kept_ids, "looped-bigram doc must be filtered"
+    assert 201 not in kept_ids, "too-short doc must be filtered"
+
+
+def test_decontamination_removes_holdout_hit(result):
+    kept_ids = {r.doc_id for r in result.kept.select("doc_id").collect()}
+    assert 400 not in kept_ids
+
+
+def test_dedupe_keeps_one_rep_per_cluster(result):
+    kept_ids = {r.doc_id for r in result.kept.select("doc_id").collect()}
+    # exactly one of {1, 101} (exact dups) and one of {0, 100} (near dups)
+    assert len(kept_ids & {1, 101}) == 1
+    assert len(kept_ids & {0, 100}) == 1
+    # clean docs all survive
+    assert set(range(2, 10)) <= kept_ids
+
+
+def test_pii_scrubbed_in_kept(result):
+    texts = [r.text for r in result.kept.filter(F.col("doc_id") == 300).collect()]
+    assert len(texts) == 1
+    assert "alice@example.com" not in texts[0]
+    assert "<EMAIL>" in texts[0]
+
+
+def test_split_is_cluster_level(result):
+    sp = {r.doc_id: (r.cluster_id, r.split) for r in result.splits.collect()}
+    assert sp[0][0] == sp[100][0] and sp[0][1] == sp[100][1]
+    assert sp[1][0] == sp[101][0] and sp[1][1] == sp[101][1]
+
+
+def test_packed_respects_split_and_capacity(result):
+    packed = result.packed.collect()
+    kept_ids = {r.doc_id for r in result.kept.select("doc_id").collect()}
+    assert {r.doc_id for r in packed} == kept_ids
+    splits = {r.doc_id: r.split for r in result.splits.collect()}
+    fills: dict[tuple, int] = {}
+    ndocs: dict[tuple, int] = {}
+    for r in packed:
+        assert r.split == splits[r.doc_id]
+        key = (r.split, r.shard, r.seq)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+        ndocs[key] = ndocs.get(key, 0) + 1
+    for key, fill in fills.items():
+        assert fill <= 64 or ndocs[key] == 1, (key, fill)
+
+
+def test_funnel_counts_recorded(result):
+    assert result.funnel is not None
+    assert result.funnel["annotated"] == 16
+    assert result.funnel["filtered"] == 14  # junk pair dropped
+    assert result.funnel["decontaminated"] == 13  # holdout hit dropped
+    assert result.funnel["kept"] == 11  # two dup clusters collapsed
+
+
+def test_checkpoint_resume_recomputes_nothing(spark, tmp_path):
+    store = StageStore(str(tmp_path / "curate_store"))
+    cfg = CurateConfig(pack_capacity=64, pack_nshards=2)
+    r1 = curate(spark, _docs(spark), cfg, holdout=_holdout(spark), store=store)
+    first = sorted(map(tuple, r1.packed.collect()))
+    r2 = curate(spark, _docs(spark), cfg, holdout=_holdout(spark), store=store)
+    # every curate-level stage was a store hit on the second run
+    for name in ("annotated", "filtered", "decontaminated", "splits", "kept", "packed"):
+        assert r2.stage_wall[name] == 0.0, name
+    assert sorted(map(tuple, r2.packed.collect())) == first
