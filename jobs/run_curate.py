@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for the composed training-data curation
+funnel (lieu_spark/curate.py): annotate -> quality/repetition filter ->
+PII scrub -> decontaminate -> near-dup dedupe -> cluster reps ->
+leakage-safe split -> sequence packing.
+
+Packaging (north-rule shape, same as jobs/run_dedupe.py):
+
+    cd /root/repo && zip -r /tmp/lieu_spark.zip lieu_spark
+    spark-submit \
+      --master <cluster-or-local[N]> \
+      --py-files /tmp/lieu_spark.zip \
+      jobs/run_curate.py \
+      --input  /path/to/documents(.parquet: doc_id, text) \
+      --output /path/to/output_dir \
+      [--holdout /path/to/eval_docs.parquet] \
+      [--checkpoint-dir DIR] [--metrics-dir DIR] \
+      [--pack-capacity 2048] [--pack-nshards 64] \
+      [--min-quality6 250000] [--min-tokens 5] [--split-salt curate]
+
+Outputs under --output: kept/ (the curated corpus), clusters/, splits/,
+packed/ (per-doc sequence assignment), annotated/ (full audit columns).
+Resume: rerun the same command — completed stages with a matching
+config+input fingerprint load from --checkpoint-dir (the dedupe
+sub-pipeline checkpoints under <checkpoint-dir>/dedupe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--holdout", default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--metrics-dir", default=None)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--min-quality6", type=int, default=250000)
+    ap.add_argument("--pack-capacity", type=int, default=2048)
+    ap.add_argument("--pack-nshards", type=int, default=64)
+    ap.add_argument("--split-salt", default="curate")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from lieu_spark.checkpoint import StageStore
+    from lieu_spark.curate import CurateConfig, curate
+    from lieu_spark.session import attach_session
+
+    spark = attach_session("lieu_spark_curate")
+
+    cfg = CurateConfig(
+        min_tokens=args.min_tokens,
+        min_quality6=args.min_quality6,
+        pack_capacity=args.pack_capacity,
+        pack_nshards=args.pack_nshards,
+        split_salt=args.split_salt,
+    )
+    documents = spark.read.parquet(args.input).select("doc_id", "text")
+    holdout = (
+        spark.read.parquet(args.holdout).select("doc_id", "text")
+        if args.holdout
+        else None
+    )
+    store = StageStore(args.checkpoint_dir) if args.checkpoint_dir else None
+    metrics_dir = args.metrics_dir or os.path.join(args.output, "metrics")
+
+    t0 = time.time()
+    res = curate(
+        spark,
+        documents,
+        cfg,
+        holdout=holdout,
+        store=store,
+        metrics_dir=metrics_dir,
+        run_id=args.run_id,
+    )
+    for name, df in (
+        ("kept", res.kept),
+        ("clusters", res.clusters),
+        ("splits", res.splits),
+        ("packed", res.packed),
+        ("annotated", res.annotated),
+    ):
+        df.write.mode("overwrite").parquet(os.path.join(args.output, name))
+    summary = {
+        "wall_sec": round(time.time() - t0, 2),
+        "n_input": documents.count(),
+        "n_kept": res.kept.count(),
+        "n_sequences": res.packed.select("split", "shard", "seq").distinct().count(),
+        "stage_wall": {k: round(v, 2) for k, v in res.stage_wall.items()},
+        "config_fingerprint": cfg.fingerprint(),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
