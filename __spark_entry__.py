@@ -8,7 +8,7 @@ lieu_spark/oracle_sql.py. Hash-kernel paths (MinHash bands, SimHash,
 winnow fingerprints, LSH buckets) are oracle-checked through the parquet
 export side-channel (lieu_spark.oracle_export): the kernel output is a
 file both engines read, so the relational halves are value-verified.
-Every queries() key now has an oracle_sql() twin (63/63): the
+Every queries() key now has an oracle_sql() twin (64/64): the
 non-SQL-expressible kernels (LCS argmax, IVF centroids, MinHash/SimHash/
 bucket hashes, fake-codec dims) stay pytest-verified, but their
 downstream relational work — and for copied_spans the substring
@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": Q.q_split_assign,
         "leakage_safe_splits": Q.q_leakage_safe_splits,
         "pack_sequences": Q.q_pack_sequences,
+        "mixture_sample": Q.q_mixture_sample,
         "id_assignment": Q.q_id_assignment,
         "json_extract": Q.q_json_extract,
         "term_counts_top": Q.q_term_counts_top,

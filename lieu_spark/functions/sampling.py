@@ -61,6 +61,35 @@ def split_assign(
     return (F.lit(last) if expr is None else expr.otherwise(F.lit(last))).alias("split")
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    id_col: str,
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic data mixing: downsample each group (language,
+    source, domain, ...) to its target rate — the mixture-weighting step
+    of corpus assembly. A row of group g survives iff
+    hash_bucket(id, salt) < rate_g * 1e6, so membership is stable across
+    runs, partitionings, and engines, supersampling holds per group
+    (raising one group's rate only ADDS rows), and the whole thing is
+    one pure-Catalyst filter — no rand(), no shuffle, pushes down to the
+    scan. Groups absent from ``rates`` get ``default_rate``."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = F.lit(int(round(default_rate * BUCKETS)))
+    for g, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(group_col) == g, F.lit(int(round(r * BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, id_col: str, salt: str = ""
 ) -> DataFrame:

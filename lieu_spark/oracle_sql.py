@@ -1160,6 +1160,25 @@ SELECT b.split, b.n_docs, b.n_clusters, b.xor_ids,
 FROM base b LEFT JOIN leaks l USING (split) ORDER BY split
 """
 
+# Mixture sampling: per-group md5-bucket thresholds re-derived row by
+# row (same portable hash as split_assign); bit_xor verifies every
+# kept row's membership, not just the realized per-group rates.
+ORACLE["mixture_sample"] = """
+WITH kept AS (
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000
+          < CASE lang WHEN 'en' THEN 1000000
+                      WHEN 'de' THEN 500000
+                      WHEN 'fr' THEN 500000
+                      WHEN 'es' THEN 250000
+                      ELSE 100000 END
+)
+SELECT lang, count(*) AS n_kept, bit_xor(doc_id) AS xor_ids
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
 # Next-fit sequence packing replayed as a recursive CTE: same portable
 # md5 shard, same doc_id order, same fill/rollover rule (new bin when
 # fill + n would exceed 256; an oversize doc gets its own bin). Every

@@ -18,7 +18,7 @@ from .functions import analysis as A
 from .functions import text as T
 from .functions.minhash import with_minhash
 from .functions.multimodal import with_binary_payload
-from .functions.sampling import split_assign
+from .functions.sampling import mixture_sample, split_assign
 from .functions.vectors import cosine_with_norms, dot, norm
 from .operators.asof import asof_join
 from .operators.rangejoin import interval_join
@@ -1439,6 +1439,31 @@ def q_leakage_safe_splits(spark, sf_dir):
             F.coalesce(F.col("leaked"), F.lit(0).cast("long")).alias("leaked_pairs"),
         )
         .orderBy("split")
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic data mixing (functions/sampling.mixture_sample):
+    downsample each language to its target rate via the portable md5
+    bucket — the mixture-weighting step of corpus assembly. Per-lang
+    kept counts plus a bit_xor of kept doc_ids, so DuckDB verifies the
+    MEMBERSHIP of every row, not just the realized rates."""
+    d = load(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d,
+        {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25},
+        group_col="lang",
+        id_col="doc_id",
+        salt="mix",
+        default_rate=0.1,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.expr("bit_xor(doc_id)").alias("xor_ids"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -85,3 +85,37 @@ def test_no_shuffle_no_udf_plan(spark, ids_df):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_mixture_sample_rates_and_supersampling(spark):
+    from lieu_spark.functions.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    kept = mixture_sample(df, {"a": 0.5, "b": 0.1}, "grp", "id", salt="m").collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.grp, set()).add(r.id)
+    # realized rates within hash tolerance
+    assert 0.4 < len(by["a"]) / 1000 < 0.6
+    assert 0.05 < len(by["b"]) / 1000 < 0.16
+    # supersampling per group: raising a rate only ADDS rows
+    kept2 = mixture_sample(df, {"a": 0.8, "b": 0.1}, "grp", "id", salt="m").collect()
+    by2 = {}
+    for r in kept2:
+        by2.setdefault(r.grp, set()).add(r.id)
+    assert by["a"] <= by2["a"]
+    assert by["b"] == by2["b"]
+    # default_rate applies to unlisted groups
+    kept3 = mixture_sample(df, {"a": 0.5}, "grp", "id", salt="m", default_rate=0.0)
+    assert kept3.filter("grp = 'b'").count() == 0
+
+
+def test_mixture_sample_validates_rates(spark):
+    from lieu_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "id long, grp string")
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"a": 1.5}, "grp", "id")
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"a": 0.5}, "grp", "id", default_rate=-0.1)
