@@ -3,7 +3,8 @@ actually runs before pretraining.
 
     annotate -> quality/repetition filter -> PII scrub ->
     decontaminate (vs a holdout/eval set) -> near-dup dedupe ->
-    cluster representatives -> leakage-safe split -> sequence packing
+    cluster representatives -> [mixture sampling] ->
+    leakage-safe split -> sequence packing
 
 Every stage flows through the same checkpoint/metrics recipe as
 ``pipeline.run_pipeline`` (StageStore fingerprint = config + input
@@ -44,7 +45,7 @@ from .functions.analysis import (
     ws_token_count,
 )
 from .functions.redact import redact_pii
-from .functions.sampling import split_assign
+from .functions.sampling import mixture_sample, split_assign
 from .metrics import record_stage
 from .operators.packing import pack_sequences
 from .pipeline import run_pipeline
@@ -60,6 +61,12 @@ class CurateConfig:
     max_dup_bigram_ratio6: int = 500000
     contamination_min_shared: int = 3
     contamination_min_containment6: int = 500000
+    # data-mixing weights applied to the kept corpus before packing:
+    # group value -> target rate (sampling.mixture_sample); None = skip
+    mixture_rates: dict[str, float] | None = None
+    mixture_group_col: str = "lang"
+    mixture_default_rate: float = 1.0
+    mixture_salt: str = "mix"
     split_salt: str = "curate"
     pack_capacity: int = 2048
     pack_nshards: int = 64
@@ -75,7 +82,7 @@ class CurateResult:
     annotated: DataFrame  # every input doc + lang/quality/tokens/repetition
     clusters: DataFrame  # (doc_id, cluster_id) over the filtered survivors
     splits: DataFrame  # (doc_id, cluster_id, split) — cluster-level split
-    kept: DataFrame  # scrubbed cluster representatives (the output corpus)
+    kept: DataFrame  # scrubbed cluster reps, mixture-sampled if configured
     packed: DataFrame  # (doc_id, split, shard, seq, n_tokens)
     stage_wall: dict[str, float]
     funnel: dict[str, int] | None  # rows per stage; eager runs only
@@ -255,6 +262,20 @@ def curate(
         return decon.join(reps, "doc_id")
 
     kept = stage("kept", build_kept, cache=True)
+
+    if cfg.mixture_rates is not None:
+
+        def build_mixed() -> DataFrame:
+            return mixture_sample(
+                kept,
+                cfg.mixture_rates,
+                group_col=cfg.mixture_group_col,
+                id_col="doc_id",
+                salt=cfg.mixture_salt,
+                default_rate=cfg.mixture_default_rate,
+            )
+
+        kept = stage("mixed", build_mixed, cache=True)
 
     def build_packed() -> DataFrame:
         return pack_sequences(

@@ -122,3 +122,19 @@ def test_checkpoint_resume_recomputes_nothing(spark, tmp_path):
     for name in ("annotated", "filtered", "decontaminated", "splits", "kept", "packed"):
         assert r2.stage_wall[name] == 0.0, name
     assert sorted(map(tuple, r2.packed.collect())) == first
+
+
+def test_mixture_stage_downsamples_kept(spark):
+    docs = _docs(spark)
+    cfg = CurateConfig(
+        pack_capacity=64, pack_nshards=2,
+        mixture_rates={"en": 0.5}, mixture_default_rate=1.0,
+    )
+    full = curate(spark, docs, CurateConfig(pack_capacity=64, pack_nshards=2))
+    mixed = curate(spark, docs, cfg)
+    full_ids = {r.doc_id for r in full.kept.select("doc_id").collect()}
+    mixed_ids = {r.doc_id for r in mixed.kept.select("doc_id").collect()}
+    # mixing only removes rows, and removes some (en docs at rate 0.5)
+    assert mixed_ids < full_ids
+    # packed output follows the mixed kept set
+    assert {r.doc_id for r in mixed.packed.collect()} == mixed_ids
