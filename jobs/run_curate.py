@@ -19,7 +19,8 @@ Packaging (north-rule shape, same as jobs/run_dedupe.py):
       [--min-quality6 250000] [--min-tokens 5] [--split-salt curate]
 
 Outputs under --output: kept/ (the curated corpus), clusters/, splits/,
-packed/ (per-doc sequence assignment), annotated/ (full audit columns).
+packed/ (per-doc sequence assignment), annotated/ (audit columns only —
+no raw text, so unscrubbed PII never lands in the output or the store).
 Resume: rerun the same command — completed stages with a matching
 config+input fingerprint load from --checkpoint-dir (the dedupe
 sub-pipeline checkpoints under <checkpoint-dir>/dedupe).

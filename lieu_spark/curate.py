@@ -118,6 +118,13 @@ def curate(
     in_sig = input_signature(documents)
     if in_sig:
         fp = f"{fp}-in{in_sig}"
+    if holdout is not None:
+        # the holdout is an input too: resuming with a different (or
+        # newly added) eval set must recompute decontamination, not
+        # serve the stale stage. In-memory holdouts have no file
+        # signature — the presence marker still separates them from
+        # no-holdout runs (content changes then need a fresh store).
+        fp = f"{fp}-ho{input_signature(holdout) or 'mem'}"
 
     def stage(name: str, build, cache: bool = False) -> DataFrame:
         # same recipe as pipeline.run_pipeline.stage (kept in sync):
@@ -146,9 +153,12 @@ def curate(
         return df
 
     def build_annotated() -> DataFrame:
+        # audit columns ONLY — no text column, so neither the stage
+        # store nor a job's annotated/ output ever persists raw
+        # (unscrubbed) PII-bearing text; scrubbed text first
+        # materializes in the filtered stage
         base = documents.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            "text",
             lang_guess(F.col("text")).alias("lang"),
             quality_score6(F.col("text")).alias("quality6"),
             ws_token_count(F.col("text")).alias("n_tokens"),
@@ -169,29 +179,44 @@ def curate(
             & (F.col("top_bigram_ratio6") <= cfg.max_top_bigram_ratio6)
             & (F.col("dup_bigram_ratio6") <= cfg.max_dup_bigram_ratio6)
         )
+        survivors = annotated.filter(keep).select(
+            "doc_id", "lang", "quality6", "n_tokens"
+        )
         # scrub AFTER the filter: the regex chain runs only on survivors
-        return annotated.filter(keep).select(
-            "doc_id",
-            redact_pii(F.col("text")).alias("text"),
-            "lang",
-            "quality6",
-            "n_tokens",
+        return (
+            documents.select(
+                F.col("doc_id").cast("long").alias("doc_id"), "text"
+            )
+            .join(survivors, "doc_id")
+            .select(
+                "doc_id",
+                redact_pii(F.col("text")).alias("text"),
+                "lang",
+                "quality6",
+                "n_tokens",
+            )
         )
 
     filtered = stage("filtered", build_filtered, cache=True)
 
     def build_decontaminated() -> DataFrame:
-        if holdout is None:
-            return filtered
-        ev = _doc_shingles(holdout, cfg.dedupe, "eval_id").select(
+        # holdout text is scrubbed with the SAME redaction as the
+        # training side: the filtered docs are post-scrub, so verbatim
+        # contamination whose span contains PII must match shingle-for-
+        # shingle on the redacted form of both sides
+        ho = holdout.select("doc_id", redact_pii(F.col("text")).alias("text"))
+        ev = _doc_shingles(ho, cfg.dedupe, "eval_id").select(
             "eval_id", F.size("sh").alias("eval_sh"), F.explode("sh").alias("h")
         )
         tr = _doc_shingles(filtered, cfg.dedupe, "train_id").select(
             "train_id", F.explode("sh").alias("h")
         )
+        # per-(eval doc, train doc) counts — grouping without eval_id
+        # would merge shared-shingle counts across different holdout
+        # docs and over-remove (same key shape as q_contamination_pairs)
         hits = (
             ev.join(tr, "h")
-            .groupBy("train_id", "eval_sh")
+            .groupBy("eval_id", "train_id", "eval_sh")
             .agg(F.count("*").alias("shared"))
             .filter(
                 (F.col("shared") >= cfg.contamination_min_shared)
@@ -209,7 +234,15 @@ def curate(
         )
         return filtered.join(hits, "doc_id", "left_anti")
 
-    decon = stage("decontaminated", build_decontaminated, cache=True)
+    if holdout is None:
+        # no eval set: the stage would be a byte-identical copy of
+        # filtered — skip the redundant checkpoint/persist entirely
+        decon = filtered
+        walls["decontaminated"] = 0.0
+        if funnel is not None and "filtered" in funnel:
+            funnel["decontaminated"] = funnel["filtered"]
+    else:
+        decon = stage("decontaminated", build_decontaminated, cache=True)
 
     # dedupe = the full production pipeline over one-turn transcripts
     tx = decon.select(

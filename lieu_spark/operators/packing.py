@@ -91,6 +91,15 @@ def pack_sequences(
         F.pmod(hash_bucket(F.col("doc_id"), salt="pack"), F.lit(nshards)).cast("int"),
     )
     out_cols = ["doc_id", *gcols, "shard", "seq", "n_tokens"]
+    # explicit hash repartition on the exact grouping keys: the rows are
+    # a few bytes each, so AQE's byte-based coalescing would otherwise
+    # merge the groupBy exchange into one or two tasks and serialize the
+    # per-shard sweeps (CLAUDE.md rule: repartition before pandas
+    # stages). The user-specified repartition satisfies the group
+    # distribution, so no second exchange is inserted and AQE leaves the
+    # partition count alone.
+    sc = base.sparkSession.sparkContext
+    base = base.repartition(max(sc.defaultParallelism, 8), *gcols, "shard")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)

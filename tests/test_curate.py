@@ -138,3 +138,41 @@ def test_mixture_stage_downsamples_kept(spark):
     assert mixed_ids < full_ids
     # packed output follows the mixed kept set
     assert {r.doc_id for r in mixed.packed.collect()} == mixed_ids
+
+
+def test_decontamination_is_per_eval_doc(spark):
+    # a train doc sharing 2 shingles with EACH of two different holdout
+    # docs (below min_shared=3 per doc) must be KEPT — grouping that
+    # merges counts across eval docs would wrongly remove it
+    e1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    e2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    t = GOOD + " alpha bravo charlie delta echo foxtrot kilo lima mike november oscar papa"
+    docs = spark.createDataFrame(
+        [(0, GOOD + " chapter zero tells another story entirely today"), (500, t)],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(0, e1), (1, e2)], "doc_id long, text string"
+    )
+    res = curate(
+        spark, docs, CurateConfig(pack_capacity=64, pack_nshards=2), holdout=holdout
+    )
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert 500 in kept_ids
+
+
+def test_decontamination_matches_across_pii_scrub(spark):
+    # verbatim contamination whose span contains PII must still be
+    # caught: the holdout side is scrubbed with the same redaction
+    phrase = "please contact alice@example.com to get the secret answer key now"
+    docs = spark.createDataFrame(
+        [(0, GOOD + " chapter zero tells another story entirely today"),
+         (501, GOOD + " " + phrase)],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame([(0, phrase)], "doc_id long, text string")
+    res = curate(
+        spark, docs, CurateConfig(pack_capacity=64, pack_nshards=2), holdout=holdout
+    )
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert 501 not in kept_ids
