@@ -179,22 +179,26 @@ def curate(
             & (F.col("top_bigram_ratio6") <= cfg.max_top_bigram_ratio6)
             & (F.col("dup_bigram_ratio6") <= cfg.max_dup_bigram_ratio6)
         )
-        survivors = annotated.filter(keep).select(
-            "doc_id", "lang", "quality6", "n_tokens"
-        )
-        # scrub AFTER the filter: the regex chain runs only on survivors
-        return (
+        survivors = annotated.filter(keep).select("doc_id", "lang", "quality6")
+        # scrub AFTER the filter: the regex chain runs only on
+        # survivors. n_tokens is recomputed on the SCRUBBED text —
+        # thresholds above judged the raw doc, but the count that flows
+        # into sequence packing must describe the text actually shipped
+        # (redaction can shrink it: alice@example.com = 3 canonical
+        # tokens, <EMAIL> = 1)
+        scrubbed = (
             documents.select(
                 F.col("doc_id").cast("long").alias("doc_id"), "text"
             )
             .join(survivors, "doc_id")
-            .select(
-                "doc_id",
-                redact_pii(F.col("text")).alias("text"),
-                "lang",
-                "quality6",
-                "n_tokens",
-            )
+            .withColumn("text", redact_pii(F.col("text")))
+        )
+        return scrubbed.select(
+            "doc_id",
+            "text",
+            "lang",
+            "quality6",
+            ws_token_count(F.col("text")).alias("n_tokens"),
         )
 
     filtered = stage("filtered", build_filtered, cache=True)

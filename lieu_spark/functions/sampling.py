@@ -76,7 +76,9 @@ def mixture_sample(
     runs, partitionings, and engines, supersampling holds per group
     (raising one group's rate only ADDS rows), and the whole thing is
     one pure-Catalyst filter — no rand(), no shuffle, pushes down to the
-    scan. Groups absent from ``rates`` get ``default_rate``."""
+    scan. Groups absent from ``rates`` get ``default_rate``; a NULL
+    group value never equals any key, so NULL-group rows also fall to
+    ``default_rate``."""
     for g, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
