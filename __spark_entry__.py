@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": Q.q_leakage_safe_splits,
         "pack_sequences": Q.q_pack_sequences,
         "mixture_sample": Q.q_mixture_sample,
+        "corpus_shuffle": Q.q_corpus_shuffle,
         "id_assignment": Q.q_id_assignment,
         "json_extract": Q.q_json_extract,
         "term_counts_top": Q.q_term_counts_top,

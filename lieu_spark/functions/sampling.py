@@ -92,6 +92,43 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
 
 
+def corpus_shuffle(
+    df: DataFrame, id_col: str, salt: str = "", nshards: int = 64
+) -> DataFrame:
+    """Deterministic training-order shuffle: assign every row a stable
+    random-looking position — the "shuffle the corpus before training"
+    step, without ``rand()`` or a global sort.
+
+    Each row gets ``shard`` (md5 bucket mod ``nshards``) and ``pos``
+    (its rank within the shard under the full md5 hex of salt||id,
+    doc id as tiebreak). The canonical order is lexicographic
+    ``(shard, pos)``: write shard-partitioned files each internally
+    ordered by ``pos`` and a sequential reader sees the reproducible
+    permutation; a new ``salt`` is an independent reshuffle, the same
+    salt always replays the same order, and inserting new rows never
+    reorders existing ones relative to each other (sort stability).
+
+    Scale shape: ONE hash shuffle on ``shard`` then a per-shard sort —
+    no global range partition, no driver state. Size ``nshards`` to the
+    cluster (one output file per shard) so each shard sorts locally;
+    the window is partitioned, never a single-partition rank. md5 keeps
+    it engine-portable — DuckDB re-derives every (shard, pos) from
+    scratch in the oracle."""
+    if nshards < 1:
+        raise ValueError(f"nshards must be >= 1, got {nshards}")
+    okey = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.pmod(hash_bucket(F.col(id_col), salt), F.lit(nshards)).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("__okey", id_col)
+    return (
+        df.withColumn("__okey", okey)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__okey")
+    )
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, id_col: str, salt: str = ""
 ) -> DataFrame:

@@ -1325,6 +1325,25 @@ FROM errs e LEFT JOIN matched m USING (event_id)
 ORDER BY event_id
 """
 
+# deterministic training-order shuffle: same md5 order key, same
+# bucket-mod shard, same partitioned rank — DuckDB re-derives the whole
+# permutation from scratch, so every (shard, pos) placement is
+# value-verified (md5 hex is lowercase ASCII in both engines, so the
+# lexicographic order keys agree byte-for-byte)
+ORACLE["corpus_shuffle"] = """
+WITH keyed AS (
+    SELECT doc_id,
+           md5('ord' || CAST(doc_id AS VARCHAR)) AS okey,
+           CAST(CAST(concat('0x', substr(md5('ord' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000000 % 16 AS INT) AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+            AS BIGINT) AS pos
+FROM keyed ORDER BY doc_id
+"""
+
 # deterministic split: md5 is bit-identical across engines, so DuckDB
 # re-derives every row's assignment from scratch (no export channel)
 ORACLE["split_assign"] = """

@@ -18,7 +18,7 @@ from .functions import analysis as A
 from .functions import text as T
 from .functions.minhash import with_minhash
 from .functions.multimodal import with_binary_payload
-from .functions.sampling import mixture_sample, split_assign
+from .functions.sampling import corpus_shuffle, mixture_sample, split_assign
 from .functions.vectors import cosine_with_norms, dot, norm
 from .operators.asof import asof_join
 from .operators.rangejoin import interval_join
@@ -1477,3 +1477,15 @@ def q_pack_sequences(spark, sf_dir):
         "doc_id", A.ws_token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(d, capacity=256, nshards=8).orderBy("doc_id")
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (functions/sampling.
+    corpus_shuffle): portable md5 order key, sharded window rank — one
+    hash shuffle + per-shard sort, no rand(), no global range sort.
+    Returns every document's (shard, pos) so DuckDB re-derives the
+    entire permutation from scratch, value-verifying each placement."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(d, id_col="doc_id", salt="ord", nshards=16).orderBy(
+        "doc_id"
+    )

@@ -111,6 +111,77 @@ def test_mixture_sample_rates_and_supersampling(spark):
     assert kept3.filter("grp = 'b'").count() == 0
 
 
+def test_corpus_shuffle_is_stable_permutation(spark, ids_df):
+    from lieu_spark.functions.sampling import corpus_shuffle
+
+    out = corpus_shuffle(ids_df, "id", salt="s", nshards=8)
+    rows = out.collect()
+    assert len(rows) == 2000
+    # within every shard, pos is exactly 1..n (a permutation, no gaps)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # partition-invariant: identical placement after a reshuffle
+    again = {
+        (r.id): (r.shard, r.pos)
+        for r in corpus_shuffle(
+            ids_df.repartition(13), "id", salt="s", nshards=8
+        ).collect()
+    }
+    assert {r.id: (r.shard, r.pos) for r in rows} == again
+    # matches the pure-python re-derivation of the same recipe
+    import hashlib as _h
+
+    def key(i):
+        return _h.md5(("s" + str(i)).encode()).hexdigest()
+
+    expect = {}
+    for s in range(8):
+        members = sorted(
+            (i for i in range(2000) if _py_bucket(i, "s") % 8 == s),
+            key=lambda i: (key(i), i),
+        )
+        for p, i in enumerate(members, 1):
+            expect[i] = (s, p)
+    assert expect == {r.id: (r.shard, r.pos) for r in rows}
+
+
+def test_corpus_shuffle_insert_preserves_relative_order(spark):
+    from lieu_spark.functions.sampling import corpus_shuffle
+
+    base = spark.range(0, 500).select(F.col("id").cast("long"))
+    grown = spark.range(0, 1000).select(F.col("id").cast("long"))
+    a = corpus_shuffle(base, "id", salt="g", nshards=4).collect()
+    b = corpus_shuffle(grown, "id", salt="g", nshards=4).collect()
+    pos_a = {r.id: (r.shard, r.pos) for r in a}
+    pos_b = {r.id: (r.shard, r.pos) for r in b}
+    # same shard always; within a shard, old rows keep their relative order
+    for i in pos_a:
+        assert pos_a[i][0] == pos_b[i][0]
+    old = sorted(pos_a, key=lambda i: pos_a[i])
+    old_in_new = sorted(pos_a, key=lambda i: pos_b[i])
+    assert old == old_in_new
+
+
+def test_corpus_shuffle_single_hash_exchange_plan(spark, ids_df):
+    """Scale contract: one hash shuffle on shard (never a single-
+    partition global sort), no Python UDF."""
+    from lieu_spark.functions.sampling import corpus_shuffle
+
+    plan = (
+        corpus_shuffle(ids_df, "id", salt="s", nshards=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.lower().count("exchange hashpartitioning") == 1
+    with pytest.raises(ValueError):
+        corpus_shuffle(ids_df, "id", nshards=0)
+
+
 def test_mixture_sample_validates_rates(spark):
     from lieu_spark.functions.sampling import mixture_sample
 
