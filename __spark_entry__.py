@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": Q.q_pack_sequences,
         "mixture_sample": Q.q_mixture_sample,
         "corpus_shuffle": Q.q_corpus_shuffle,
+        "boilerplate_scrub": Q.q_boilerplate_scrub,
         "id_assignment": Q.q_id_assignment,
         "json_extract": Q.q_json_extract,
         "term_counts_top": Q.q_term_counts_top,

@@ -1325,6 +1325,40 @@ FROM errs e LEFT JOIN matched m USING (event_id)
 ORDER BY event_id
 """
 
+# boilerplate-turn removal: same 12-token turn derivation as
+# transcript_roundtrip, boilerplate = turn text in >= 2 distinct convs,
+# kept turns reassembled in turn order and sha-verified — so the oracle
+# checks exactly WHICH turns were dropped, not just the counts
+ORACLE["boilerplate_scrub"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+chunks AS (
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS turn_idx,
+           array_to_string(toks[(i-1)*12+1 : (i-1)*12+12], ' ') AS turn_text
+    FROM (SELECT doc_id, toks, n, unnest(range(1, CAST(ceil(n / 12.0) AS BIGINT) + 1)) AS i FROM nz)
+),
+boiler AS (
+    SELECT turn_text FROM chunks WHERE turn_text <> ''
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+    SELECT c.doc_id, c.turn_idx, c.turn_text
+    FROM chunks c LEFT JOIN boiler b USING (turn_text)
+    WHERE b.turn_text IS NULL
+),
+base AS (SELECT doc_id, count(*) AS n_turns FROM chunks GROUP BY doc_id),
+ka AS (
+    SELECT doc_id, count(*) AS n_kept,
+           sha256(string_agg(turn_text, ' ' ORDER BY turn_idx)) AS kept_sha
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id AS conv_id, b.n_turns,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_sha, '') AS kept_sha
+FROM base b LEFT JOIN ka k USING (doc_id) ORDER BY conv_id
+"""
+
 # deterministic training-order shuffle: same md5 order key, same
 # bucket-mod shard, same partitioned rank — DuckDB re-derives the whole
 # permutation from scratch, so every (shard, pos) placement is

@@ -21,6 +21,7 @@ from .functions.multimodal import with_binary_payload
 from .functions.sampling import corpus_shuffle, mixture_sample, split_assign
 from .functions.vectors import cosine_with_norms, dot, norm
 from .operators.asof import asof_join
+from .operators.boilerplate import remove_boilerplate_turns
 from .operators.rangejoin import interval_join
 from .operators.cluster import clusters_with_singletons, connected_components
 from .operators.exact import exact_star_pairs
@@ -1477,6 +1478,42 @@ def q_pack_sequences(spark, sf_dir):
         "doc_id", A.ws_token_count(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(d, capacity=256, nshards=8).orderBy("doc_id")
+
+
+def q_boilerplate_scrub(spark, sf_dir):
+    """Boilerplate-turn removal (operators/boilerplate.py): drop turns
+    whose text recurs in >= 2 distinct conversations — the line-dedup
+    step of corpus curation, transcript-shaped. Per-conversation kept
+    counts plus a sha of the reassembled kept text, so DuckDB verifies
+    exactly WHICH turns were dropped, not just how many."""
+    t = transcripts_from_docs(spark, sf_dir)
+    kept = remove_boilerplate_turns(t, min_df=2)
+    base = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    ka = kept.groupBy("conv_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sha2(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("turn_idx"), F.col("turn_text")))
+                    ),
+                    lambda s: s["turn_text"],
+                ),
+            ),
+            256,
+        ).alias("kept_sha"),
+    )
+    return (
+        base.join(ka, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("kept_sha"), F.lit("")).alias("kept_sha"),
+        )
+        .orderBy("conv_id")
+    )
 
 
 def q_corpus_shuffle(spark, sf_dir):
