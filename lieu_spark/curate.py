@@ -45,7 +45,7 @@ from .functions.analysis import (
     ws_token_count,
 )
 from .functions.redact import redact_pii
-from .functions.sampling import mixture_sample, split_assign
+from .functions.sampling import corpus_shuffle, mixture_sample, split_assign
 from .metrics import record_stage
 from .operators.packing import pack_sequences
 from .pipeline import run_pipeline
@@ -70,6 +70,11 @@ class CurateConfig:
     split_salt: str = "curate"
     pack_capacity: int = 2048
     pack_nshards: int = 64
+    # training-order shuffle of the PACKED SEQUENCES (sampling.
+    # corpus_shuffle over the (split, shard, seq) key): None = skip;
+    # a salt makes the order reproducible and a new salt reshuffles
+    shuffle_salt: str | None = None
+    shuffle_nshards: int = 64
     dedupe: DedupeConfig = field(default_factory=DedupeConfig)
 
     def fingerprint(self) -> str:
@@ -84,6 +89,9 @@ class CurateResult:
     splits: DataFrame  # (doc_id, cluster_id, split) — cluster-level split
     kept: DataFrame  # scrubbed cluster reps, mixture-sampled if configured
     packed: DataFrame  # (doc_id, split, shard, seq, n_tokens)
+    #   + (order_shard, order_pos) when cfg.shuffle_salt is set: the
+    #   reproducible training order of each packed sequence — read
+    #   order_shard-major, order_pos ascending
     stage_wall: dict[str, float]
     funnel: dict[str, int] | None  # rows per stage; eager runs only
 
@@ -325,6 +333,42 @@ def curate(
         )
 
     packed = stage("packed", build_packed)
+
+    if cfg.shuffle_salt is not None:
+
+        def build_ordered() -> DataFrame:
+            # shuffle SEQUENCES, not docs: every doc of a packed
+            # sequence must land at the same training position. The
+            # distinct sequence table is |packed| / ~docs-per-seq rows;
+            # corpus_shuffle adds (shard, pos) so the packer's own
+            # shard is aliased out of the way first.
+            seqs = (
+                packed.select(
+                    "split", F.col("shard").alias("pack_shard"), "seq"
+                )
+                .dropDuplicates(["split", "pack_shard", "seq"])
+                .withColumn(
+                    "seq_key",
+                    F.concat_ws(
+                        "-", F.col("split"), F.col("pack_shard"), F.col("seq")
+                    ),
+                )
+            )
+            ordered = corpus_shuffle(
+                seqs,
+                id_col="seq_key",
+                salt=cfg.shuffle_salt,
+                nshards=cfg.shuffle_nshards,
+            ).select(
+                "split",
+                F.col("pack_shard").alias("shard"),
+                "seq",
+                F.col("shard").alias("order_shard"),
+                F.col("pos").alias("order_pos"),
+            )
+            return packed.join(ordered, ["split", "shard", "seq"])
+
+        packed = stage("ordered", build_ordered)
 
     return CurateResult(
         annotated=annotated,

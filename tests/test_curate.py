@@ -176,3 +176,38 @@ def test_decontamination_matches_across_pii_scrub(spark):
     )
     kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
     assert 501 not in kept_ids
+
+
+def test_ordered_stage_shuffles_sequences(spark):
+    # default: no order columns
+    base = curate(spark, _docs(spark), CurateConfig(pack_capacity=64, pack_nshards=2))
+    assert "order_shard" not in base.packed.columns
+
+    cfg = CurateConfig(
+        pack_capacity=64, pack_nshards=2, shuffle_salt="ord", shuffle_nshards=4
+    )
+    res = curate(spark, _docs(spark), cfg)
+    rows = res.packed.collect()
+    assert rows and {"order_shard", "order_pos"} <= set(rows[0].asDict())
+    # every doc of the same packed sequence lands at the same position
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r.split, r.shard, r.seq), set()).add(
+            (r.order_shard, r.order_pos)
+        )
+    assert all(len(v) == 1 for v in by_seq.values())
+    # distinct sequences get distinct positions, contiguous per order shard
+    placements = sorted(next(iter(v)) for v in by_seq.values())
+    assert len(placements) == len(set(placements))
+    per = {}
+    for s, p in placements:
+        per.setdefault(s, []).append(p)
+    for ps in per.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # reproducible: same salt replays the identical order
+    again = curate(spark, _docs(spark), cfg)
+    same = {
+        (r.split, r.shard, r.seq): (r.order_shard, r.order_pos)
+        for r in again.packed.collect()
+    }
+    assert same == {k: next(iter(v)) for k, v in by_seq.items()}
