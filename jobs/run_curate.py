@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--pack-capacity", type=int, default=2048)
     ap.add_argument("--pack-nshards", type=int, default=64)
     ap.add_argument("--split-salt", default="curate")
+    ap.add_argument("--shuffle-salt", default=None,
+                    help="set to add the training-order shuffle stage")
+    ap.add_argument("--shuffle-nshards", type=int, default=64)
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -64,6 +67,8 @@ def main() -> None:
         pack_capacity=args.pack_capacity,
         pack_nshards=args.pack_nshards,
         split_salt=args.split_salt,
+        shuffle_salt=args.shuffle_salt,
+        shuffle_nshards=args.shuffle_nshards,
     )
     documents = spark.read.parquet(args.input).select("doc_id", "text")
     holdout = (
