@@ -8,7 +8,8 @@ lieu_spark/oracle_sql.py. Hash-kernel paths (MinHash bands, SimHash,
 winnow fingerprints, LSH buckets) are oracle-checked through the parquet
 export side-channel (lieu_spark.oracle_export): the kernel output is a
 file both engines read, so the relational halves are value-verified.
-Every queries() key now has an oracle_sql() twin (64/64): the
+Every queries() key has an oracle_sql() twin (one per entry — see
+queries() for the authoritative count): the
 non-SQL-expressible kernels (LCS argmax, IVF centroids, MinHash/SimHash/
 bucket hashes, fake-codec dims) stay pytest-verified, but their
 downstream relational work — and for copied_spans the substring

@@ -171,9 +171,12 @@ def curate(
             quality_score6(F.col("text")).alias("quality6"),
             ws_token_count(F.col("text")).alias("n_tokens"),
         )
-        rep = repetition_signals(documents).select(
-            "doc_id", "top_bigram_ratio6", "dup_bigram_ratio6"
-        )
+        # cast the id BEFORE repetition_signals so both join sides share
+        # the declared long type (an int32/string parquet id would
+        # otherwise join through implicit coercion)
+        rep = repetition_signals(
+            documents.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        ).select("doc_id", "top_bigram_ratio6", "dup_bigram_ratio6")
         return base.join(rep, "doc_id", "left").na.fill(
             {"top_bigram_ratio6": 0, "dup_bigram_ratio6": 0}
         )

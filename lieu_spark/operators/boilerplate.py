@@ -11,11 +11,20 @@ added here as part of the training-data funnel.
 
 Scale shape: ONE aggregation over the turn text (two-phase
 countDistinct with map-side partials) produces the boilerplate key set,
-which is tiny by construction — only texts recurring in >= min_df
-distinct conversations survive the HAVING — then a BROADCAST left-anti
-join drops matching turns. No self-join, no window over the corpus, no
-Python, and the big side is touched exactly twice (once to count, once
-to filter), both full scans a 1000-executor cluster does in parallel.
+then a left-anti join on a FIXED-WIDTH 64-bit hash of the turn text
+drops matching turns. The hash keeps the build side small regardless of
+turn length (8 bytes per boilerplate text instead of the full string),
+and the join strategy is deliberately left to the optimizer: AQE
+converts to a broadcast anti-join at runtime when the boilerplate set
+is small (the common case) and falls back to a shuffled anti-join when
+a dup-heavy corpus inflates the set past the broadcast threshold — a
+forced broadcast hint here would bypass autoBroadcastJoinThreshold and
+risk driver OOM on exactly the corpora this engine targets. A 64-bit
+hash collision would drop a non-boilerplate turn with probability
+~|distinct texts|^2 / 2^64 — negligible, and deterministic either way.
+No self-join, no window over the corpus, no Python, and the big side is
+touched exactly twice (once to count, once to filter), both full scans
+a 1000-executor cluster does in parallel.
 """
 
 from __future__ import annotations
@@ -52,7 +61,15 @@ def remove_boilerplate_turns(
     """Drop every turn whose text is boilerplate (shared by >= min_df
     conversations); all other turns keep their conversation id and
     ``turn_idx`` unchanged — downstream assembly orders by ``turn_idx``,
-    so index gaps are harmless. The boilerplate set rides a broadcast
-    left-anti join: the only shuffle is the counting aggregation."""
-    boiler = boilerplate_turns(turns, min_df, conv_col, text_col).select(text_col)
-    return turns.join(F.broadcast(boiler), text_col, "left_anti")
+    so index gaps are harmless. The anti-join key is xxhash64 of the
+    turn text (fixed-width build side) and the strategy is left to the
+    optimizer: AQE broadcasts a small set, shuffles a large one (see
+    module docstring)."""
+    boiler = boilerplate_turns(turns, min_df, conv_col, text_col).select(
+        F.xxhash64(text_col).alias("_bp_h")
+    )
+    return (
+        turns.withColumn("_bp_h", F.xxhash64(text_col))
+        .join(boiler, "_bp_h", "left_anti")
+        .drop("_bp_h")
+    )

@@ -70,11 +70,15 @@ def test_partition_invariant(spark, turns_df):
 
 
 def test_plan_broadcast_anti_no_window(spark, turns_df):
-    plan = (
-        remove_boilerplate_turns(turns_df, min_df=2)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    # no forced broadcast hint (a data-dependent set must not bypass
+    # autoBroadcastJoinThreshold); AQE converts the anti-join to
+    # broadcast AT RUNTIME when the set is small — assert on the final
+    # adaptive plan after execution, and that the join key is the
+    # fixed-width hash, not the full turn text
+    out = remove_boilerplate_turns(turns_df, min_df=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan
+    assert "xxhash64" in plan
