@@ -36,6 +36,15 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_with_norms, dot, norm
 from .ann import ivf_centroids
 
+# Default within-cell size guard: cells larger than this are salted into
+# sub-groups before the pairwise pass, bounding the per-cell join at
+# ~cap^2/2 pairs even when k-means collapses the corpus into one cell.
+# Groups at or under the cap get sub = 0 — identical plan and output to
+# the uncapped sweep — so the guard costs nothing on balanced cells and
+# is ON BY DEFAULT (pass cell_cap=None to opt out explicitly; raise
+# ncentroids first if you find yourself doing that).
+DEFAULT_CELL_CAP = 4096
+
 
 def _make_cell_cos_udf(centroids: np.ndarray):
     """pandas UDF: embedding -> [member_cell, cent_cos6] (one matmul per
@@ -91,7 +100,7 @@ def semantic_dedup_flags(
     tau: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cell_cap: int | None = None,
+    cell_cap: int | None = DEFAULT_CELL_CAP,
 ) -> DataFrame:
     """(id, cell, cent_cos6, keep) — greedy within-cell prune.
 
@@ -108,10 +117,12 @@ def semantic_dedup_flags(
     Physical plan: one shuffle on ``cell`` for the rank window, reused
     by the self-join (same key); the pair set is ordered (rank_earlier <
     rank_later) so each unordered pair is scored once. ``cell_cap``
-    applies the salted sub-split guard from operators/lsh.py to any cell
-    larger than the cap — the 100 TB fallback when k-means cannot
-    balance (cross-sub dups of a split cell are then missed, same
-    documented trade as the LSH bucket cap; raise ncentroids first)."""
+    (DEFAULT_CELL_CAP by default — the default-safe plan) applies the
+    salted sub-split guard from operators/lsh.py to any cell larger
+    than the cap — the 100 TB fallback when k-means cannot balance
+    (cross-sub dups of a split cell are then missed, same documented
+    trade as the LSH bucket cap; raise ncentroids first). Cells at or
+    under the cap are byte-identical to the uncapped sweep (sub = 0)."""
     tau6 = int(round(tau * 1e6))
     asg = assignments.select(
         F.col("id").cast("long").alias("id"),
@@ -179,11 +190,11 @@ def semantic_dedup(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cell_cap: int | None = None,
+    cell_cap: int | None = DEFAULT_CELL_CAP,
 ) -> DataFrame:
     """End-to-end SemDeDup: train the coarse quantizer (bounded driver
-    sample), assign cells, greedy within-cell prune. Returns
-    (id, cell, cent_cos6, keep)."""
+    sample), assign cells, greedy within-cell prune (cell_cap guard on
+    by default). Returns (id, cell, cent_cos6, keep)."""
     cents = ivf_centroids(
         embeddings, ncentroids=ncentroids, seed=seed, id_col=id_col, vec_col=vec_col
     )

@@ -90,3 +90,63 @@ def test_tau_boundary_exact_copy(spark, tau, expect_drop):
     e = _emb_df(spark, n=6, copies=(0,))
     out = {r.id: r.keep for r in semantic_dedup(e, tau=tau, ncentroids=2).collect()}
     assert (out[1000] == 0) is expect_drop
+
+
+def test_cell_cap_defaults_on(spark):
+    """The salted guard is the DEFAULT (not opt-in): a composed path
+    that forgets to pass cell_cap must still be bounded when k-means
+    collapses the corpus into one cell."""
+    import inspect
+
+    from lieu_spark.operators.semdedup import DEFAULT_CELL_CAP
+
+    for fn in (semantic_dedup, semantic_dedup_flags):
+        assert (
+            inspect.signature(fn).parameters["cell_cap"].default
+            == DEFAULT_CELL_CAP
+        )
+    assert DEFAULT_CELL_CAP is not None and DEFAULT_CELL_CAP > 0
+
+
+def test_one_hot_cell_skew_stays_bounded(spark):
+    """Pathological skew (mirror of test_skew.py for bands): 600
+    near-identical vectors collapse into ONE cell. The salted sub-split
+    must bound the within-cell pair join at ~cap^2/2 per sub instead of
+    n^2/2 for the cell, while still dropping near-dups inside each sub."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(8)
+    rows = [
+        (i, [float(x) for x in (base + 1e-4 * rng.standard_normal(8))])
+        for i in range(600)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from lieu_spark.operators.ann import ivf_centroids
+    from lieu_spark.operators.lsh import salted_groups
+
+    cents = ivf_centroids(e, ncentroids=1)
+    asg = semantic_cells(e, cents)
+    cap = 50
+    sizes = [
+        r["n"]
+        for r in salted_groups(asg, ["cell"], cap)
+        .groupBy("cell", "sub")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    # ceil(600/50) = 12 hash-salted subs, ~50 each; the hash split is
+    # approximate, so allow 3x the target — what matters is that no sub
+    # approaches the unsalted 600
+    assert len(sizes) >= 8
+    assert max(sizes) <= 3 * cap
+    # pair-join work: sum over subs of C(size, 2) must be far below the
+    # unsalted C(600, 2) = 179,700
+    pair_work = sum(s * (s - 1) // 2 for s in sizes)
+    assert pair_work < 0.2 * (600 * 599 // 2), pair_work
+
+    out = semantic_dedup(e, tau=0.95, ncentroids=1, cell_cap=cap).collect()
+    assert len(out) == 600
+    # within each sub, rank-1 survives and every later near-identical
+    # member is dropped -> survivors ~ number of subs
+    keeps = sum(r.keep for r in out)
+    assert keeps == len(sizes), (keeps, len(sizes))
