@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": Q.q_json_extract,
         "term_counts_top": Q.q_term_counts_top,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "info_gain_terms": Q.q_info_gain_terms,
         "multiset_jaccard": Q.q_multiset_jaccard,
         "weighted_jaccard": Q.q_weighted_jaccard,
         "soft_tfidf_pairs": Q.q_soft_tfidf_pairs,

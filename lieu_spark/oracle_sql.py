@@ -1364,6 +1364,36 @@ FROM base b LEFT JOIN ka k USING (doc_id) ORDER BY conv_id
 # permutation from scratch, so every (shard, pos) placement is
 # value-verified (md5 hex is lowercase ASCII in both engines, so the
 # lexicographic order keys agree byte-for-byte)
+ORACLE["info_gain_terms"] = f"""
+WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+wt AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+marg AS (SELECT w, count(*) AS cnt FROM wt GROUP BY w HAVING count(*) >= 5),
+m AS (SELECT CAST(sum(cnt) AS DOUBLE) AS m_total FROM marg),
+prs AS (
+    SELECT a.w AS w, b.w AS c, count(*) AS co
+    FROM wt a JOIN wt b ON a.doc_id = b.doc_id AND a.w <> b.w
+    GROUP BY a.w, b.w
+),
+n AS (SELECT CAST(sum(co) AS DOUBLE) AS n_total FROM prs),
+pw AS (SELECT w, cnt / (SELECT m_total FROM m) AS p_w FROM marg),
+joint AS (
+    SELECT p.w, p.co / (SELECT n_total FROM n) AS p_wc,
+           w1.p_w AS p_w, w2.p_w AS p_c
+    FROM prs p JOIN pw w1 ON p.w = w1.w JOIN pw w2 ON p.c = w2.w
+),
+ig AS (
+    SELECT w, sum(greatest(0.0, p_wc * log2(p_wc / (p_w * p_c)))) AS ig
+    FROM joint GROUP BY w
+),
+lonely AS (
+    SELECT w, -log2(p_w) AS ig FROM pw
+    WHERE w NOT IN (SELECT w FROM ig)
+),
+allig AS (SELECT * FROM ig UNION ALL SELECT * FROM lonely)
+SELECT w AS token, CAST(round(ig * 1e6) AS BIGINT) AS ig6
+FROM allig WHERE regexp_matches(w, '^[a-z0-9]{{3,}}$') ORDER BY token
+"""
+
 ORACLE["corpus_shuffle"] = """
 WITH keyed AS (
     SELECT doc_id,
