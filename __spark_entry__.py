@@ -330,17 +330,28 @@ def _q_semantic_dedup(spark, sf_dir):
 
 
 def _q_multimodal_meta(spark, sf_dir):
-    """mapInPandas binary decode, oracle-checked via the exported
-    metadata table: DuckDB recomputes n_bytes INDEPENDENTLY from the
-    documents table (octet_length of the UTF-8 payload bytes) and joins
-    doc_id validity; the fake-codec dims flow through the export
-    (kernel half stays pytest-verified, like every export entry)."""
-    from lieu_spark.functions.multimodal import decode_image_metadata, with_binary_payload
+    """REAL header decode over a mixed BMP/PNG/JPEG fixture
+    (functions/multimodal.synthetic_image_payloads): every doc gets a
+    genuine container payload whose dims/channels are integer functions
+    of doc_id, the mapInPandas real decoder parses the actual bytes
+    (BITMAPINFOHEADER / IHDR / SOF0 marker walk), and DuckDB re-derives
+    the expected metadata from doc_id ARITHMETIC plus octet_length of
+    the exported payloads — a misparse of any header mismatches."""
+    from lieu_spark.functions.multimodal import (
+        decode_image_metadata,
+        synthetic_image_payloads,
+    )
     from lieu_spark.oracle_export import export_for_oracle
 
-    d = with_binary_payload(Q.load(spark, sf_dir, "documents"))
+    d = Q.load(spark, sf_dir, "documents").select("doc_id")
+    payloads = export_for_oracle(
+        spark, synthetic_image_payloads(d), "multimodal_payloads",
+        single_file=False,
+    )
     meta = export_for_oracle(
-        spark, decode_image_metadata(d), "multimodal_meta"
+        spark,
+        decode_image_metadata(payloads, decoder="real"),
+        "multimodal_meta",
     )
     return meta.orderBy("doc_id")
 

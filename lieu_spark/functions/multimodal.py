@@ -5,12 +5,18 @@ metadata struct. The Spark-side plumbing — schemas, Arrow batch shape,
 ``mapInPandas`` signatures, partitioning — is real and tested. Codec
 status (no image/audio libraries exist in this container):
 
-- BMP decodes AND resizes natively (``decode_bmp``, ``_bmp_pixels``,
-  ``resize_image_real`` — pure struct/numpy, zero dependencies);
-- other formats raise NotImplementedError with the intended
-  production (PIL/libvips) behavior documented;
+- metadata (format, width, height, channels) parses natively for
+  BMP / PNG / JPEG / GIF via ``parse_image_dims`` (pure header
+  parsing of the public container layouts, zero dependencies);
+- BMP additionally decodes AND resizes at the PIXEL level
+  (``decode_bmp``, ``_bmp_pixels``, ``resize_image_real`` — pure
+  struct/numpy);
+- pixel ops on any other format raise NotImplementedError with the
+  intended production (PIL/libvips) behavior documented;
 - ``decode_image_metadata(decoder="fake")`` is the deterministic
-  oracle-fixture path (dimensions derived from the payload hash).
+  oracle-fixture path (dimensions derived from the payload hash);
+  ``decoder="real"`` runs the header parsers — value-verified against
+  DuckDB over the ``synthetic_image_payloads`` mixed fixture.
 """
 
 from __future__ import annotations
@@ -81,18 +87,129 @@ def encode_bmp(width: int, height: int, channels: int = 3) -> bytes:
     return header + b"\0" * pixel_bytes
 
 
-def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real decode path: BMP is decoded natively (decode_bmp, zero
-    dependencies); other formats require an imaging library absent in
-    this container (production impl:
-    PIL.Image.open(io.BytesIO(payload)) -> (width, height,
-    len(getbands())))."""
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    raise NotImplementedError(
-        "only BMP decodes natively here; other formats require an "
-        "imaging library not present in this container"
+def encode_png(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal VALID PNG writer (stdlib zlib only): solid-zero pixels,
+    8-bit depth, color type from channels (1=gray, 2=gray+alpha, 3=RGB,
+    4=RGBA), correct CRCs. Test-fixture twin of the IHDR parser in
+    ``parse_image_dims``."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * (width * channels)) * height
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
+
+
+def encode_jpeg_header(width: int, height: int, channels: int = 3) -> bytes:
+    """Header-valid JPEG fixture: SOI + APP0(JFIF) + SOF0 + EOI. It
+    carries no entropy-coded scan (pixel decode would fail) — it exists
+    to exercise the SOF marker walk in ``parse_image_dims``, which is
+    all a metadata pass reads."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 72, 72)
+        + b"\x00\x00"
+    )
+    comps = b"".join(struct.pack("BBB", i + 1, 0x11, 0) for i in range(channels))
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels) + comps
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+# SOF markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_dims(payload: bytes) -> tuple[str, int, int, int]:
+    """Universal pure-python image-METADATA parser: (format, width,
+    height, channels) from the public container headers — BMP
+    BITMAPINFOHEADER, PNG IHDR, JPEG SOFn marker walk, GIF logical
+    screen descriptor. No pixel decode, no dependencies; raises
+    ValueError on anything unrecognized or malformed."""
+    import struct
+
+    if payload[:2] == b"BM":
+        w, h, c = decode_bmp(payload)
+        return ("bmp", w, h, c)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("malformed PNG: IHDR is not the first chunk")
+        w, h = struct.unpack_from(">II", payload, 16)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(payload[25])
+        if channels is None or w <= 0 or h <= 0:
+            raise ValueError(
+                f"malformed PNG header: {w}x{h} color_type={payload[25]}"
+            )
+        return ("png", w, h, channels)
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG marker stream")
+            marker = payload[pos + 1]
+            while marker == 0xFF and pos + 2 < len(payload):  # fill bytes
+                pos += 1
+                marker = payload[pos + 1]
+            # standalone markers carry no length segment
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if pos + 4 > len(payload):
+                break
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker in _JPEG_SOF:
+                if pos + 10 > len(payload):
+                    raise ValueError("truncated JPEG SOF segment")
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                ncomp = payload[pos + 9]
+                if w <= 0 or h <= 0 or ncomp == 0:
+                    raise ValueError(f"malformed JPEG SOF: {w}x{h} ncomp={ncomp}")
+                return ("jpeg", w, h, ncomp)
+            pos += 2 + seglen
+        raise ValueError("JPEG without a SOF frame header")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return ("gif", w, h, 3)
+    raise ValueError("unrecognized image format")
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    """Real decode path for METADATA: dimensions parse natively for
+    BMP/PNG/JPEG/GIF via ``parse_image_dims`` (pure header parsing, no
+    imaging library). Payloads in any other format require a real
+    imaging library absent in this container (production impl:
+    PIL.Image.open(io.BytesIO(payload)) -> (width, height,
+    len(getbands()))). Full PIXEL decode remains BMP-only — see
+    ``_bmp_pixels`` / ``resize_image_real``."""
+    try:
+        _, w, h, c = parse_image_dims(payload)
+    except ValueError as e:
+        raise NotImplementedError(
+            "unrecognized container: only BMP/PNG/JPEG/GIF headers parse "
+            f"natively here; other formats require an imaging library "
+            f"not present in this container ({e})"
+        ) from None
+    return (w, h, c)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -111,10 +228,10 @@ def decode_image_metadata(
 
     ``decoder="fake"`` (default, deterministic — the oracle fixture
     path over text-derived payloads); ``decoder="real"`` routes through
-    ``decode_image_real`` — BMP payloads decode natively with zero
-    dependencies, anything else raises, exactly as production would on
-    a corrupt payload. Both share one batch shape (one pandas DF per
-    Arrow batch, bytes objects in the payload column)."""
+    ``parse_image_dims`` — BMP/PNG/JPEG/GIF headers parse natively with
+    zero dependencies, anything else raises, exactly as production
+    would on a corrupt payload. Both share one batch shape (one pandas
+    DF per Arrow batch, bytes objects in the payload column)."""
     use_real = decoder == "real"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,8 +240,13 @@ def decode_image_metadata(
             for payload in pdf[payload_col]:
                 raw = bytes(payload)
                 if use_real:
-                    dw, dh, dc = decode_image_real(raw)
-                    fmt.append("bmp")
+                    try:
+                        dfmt, dw, dh, dc = parse_image_dims(raw)
+                    except ValueError as e:
+                        raise NotImplementedError(
+                            f"unrecognized container in real decode: {e}"
+                        ) from None
+                    fmt.append(dfmt)
                 else:
                     dw, dh, dc = _fake_dims(raw)
                     fmt.append("fake")
@@ -143,6 +265,44 @@ def decode_image_metadata(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def synthetic_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mixed-format image fixture: each id gets a REAL
+    container payload (BMP / PNG / JPEG rotating on id % 3) whose
+    dimensions and channel count are pure integer functions of the id —
+    so a SQL oracle can re-derive the expected metadata from arithmetic
+    alone and value-verify the header parsers end to end:
+
+        width    = 8 + id % 24
+        height   = 8 + (id * 7) % 24
+        channels = bmp/png: 3 if id even else 4; jpeg: 3 if even else 1
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 8 + i % 24, 8 + (i * 7) % 24
+                if i % 3 == 0:
+                    payloads.append(encode_bmp(w, h, 3 if i % 2 == 0 else 4))
+                elif i % 3 == 1:
+                    payloads.append(encode_png(w, h, 3 if i % 2 == 0 else 4))
+                else:
+                    payloads.append(
+                        encode_jpeg_header(w, h, 3 if i % 2 == 0 else 1)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, schema
+    )
 
 
 def _bmp_pixels(payload: bytes):

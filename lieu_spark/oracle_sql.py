@@ -1235,15 +1235,27 @@ LEFT JOIN (SELECT DISTINCT id_b FROM cpairs WHERE cos6 >= 950000) d ON d.id_b = 
 ORDER BY vec_id
 """
 
-# multimodal decode metadata: DuckDB recomputes n_bytes INDEPENDENTLY
-# from the documents table (octet_length of the UTF-8 payload bytes) and
-# validates doc_id through the join; the fake-codec dims flow through
-# the export (that kernel half stays pytest-verified)
+# multimodal REAL header decode over the mixed BMP/PNG/JPEG fixture:
+# DuckDB re-derives format/width/height/channels from doc_id ARITHMETIC
+# (the fixture encodes pure integer functions of the id into genuine
+# container headers — synthetic_image_payloads) and n_bytes from
+# octet_length of the exported payload bytes; the documents join anchors
+# id validity and completeness. A header misparse in the Spark-side
+# decoder mismatches on dims; a dropped/duplicated doc mismatches on
+# row count.
 ORACLE["multimodal_meta"] = f"""
-SELECT m.doc_id, octet_length(encode(d.text)) AS n_bytes,
-       m.format, m.width, m.height, m.channels
+SELECT m.doc_id, octet_length(p.payload) AS n_bytes,
+       CASE d.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+            ELSE 'jpeg' END AS format,
+       CAST(8 + d.doc_id % 24 AS INTEGER) AS width,
+       CAST(8 + (d.doc_id * 7) % 24 AS INTEGER) AS height,
+       CAST(CASE WHEN d.doc_id % 3 = 2
+                 THEN CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 1 END
+                 ELSE CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 4 END
+            END AS INTEGER) AS channels
 FROM read_parquet('{_ep("multimodal_meta")}/*.parquet') m
-JOIN documents d USING (doc_id)
+JOIN read_parquet('{_ep("multimodal_payloads")}/*.parquet') p USING (doc_id)
+JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY m.doc_id
 """
 

@@ -387,3 +387,71 @@ def test_bmp_native_resize_real():
         resize_image_real(payload, 0, 4)
     with pytest.raises(NotImplementedError):
         resize_image_real(b"\x89PNG....", 8, 8)
+
+
+def test_universal_header_parsers_roundtrip():
+    """parse_image_dims reads back exactly what the fixture encoders
+    wrote, for every format and channel layout the fixture produces —
+    plus GIF (parser-only; no encoder fixture needed, the header is 10
+    bytes) and loud refusals on malformed payloads."""
+    import struct
+
+    import pytest as _pytest
+
+    from lieu_spark.functions.multimodal import (
+        encode_bmp,
+        encode_jpeg_header,
+        encode_png,
+        parse_image_dims,
+    )
+
+    for w, h in ((8, 8), (31, 17), (640, 480), (1, 1)):
+        for c in (3, 4):
+            assert parse_image_dims(encode_bmp(w, h, c)) == ("bmp", w, h, c)
+        for c in (1, 2, 3, 4):
+            assert parse_image_dims(encode_png(w, h, c)) == ("png", w, h, c)
+        for c in (1, 3):
+            assert parse_image_dims(encode_jpeg_header(w, h, c)) == (
+                "jpeg", w, h, c,
+            )
+    # GIF logical screen descriptor (little-endian u16 pair at offset 6)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_dims(gif) == ("gif", 320, 200, 3)
+    # a PNG fixture is itself decodable by a strict third party check:
+    # IDAT inflates to exactly height * (1 + width*channels) bytes
+    import zlib
+
+    png = encode_png(5, 4, 3)
+    idat_off = png.index(b"IDAT") + 4
+    (idat_len,) = struct.unpack_from(">I", png, png.index(b"IDAT") - 4)
+    assert len(zlib.decompress(png[idat_off : idat_off + idat_len])) == 4 * (1 + 5 * 3)
+    # refusals
+    for bad in (b"", b"\xff\xd8\xff\xd9", b"\x89PNG\r\n\x1a\nXXXX", b"nope"):
+        with _pytest.raises(ValueError):
+            parse_image_dims(bad)
+
+
+def test_mixed_format_real_decode_end_to_end(spark):
+    """The mixed BMP/PNG/JPEG fixture flows through the REAL decoder's
+    mapInPandas plumbing and every header parses back to the arithmetic
+    dims the fixture encoded — the Spark half of the multimodal_meta
+    driver oracle."""
+    from lieu_spark.functions.multimodal import (
+        decode_image_metadata,
+        synthetic_image_payloads,
+    )
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    pay = synthetic_image_payloads(ids)
+    got = {
+        r.doc_id: (r.format, r.width, r.height, r.channels, r.n_bytes)
+        for r in decode_image_metadata(pay, decoder="real").collect()
+    }
+    assert len(got) == 60
+    for i in range(60):
+        fmt = ("bmp", "png", "jpeg")[i % 3]
+        w, h = 8 + i % 24, 8 + (i * 7) % 24
+        c = (3 if i % 2 == 0 else 1) if fmt == "jpeg" else (3 if i % 2 == 0 else 4)
+        gf, gw, gh, gc, nb = got[i]
+        assert (gf, gw, gh, gc) == (fmt, w, h, c), (i, got[i])
+        assert nb > 0
