@@ -390,6 +390,77 @@ def _q_doc_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_curate_funnel(spark, sf_dir):
+    """The COMPOSED curation funnel (lieu_spark/curate.py) as one
+    driver-verified query: run curate() over the documents table with a
+    deterministic holdout (doc_id < 10), then emit one summary row per
+    stage — (stage, n_rows, bit_xor of member ids) — so membership of
+    every stage is value-verified, not just the counts. The DuckDB twin
+    re-derives the ENTIRE funnel from scratch: raw-text quality +
+    repetition gate, PII scrub, shingle-containment decontamination,
+    brute-force Jaccard>=0.9 ∪ exact-sha dedupe with recursive-CTE
+    connected components (component min over the VARCHAR ids — the
+    pipeline's string conv_id ordering), cluster-level md5 splits,
+    quality-argmax representatives, and the next-fit packing walk. The
+    stages are individually oracle-backed elsewhere; this row set
+    verifies their COMPOSITION."""
+    from lieu_spark.curate import curate
+    from lieu_spark.oracle_sql import FUNNEL_CFG, FUNNEL_HOLDOUT_MAX
+
+    docs = Q.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    holdout = docs.filter(F.col("doc_id") < FUNNEL_HOLDOUT_MAX)
+    res = curate(spark, docs, FUNNEL_CFG, holdout=holdout)
+
+    def srow(name, df, idcol="doc_id"):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_rows"),
+            F.expr(f"bit_xor({idcol})").alias("xor_ids"),
+        )
+
+    bins = (
+        res.packed.select("split", "shard", "seq")
+        .dropDuplicates(["split", "shard", "seq"])
+        .select(
+            (
+                F.when(F.col("split") == "train", F.lit(0))
+                .when(F.col("split") == "val", F.lit(1))
+                .otherwise(F.lit(2))
+                .cast("long")
+                * F.lit(1000000000).cast("long")
+                + F.col("shard").cast("long") * F.lit(1000000).cast("long")
+                + F.col("seq").cast("long")
+            ).alias("bin_id")
+        )
+    )
+    splits = res.splits.groupBy("split").agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(doc_id)").alias("xor_ids"),
+    ).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("stage"),
+        "n_rows",
+        "xor_ids",
+    )
+    out = (
+        srow("annotated", res.annotated)
+        .unionByName(srow("filtered", res.filtered))
+        .unionByName(srow("decontaminated", res.decon))
+        .unionByName(
+            srow(
+                "clusters",
+                res.clusters.select("cluster_id").distinct(),
+                "cluster_id",
+            )
+        )
+        .unionByName(splits)
+        .unionByName(srow("kept", res.kept))
+        .unionByName(srow("packed_bins", bins, "bin_id"))
+    )
+    return out.orderBy("stage")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # TPC-H-ish operator parity (SURVEY §2.2-2.7)
@@ -471,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "semantic_dedup": _q_semantic_dedup,
+        "curate_funnel": _q_curate_funnel,
     }
     return base
 

@@ -85,6 +85,8 @@ class CurateConfig:
 @dataclass
 class CurateResult:
     annotated: DataFrame  # every input doc + lang/quality/tokens/repetition
+    filtered: DataFrame  # survivors of the quality/repetition gate, scrubbed
+    decon: DataFrame  # filtered minus holdout-contaminated docs
     clusters: DataFrame  # (doc_id, cluster_id) over the filtered survivors
     splits: DataFrame  # (doc_id, cluster_id, split) — cluster-level split
     kept: DataFrame  # scrubbed cluster reps, mixture-sampled if configured
@@ -375,6 +377,8 @@ def curate(
 
     return CurateResult(
         annotated=annotated,
+        filtered=filtered,
+        decon=decon,
         clusters=clusters,
         splits=splits,
         kept=kept,

@@ -1570,3 +1570,207 @@ SELECT doc_id, n_bigrams, n_distinct_bigrams,
            AS BIGINT) AS dup_bigram_ratio6
 FROM agg ORDER BY doc_id
 """
+
+# ---------------------------------------------------------------------------
+# curate_funnel: the COMPOSED curation pipeline re-derived from scratch.
+# One row per stage: (stage, n_rows, bit_xor of member ids) — membership
+# verification of every stage boundary, not just counts. The config the
+# Spark query runs with is defined HERE so both sides move together.
+from .curate import CurateConfig as _CurateConfig  # noqa: E402
+
+FUNNEL_CFG = _CurateConfig(pack_capacity=256, pack_nshards=8)
+FUNNEL_HOLDOUT_MAX = 10
+
+
+def _redact_sql(expr: str) -> str:
+    """DuckDB twin of functions/redact.redact_pii: the same patterns in
+    the same PII_PATTERNS order (email, ssn, phone, ip), replace-all."""
+    out = f"coalesce({expr}, '')"
+    for kind, pat in _PII.items():
+        out = f"regexp_replace({out}, '{pat}', '<{kind.upper()}>', 'g')"
+    return out
+
+
+_FC = FUNNEL_CFG
+ORACLE["curate_funnel"] = f"""
+WITH RECURSIVE
+docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+-- annotate: raw-text quality + token count (twin of analysis.quality_score6)
+rtok AS (SELECT doc_id, coalesce(text, '') AS text, {_TOKS} AS toks FROM docs),
+rfeat AS (
+    SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS alpha6,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS punct6,
+       CASE WHEN len(toks) > 0 THEN CAST(round(
+            CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+            * 1e6 / len(toks)) AS BIGINT) ELSE 0 END AS stop6
+    FROM rtok
+),
+rq AS (
+    SELECT doc_id, n_tokens, CAST(round(
+        (0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+         + 0.4 * (CAST(alpha6 AS DOUBLE) / 1e6)
+         + 0.3 * least(CAST(stop6 AS DOUBLE) / 1e6 * 4.0, 1.0))
+        * (1.0 - least(CAST(punct6 AS DOUBLE) / 1e6 * 2.0, 1.0)) * 1e6
+    ) AS BIGINT) AS quality6
+    FROM rfeat
+),
+-- raw-text repetition signals (twin of analysis.repetition_signals)
+rbig AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM rtok WHERE len(toks) >= 2
+),
+rcnt AS (SELECT doc_id, bg, count(*) AS c FROM rbig GROUP BY doc_id, bg),
+rrep AS (
+    SELECT doc_id,
+           CAST(round(CAST(max(c) AS DOUBLE) * 1e6 / sum(c)) AS BIGINT)
+               AS tb6,
+           CAST(round(CAST(sum(c) - count(*) AS DOUBLE) * 1e6 / sum(c)) AS BIGINT)
+               AS db6
+    FROM rcnt GROUP BY doc_id
+),
+-- quality/repetition gate
+surv AS MATERIALIZED (
+    SELECT q.doc_id FROM rq q LEFT JOIN rrep r USING (doc_id)
+    WHERE q.n_tokens >= {_FC.min_tokens}
+      AND q.quality6 >= {_FC.min_quality6}
+      AND coalesce(r.tb6, 0) <= {_FC.max_top_bigram_ratio6}
+      AND coalesce(r.db6, 0) <= {_FC.max_dup_bigram_ratio6}
+),
+-- PII scrub on survivors (the filtered stage's shipped text)
+scrub AS MATERIALIZED (
+    SELECT d.doc_id, {_redact_sql("d.text")} AS text
+    FROM docs d JOIN surv USING (doc_id)
+),
+-- decontamination vs the scrubbed holdout (doc_id < {FUNNEL_HOLDOUT_MAX})
+ho AS (
+    SELECT doc_id AS eval_id, {_redact_sql("text")} AS text
+    FROM docs WHERE doc_id < {FUNNEL_HOLDOUT_MAX}
+),
+htok AS (SELECT eval_id, {_TOKS} AS toks FROM ho),
+hsh AS (SELECT eval_id, list_distinct({_SHINGLES}) AS shs FROM htok),
+hex AS (SELECT eval_id, len(shs) AS eval_sh, unnest(shs) AS sh FROM hsh),
+stok AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM scrub),
+ssh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM stok),
+sex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM ssh),
+contam AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT e.eval_id, s.doc_id, max(e.eval_sh) AS eval_sh,
+               count(*) AS shared
+        FROM hex e JOIN sex s ON e.sh = s.sh
+        GROUP BY e.eval_id, s.doc_id
+    )
+    WHERE shared >= {_FC.contamination_min_shared}
+      AND CAST(round(CAST(shared AS DOUBLE) / eval_sh * 1e6) AS BIGINT)
+          >= {_FC.contamination_min_containment6}
+),
+decon AS MATERIALIZED (
+    SELECT doc_id FROM scrub
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+-- dedupe over decon: brute Jaccard >= 0.9 on scrubbed shingles ∪ exact sha,
+-- connected components with the pipeline's STRING id ordering
+dex AS (SELECT s.doc_id, s.n_sh, s.sh FROM sex s JOIN decon USING (doc_id)),
+dinter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           max(a.n_sh) AS na, max(b.n_sh) AS nb, count(*) AS inter
+    FROM dex a JOIN dex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jp AS (SELECT id_a, id_b FROM dinter WHERE 10 * inter >= 9 * (na + nb - inter)),
+gsha AS (
+    SELECT s.doc_id, sha256(s.text) AS sha FROM scrub s JOIN decon USING (doc_id)
+),
+erep AS (SELECT sha, min(doc_id) AS rep FROM gsha GROUP BY sha),
+ep AS (
+    SELECT r.rep AS id_a, g.doc_id AS id_b
+    FROM gsha g JOIN erep r USING (sha) WHERE g.doc_id != r.rep
+),
+allp AS (SELECT * FROM jp UNION SELECT * FROM ep),
+edges AS (SELECT id_a AS u, id_b AS v FROM allp
+          UNION SELECT id_b, id_a FROM allp),
+walk(id, comp) AS (
+    SELECT doc_id, CAST(doc_id AS VARCHAR) FROM decon
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+),
+comp AS MATERIALIZED (
+    SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+),
+-- cluster-level md5 split (salt '{_FC.split_salt}', 0.8/0.1/0.1)
+spl AS MATERIALIZED (
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, cluster_id,
+               CAST(concat('0x', substr(md5('{_FC.split_salt}'
+                    || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 AS bucket
+        FROM comp
+    )
+),
+-- representatives: quality argmax per cluster, doc_id tie-break
+keptt AS MATERIALIZED (
+    SELECT doc_id FROM (
+        SELECT c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality6 DESC, c.doc_id ASC) AS rn
+        FROM comp c JOIN rq q USING (doc_id)
+    ) WHERE rn = 1
+),
+-- next-fit packing of kept docs per (split, shard): n_tokens on the
+-- SCRUBBED text, shard = md5('pack' || id) % {_FC.pack_nshards},
+-- capacity {_FC.pack_capacity}
+pk AS (
+    SELECT k.doc_id, s.split,
+           CAST(CAST(concat('0x', substr(md5('pack'
+                || CAST(k.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000 % {_FC.pack_nshards} AS INT) AS shard,
+           CAST(len(st.toks) AS BIGINT) AS n_tokens
+    FROM keptt k JOIN spl s USING (doc_id) JOIN stok st USING (doc_id)
+),
+-- next-fit fold per (split, shard) WITHOUT a recursive CTE (a recursive
+-- join here re-evaluates the whole upstream funnel chain once per
+-- iteration — measured 181 s vs ~5 s). The fold encodes (seq, fill) in
+-- one BIGINT acc = seq * 1000000 + fill (fill < 1e6 for any real doc);
+-- list_reduce seeds acc with the first element's n_tokens, which is
+-- exactly (seq 0, fill n_tokens) — the same sweep as the pwalk
+-- recursion in ORACLE["pack_sequences"], replayed as a fold
+pfold AS (
+    SELECT split, shard,
+           list_reduce(list(n_tokens ORDER BY doc_id),
+               (acc, x) -> CASE
+                   WHEN acc % 1000000 + x > {_FC.pack_capacity}
+                   THEN (acc // 1000000 + 1) * 1000000 + x
+                   ELSE acc + x END) AS accf
+    FROM pk GROUP BY split, shard
+),
+binid AS (
+    SELECT (CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END)
+           * CAST(1000000000 AS BIGINT)
+           + shard * CAST(1000000 AS BIGINT) + seq AS bin_id
+    FROM (SELECT split, shard, unnest(range(0, accf // 1000000 + 1)) AS seq
+          FROM pfold)
+)
+SELECT 'annotated' AS stage, count(*) AS n_rows, bit_xor(doc_id) AS xor_ids FROM docs
+UNION ALL SELECT 'filtered', count(*), bit_xor(doc_id) FROM surv
+UNION ALL SELECT 'decontaminated', count(*), bit_xor(doc_id) FROM decon
+UNION ALL SELECT 'clusters', count(*), bit_xor(cluster_id)
+          FROM (SELECT DISTINCT cluster_id FROM comp)
+UNION ALL SELECT concat('split_', split), count(*), bit_xor(doc_id)
+          FROM spl GROUP BY split
+UNION ALL SELECT 'kept', count(*), bit_xor(doc_id) FROM keptt
+UNION ALL SELECT 'packed_bins', count(*), bit_xor(bin_id) FROM binid
+ORDER BY stage
+"""
