@@ -49,12 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_minhash_band_sizes(spark, sf_dir):
     """F2 band grouping, oracle-checked via the exported band table."""
-    from lieu_spark.functions.minhash import with_minhash
     from lieu_spark.operators.lsh import band_stats, band_table
     from lieu_spark.oracle_export import export_for_oracle
 
     cfg = DedupeConfig()
-    feats = with_minhash(Q.doc_features(spark, sf_dir), cfg)
+    feats = Q.feats_minhash(spark, sf_dir)
     bands = export_for_oracle(spark, band_table(feats, cfg), "minhash_bands")
     return band_stats(bands, cfg).orderBy("band", "band_hash")
 
@@ -462,8 +461,47 @@ def _q_curate_funnel(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is the driver's RUN ORDER, and the r2/r3 correctness
+    artifacts each recorded exactly the first 50 entries — so the order
+    below is a priority schedule, not taxonomy:
+
+    - Group A (first): entries that have never had a driver-green row
+      (semantic_dedup, ann_multiprobe_topk, copied_spans), are new this
+      round (info_gain_terms, curate_funnel), or changed semantics this
+      round (multimodal_meta — now the REAL mixed-format header decode).
+    - Group B: the 13 entries that were green in r2 but truncated out of
+      the r3 artifact.
+    - Group C (last): entries with an r3-green row, cheapest first — if
+      the driver truncates again, everything dropped has a green row in
+      the previous artifact, so the r3+r4 union covers all entries.
+
+    Shared derived frames (features, signatures, shingle pairs,
+    clusters) are persisted memos in lieu_spark.queries, so the
+    dedupe-family entries reuse one computation per session instead of
+    re-deriving per query."""
     base = {
-        # TPC-H-ish operator parity (SURVEY §2.2-2.7)
+        # --- group A: never driver-green / new / changed this round ---
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_multiprobe_topk": _q_ann_multiprobe_topk,
+        "copied_spans": _q_copied_spans,
+        "info_gain_terms": Q.q_info_gain_terms,
+        "curate_funnel": _q_curate_funnel,
+        "multimodal_meta": _q_multimodal_meta,
+        # --- group B: r2-green, truncated out of the r3 artifact ---
+        "match_pairs": Q.q_match_pairs,
+        "dedupe_clusters": Q.q_dedupe_clusters,
+        "cluster_size_hist": Q.q_cluster_size_hist,
+        "response_pairs_ranked": Q.q_response_pairs_ranked,
+        "transcript_roundtrip": Q.q_transcript_roundtrip,
+        "ann_topk": Q.q_ann_topk,
+        "embedding_neardup": Q.q_embedding_neardup,
+        "minhash_band_sizes": _q_minhash_band_sizes,
+        "simhash_pairs": _q_simhash_pairs,
+        "span_candidates": _q_span_candidates,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        # --- group C: r3-green, cheapest first ---
         "agg_lineitem": Q.q_agg_lineitem,
         "join_enrich": Q.q_join_enrich,
         "anti_join": Q.q_anti_join,
@@ -476,73 +514,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": Q.q_revenue_by_nation,
         "window_events": Q.q_window_events,
         "sessionize": Q.q_sessionize,
-        "asof_join": Q.q_asof_join,
-        "range_join_events": Q.q_range_join_events,
-        "split_assign": Q.q_split_assign,
-        "leakage_safe_splits": Q.q_leakage_safe_splits,
-        "pack_sequences": Q.q_pack_sequences,
-        "mixture_sample": Q.q_mixture_sample,
-        "corpus_shuffle": Q.q_corpus_shuffle,
-        "boilerplate_scrub": Q.q_boilerplate_scrub,
         "id_assignment": Q.q_id_assignment,
         "json_extract": Q.q_json_extract,
-        "term_counts_top": Q.q_term_counts_top,
-        "tfidf_top_terms": Q.q_tfidf_top_terms,
-        "info_gain_terms": Q.q_info_gain_terms,
-        "multiset_jaccard": Q.q_multiset_jaccard,
-        "weighted_jaccard": Q.q_weighted_jaccard,
-        "soft_tfidf_pairs": Q.q_soft_tfidf_pairs,
-        "bucketed_weighted_jaccard": Q.q_bucketed_weighted_jaccard,
-        "ref_code_blocking": Q.q_ref_code_blocking,
-        "cjk_neardup_pairs": Q.q_cjk_neardup_pairs,
         "order_price_quantiles": Q.q_order_price_quantiles,
         "above_avg_orders": Q.q_above_avg_orders,
         "ntile_price_deciles": Q.q_ntile_price_deciles,
         "conditional_agg_shipmodes": Q.q_conditional_agg_shipmodes,
-        "index_merge_batches": Q.q_index_merge_batches,
-        # text analysis (training-data ops)
+        "ref_code_blocking": Q.q_ref_code_blocking,
         "doc_tokens": Q.q_doc_tokens,
         "doc_quality": Q.q_doc_quality,
         "doc_langid": Q.q_doc_langid,
         "binary_meta": Q.q_binary_meta,
         "pii_scrub": Q.q_pii_scrub,
         "doc_repetition": Q.q_doc_repetition,
-        "cluster_representatives": Q.q_cluster_representatives,
         "tool_transitions": Q.q_tool_transitions,
-        # export-backed (early in the dict so a time-budgeted driver run
-        # never truncates them out of the artifact, as happened in r02)
-        "multimodal_meta": _q_multimodal_meta,
+        "split_assign": Q.q_split_assign,
+        "mixture_sample": Q.q_mixture_sample,
+        "corpus_shuffle": Q.q_corpus_shuffle,
+        "pack_sequences": Q.q_pack_sequences,
+        "boilerplate_scrub": Q.q_boilerplate_scrub,
+        "asof_join": Q.q_asof_join,
+        "range_join_events": Q.q_range_join_events,
+        "term_counts_top": Q.q_term_counts_top,
+        "index_merge_batches": Q.q_index_merge_batches,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "multiset_jaccard": Q.q_multiset_jaccard,
         "doc_fingerprint": _q_doc_fingerprint,
-        # document dedupe
         "exact_dup_groups": Q.q_exact_dup_groups,
         "exact_dup_pairs": Q.q_exact_dup_pairs,
         "ngram_jaccard_pairs": Q.q_ngram_jaccard_pairs,
         "contamination_pairs": Q.q_contamination_pairs,
         "dedupe_pairs_pipeline": Q.q_dedupe_pairs_pipeline,
-        "match_pairs": Q.q_match_pairs,
-        "dedupe_clusters": Q.q_dedupe_clusters,
-        "cluster_size_hist": Q.q_cluster_size_hist,
-        "response_pairs_ranked": Q.q_response_pairs_ranked,
-        "transcript_roundtrip": Q.q_transcript_roundtrip,
-        # embeddings / similarity search (brute twins are BOUNDED —
-        # queries.BRUTE_ANN_CAP — the scale paths are the _lsh entries)
-        "ann_topk": Q.q_ann_topk,
-        "embedding_neardup": Q.q_embedding_neardup,
-        # export-backed oracles: kernel outputs parquet-exported so the
-        # relational halves are value-verified (lieu_spark.oracle_export)
-        "minhash_band_sizes": _q_minhash_band_sizes,
-        "simhash_pairs": _q_simhash_pairs,
-        "span_candidates": _q_span_candidates,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        # copied_spans: the LCS argmax is kernel-side, but each reported
-        # span's substring property is export-oracle-checked (necessary
-        # condition, see _q_copied_spans)
-        "copied_spans": _q_copied_spans,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_multiprobe_topk": _q_ann_multiprobe_topk,
-        "semantic_dedup": _q_semantic_dedup,
-        "curate_funnel": _q_curate_funnel,
+        "leakage_safe_splits": Q.q_leakage_safe_splits,
+        "cluster_representatives": Q.q_cluster_representatives,
+        "weighted_jaccard": Q.q_weighted_jaccard,
+        "bucketed_weighted_jaccard": Q.q_bucketed_weighted_jaccard,
+        "cjk_neardup_pairs": Q.q_cjk_neardup_pairs,
+        "soft_tfidf_pairs": Q.q_soft_tfidf_pairs,
     }
     return base
 

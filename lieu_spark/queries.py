@@ -37,6 +37,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Per-(session, sf_dir) persisted memo for derived frames shared by many
+# driver queries (features, shingle pairs, clusters). The driver harness
+# runs all queries() entries in ONE session; without this, every
+# dedupe-family query re-derives tokenize/shingle/MinHash/CC from
+# scratch — the per-query wall that truncated the r3 correctness
+# artifact. Everything memoized is a small bounded table at oracle SFs
+# (a few rows per document), and a fresh session (new applicationId)
+# never sees a stale entry.
+_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _MEMO.get(k)
+    if df is None:
+        df = build().persist()
+        _MEMO[k] = df
+    return df
+
+
 def cents(col) -> F.Column:
     return F.round(col * 100).cast("long")
 
@@ -117,17 +137,33 @@ def typo_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """docs_aug as degenerate one-turn conversations -> feature table."""
-    d = docs_aug(spark, sf_dir)
-    df = d.select(
-        F.col("doc_id").alias("conv_id"),
-        F.col("text").alias("doc"),
-        F.sha2(F.col("text"), 256).alias("text_sha"),
+    """docs_aug as degenerate one-turn conversations -> feature table
+    (persisted memo — shared by every dedupe-family driver query)."""
+
+    def build() -> DataFrame:
+        d = docs_aug(spark, sf_dir)
+        df = d.select(
+            F.col("doc_id").alias("conv_id"),
+            F.col("text").alias("doc"),
+            F.sha2(F.col("text"), 256).alias("text_sha"),
+        )
+        df = df.withColumn("tokens", T.tokenize(F.col("doc")))
+        df = df.withColumn("token_hashes", T.token_hashes(F.col("tokens")))
+        return df.withColumn(
+            "shingle_hashes", T.shingle_hash_set(F.col("token_hashes"), K)
+        )
+
+    return _memo(spark, sf_dir, "doc_features", build)
+
+
+def feats_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_features + MinHash signatures at the default config
+    (persisted memo — shared by the pipeline/match/response/band
+    queries, which previously each recomputed the signature pass)."""
+    return _memo(
+        spark, sf_dir, "feats_minhash",
+        lambda: with_minhash(doc_features(spark, sf_dir), CFG),
     )
-    df = df.withColumn("tokens", T.tokenize(F.col("doc")))
-    df = df.withColumn("token_hashes", T.token_hashes(F.col("tokens")))
-    df = df.withColumn("shingle_hashes", T.shingle_hash_set(F.col("token_hashes"), K))
-    return df
 
 
 def transcripts_from_docs(spark: SparkSession, sf_dir: str, chunk: int = 12) -> DataFrame:
@@ -918,7 +954,13 @@ def q_exact_dup_pairs(spark, sf_dir):
 def _shingle_pairs(spark, sf_dir):
     """Relational n-gram Jaccard: explode distinct shingles, self-join.
     Returns every co-shingling pair with integer (inter, uni) counts —
-    thresholds are applied by callers with exact integer predicates."""
+    thresholds are applied by callers with exact integer predicates.
+    Persisted memo: the pair table is shared by the jaccard/cluster/
+    split-family queries."""
+    return _memo(spark, sf_dir, "shingle_pairs", lambda: _shingle_pairs_build(spark, sf_dir))
+
+
+def _shingle_pairs_build(spark, sf_dir):
     feats = doc_features(spark, sf_dir).select(
         "conv_id", "shingle_hashes", F.size("shingle_hashes").alias("n_sh")
     )
@@ -957,7 +999,7 @@ def q_dedupe_pairs_pipeline(spark, sf_dir):
     """Flagship cross-check: the full MinHash/LSH pipeline's verified
     duplicate pairs must equal the SQL brute-force Jaccard >= 0.9 pairs
     (LSH miss probability at J>=0.9 is ~1e-15 with b=32, r=4)."""
-    feats = with_minhash(doc_features(spark, sf_dir), CFG)
+    feats = feats_minhash(spark, sf_dir)
     bands = band_table(feats, CFG)
     cand = candidate_pairs(bands, CFG).unionByName(
         exact_star_pairs(feats.select("conv_id", "text_sha"))
@@ -973,20 +1015,27 @@ def q_dedupe_pairs_pipeline(spark, sf_dir):
 
 
 def q_dedupe_clusters(spark, sf_dir):
-    """Connected components over J>=0.9 ∪ exact pairs, with singletons."""
-    pairs = (
-        _shingle_pairs(spark, sf_dir)
-        .filter(10 * F.col("inter") >= 9 * F.col("uni"))
-        .select("id_a", "id_b")
-    )
-    exact = q_exact_dup_pairs(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components(pairs.unionByName(exact).dropDuplicates(["id_a", "id_b"]))
-    all_ids = docs_aug(spark, sf_dir).select(F.col("doc_id").alias("conv_id"))
-    return (
-        clusters_with_singletons(all_ids, comp)
-        .select(F.col("conv_id").alias("doc_id"), "cluster_id")
-        .orderBy("doc_id")
-    )
+    """Connected components over J>=0.9 ∪ exact pairs, with singletons.
+    Persisted memo: CC runs driver-side convergence actions, and three
+    other queries (size hist, representatives, leakage splits) reuse the
+    cluster map — without the memo each re-ran the whole contraction."""
+
+    def build():
+        pairs = (
+            _shingle_pairs(spark, sf_dir)
+            .filter(10 * F.col("inter") >= 9 * F.col("uni"))
+            .select("id_a", "id_b")
+        )
+        exact = q_exact_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+        comp = connected_components(
+            pairs.unionByName(exact).dropDuplicates(["id_a", "id_b"])
+        )
+        all_ids = docs_aug(spark, sf_dir).select(F.col("doc_id").alias("conv_id"))
+        return clusters_with_singletons(all_ids, comp).select(
+            F.col("conv_id").alias("doc_id"), "cluster_id"
+        )
+
+    return _memo(spark, sf_dir, "dedupe_clusters", build).orderBy("doc_id")
 
 
 def q_match_pairs(spark, sf_dir):
@@ -994,7 +1043,7 @@ def q_match_pairs(spark, sf_dir):
     dedupe an incoming set against a canonical set. Canonical = the base
     documents; incoming = the planted exact/near copies. Output = pairs
     verified likely-or-exact, which the SQL brute force reproduces."""
-    feats = with_minhash(doc_features(spark, sf_dir), CFG)
+    feats = feats_minhash(spark, sf_dir)
     canon = feats.filter(F.col("conv_id") < 100000)
     inc = feats.filter(F.col("conv_id") >= 100000)
     from .operators.lsh import match_pairs as mp
@@ -1070,7 +1119,7 @@ def q_response_pairs_ranked(spark, sf_dir):
     from .operators.response import dedupe_responses
     from .operators.verify import dupe_pairs
 
-    feats = with_minhash(doc_features(spark, sf_dir), CFG)
+    feats = feats_minhash(spark, sf_dir)
     bands = band_table(feats, CFG)
     cand = candidate_pairs(bands, CFG).unionByName(
         exact_star_pairs(feats.select("conv_id", "text_sha"))
