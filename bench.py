@@ -241,10 +241,51 @@ def run_one(
     # two regimes: generic top-5 over (mostly unclustered) synthetic
     # vectors — intrinsically LSH-hostile — and the near-dup regime
     # (true neighbors at cosine >= 0.95, the regime the dedupe engine
-    # actually uses ANN for), measured with the near-dup-tuned
-    # (nbits=8, ntables=8) buckets that embedding_neardup_pairs uses
-    truth_nd = truth_topk.filter(F.col("cosine") >= 0.95)
-    nd_topk = hyperplane_lsh_topk(emb, k=5, nbits=8, ntables=8)
+    # actually uses ANN for). The corpus has NO natural cos>=0.95 pairs
+    # (max background ~0.5), so filtering the truth sample produced an
+    # EMPTY set and a null gate in every round through r3 — plant
+    # perturbed copies instead: copy = 0.9*v + 0.1*reverse(v) lands at
+    # cos ~0.99 (genuinely probabilistic per bucket bit, unlike an
+    # exact copy which shares every bucket by construction), truth =
+    # the planted pairs whose TRUE cosine clears the threshold, recall
+    # = the fraction embedding_neardup_pairs recovers
+    from lieu_spark.operators.ann import embedding_neardup_pairs
+
+    plant_off = 10_000_000
+    n_plant = min(500, n_emb)
+    base_p = emb.orderBy(F.col("vec_id").asc()).limit(n_plant)
+    pert = F.zip_with(
+        "embedding",
+        F.reverse("embedding"),
+        lambda a, b: (a * F.lit(0.9) + b * F.lit(0.1)).cast("float"),
+    )
+    planted = base_p.select(
+        (F.col("vec_id") + F.lit(plant_off)).alias("vec_id"),
+        pert.alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted).persist()
+    truth_pl = (
+        _pair_cosine(
+            _with_norm(base_p.select("vec_id", "embedding"), "vec_id", "embedding"),
+            _with_norm(planted, "vec_id", "embedding"),
+        )
+        .filter(
+            (F.col("id_b") - F.col("id_a") == plant_off)
+            & (F.col("cosine") >= 0.95)
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_truth_nd = truth_pl.count()
+    nd_found = truth_pl.join(
+        embedding_neardup_pairs(aug, threshold=0.95, nbits=8, ntables=8)
+        .select("id_a", "id_b"),
+        ["id_a", "id_b"],
+        "left_semi",
+    ).count()
+    nd_recall = round(nd_found / n_truth_nd, 5) if n_truth_nd else None
+    aug.unpersist()
+    truth_pl.unpersist()
     # multi-probe at the same candidate budget as the single-probe
     # default but HALF the stored tables (measured frontier, BENCH.md)
     from lieu_spark.operators.ann import hyperplane_multiprobe_topk
@@ -253,7 +294,8 @@ def run_one(
     ann_recall = {
         "lsh_recall_at_5": _recall(truth_topk, lsh_topk),
         "ivf_recall_at_5": _recall(truth_topk, ivf),
-        "lsh_neardup_recall": _recall(truth_nd, nd_topk),
+        "lsh_neardup_recall": nd_recall,
+        "lsh_neardup_truth_pairs": n_truth_nd,
         "mp_recall_at_5": _recall(truth_topk, mp_topk),
     }
     truth_topk.unpersist()
@@ -267,6 +309,8 @@ def run_one(
     # byte-for-byte (VERDICT r1 #9)
     stream_equal = None
     stream_batch_walls = None
+    stream_match_walls = None
+    stream_fold_walls = None
     if stream_parity:
         import shutil as _sh
 
@@ -302,19 +346,30 @@ def run_one(
         # pre-r3 O(index)-per-batch re-band made them climb
         from lieu_spark.metrics import read_metrics
 
-        wall_rows = (
-            read_metrics(spark, str(sp_root / "metrics"))
-            .filter(F.col("stage").startswith("stream_features@batch"))
-            .select("stage", "wall_sec")
-            .distinct()
-            .collect()
-        )
-        walls_by_batch = {
-            int(r.stage.rsplit("batch", 1)[1]): r.wall_sec for r in wall_rows
-        }
-        stream_batch_walls = [
-            round(walls_by_batch[b], 3) for b in sorted(walls_by_batch)
-        ]
+        metrics_df = read_metrics(spark, str(sp_root / "metrics")).persist()
+
+        def _batch_walls(prefix: str) -> list[float]:
+            rows = (
+                metrics_df.filter(F.col("stage").startswith(prefix))
+                .select("stage", "wall_sec")
+                .distinct()
+                .collect()
+            )
+            by_batch = {
+                int(r.stage.rsplit("batch", 1)[1]): r.wall_sec for r in rows
+            }
+            return [round(by_batch[b], 3) for b in sorted(by_batch)]
+
+        stream_batch_walls = _batch_walls("stream_features@batch")
+        # sub-stage attribution (ingest.process_batch): match = the
+        # verify chain up to the pairs write; fold = the per-batch
+        # fixed cost of the three state folds. Diagnoses a wall
+        # inflation from the artifact alone (r3 driver-run flag).
+        stream_match_walls = _batch_walls("stream_match@batch")
+        stream_fold_walls = _batch_walls("stream_fold@batch")
+        metrics_df.unpersist()
+        t_check = time.time()
+        stream_ingest_wall = round(t_check - t3, 3)
         stream_pairs = dupe_pairs(spark.read.parquet(str(sp_root / "work/pairs")))
         sc_df = clusters_with_singletons(
             res.conversations, connected_components(stream_pairs)
@@ -325,6 +380,10 @@ def run_one(
             and bc_df.exceptAll(sc_df).count() == 0
         )
         timings["stream_parity"] = time.time() - t3
+        # the parity CC + two exceptAll passes are the CHECK, not the
+        # system under test — split out so the ingest wall is readable
+        timings["stream_parity_check"] = time.time() - t_check
+        timings["stream_ingest"] = stream_ingest_wall
 
     spark.stop()
     payload = {
@@ -349,6 +408,8 @@ def run_one(
         "stream_parity_equal": stream_equal,
         "stream_batches": 3 if stream_parity else None,
         "stream_batch_walls": stream_batch_walls,
+        "stream_match_walls": stream_match_walls,
+        "stream_fold_walls": stream_fold_walls,
         "mode": "store" if store_dir else "eager",
         "stage_sec": {k: round(v, 3) for k, v in timings.items()},
     }
@@ -583,8 +644,11 @@ def main() -> None:
     # interleaved A/B in separate processes (measurement discipline —
     # never a sequential A/B on this box), pipeline-only arms,
     # min-per-variant
+    # OPT-IN since r4 (was on by default): the A/B arm added ~8-12 min
+    # of wall the driver's shared budget needs for the 68-query
+    # correctness sweep; the r3 cost numbers stand in BENCH.md
     soft_ab = None
-    if os.environ.get("SPARK_GRAFT_BENCH_SOFT_AB", "1") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_SOFT_AB", "0") == "1":
         ab_reps = int(os.environ.get("SPARK_GRAFT_BENCH_AB_REPEATS", "2"))
         sh_runs, so_runs = [], []
         for i in range(ab_reps):
@@ -632,6 +696,8 @@ def main() -> None:
         "stream_parity_equal": r2.get("stream_parity_equal"),
         "stream_batches": r2.get("stream_batches"),
         "stream_batch_walls": r2.get("stream_batch_walls"),
+        "stream_match_walls": r2.get("stream_match_walls"),
+        "stream_fold_walls": r2.get("stream_fold_walls"),
         "ann_recall": r2.get("ann_recall"),
         "verify_mode_ab": soft_ab,
         "scaling": scaling,

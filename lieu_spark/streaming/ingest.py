@@ -671,6 +671,14 @@ class IncrementalDeduper:
         verified.write.mode("overwrite").parquet(
             f"{self.pairs_dir}/batch_id={batch_id}"
         )
+        # sub-stage attribution: everything up to the pairs write is the
+        # MATCH phase (assemble/features/banding/state-pruned joins/
+        # verify — the first action materializes the whole chain); what
+        # follows is the per-batch FIXED COST of the state folds. The
+        # split is what makes a wall inflation diagnosable from the
+        # metrics table alone (grows-with-batch => match; flat =>
+        # fold/commit overhead).
+        t_match_done = _time.time()
         cand.unpersist()
         dupe_ids = (
             verified.filter(
@@ -690,16 +698,37 @@ class IncrementalDeduper:
         )
         self._write_bands(new_uniques, batch_id)
         self._write_shas(new_uniques, batch_id)
+        t_fold_done = _time.time()
         if self.metrics_dir is not None:
             # per-batch, per-partition lineage (north_rule): one cheap
-            # pass over the PERSISTED feature table, no recompute
+            # pass over the PERSISTED feature table, no recompute.
+            # Three rows per batch: total wall, match-phase wall, and
+            # state-fold wall (see the sub-stage note above).
             record_stage(
                 self.spark,
                 self.metrics_dir,
                 self.run_id,
                 f"stream_features@batch{batch_id}",
                 feats,
-                _time.time() - t0,
+                t_fold_done - t0,
+                self.cfg.fingerprint(),
+            )
+            record_stage(
+                self.spark,
+                self.metrics_dir,
+                self.run_id,
+                f"stream_match@batch{batch_id}",
+                verified,
+                t_match_done - t0,
+                self.cfg.fingerprint(),
+            )
+            record_stage(
+                self.spark,
+                self.metrics_dir,
+                self.run_id,
+                f"stream_fold@batch{batch_id}",
+                new_uniques,
+                t_fold_done - t_match_done,
                 self.cfg.fingerprint(),
             )
         new_uniques.unpersist()
