@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, DedupeConfig
-from ..metrics import record_stage
+from ..metrics import record_stages
 from ..operators.assemble import assemble_conversations
 from ..operators.exact import exact_star_pairs
 from ..operators.lsh import band_table_dual, candidate_pairs, match_pairs
@@ -701,34 +701,31 @@ class IncrementalDeduper:
         t_fold_done = _time.time()
         if self.metrics_dir is not None:
             # per-batch, per-partition lineage (north_rule): one cheap
-            # pass over the PERSISTED feature table, no recompute.
-            # Three rows per batch: total wall, match-phase wall, and
-            # state-fold wall (see the sub-stage note above).
-            record_stage(
+            # pass over the PERSISTED frames, no recompute. Three rows
+            # per batch — total wall, match-phase wall, state-fold wall
+            # (see the sub-stage note above) — in ONE write job
+            # (record_stages): per-batch fixed cost stays one commit.
+            record_stages(
                 self.spark,
                 self.metrics_dir,
                 self.run_id,
-                f"stream_features@batch{batch_id}",
-                feats,
-                t_fold_done - t0,
-                self.cfg.fingerprint(),
-            )
-            record_stage(
-                self.spark,
-                self.metrics_dir,
-                self.run_id,
-                f"stream_match@batch{batch_id}",
-                verified,
-                t_match_done - t0,
-                self.cfg.fingerprint(),
-            )
-            record_stage(
-                self.spark,
-                self.metrics_dir,
-                self.run_id,
-                f"stream_fold@batch{batch_id}",
-                new_uniques,
-                t_fold_done - t_match_done,
+                [
+                    (
+                        f"stream_features@batch{batch_id}",
+                        feats,
+                        t_fold_done - t0,
+                    ),
+                    (
+                        f"stream_match@batch{batch_id}",
+                        verified,
+                        t_match_done - t0,
+                    ),
+                    (
+                        f"stream_fold@batch{batch_id}",
+                        new_uniques,
+                        t_fold_done - t_match_done,
+                    ),
+                ],
                 self.cfg.fingerprint(),
             )
         new_uniques.unpersist()
