@@ -8,11 +8,14 @@ status (no image/audio libraries exist in this container):
 - metadata (format, width, height, channels) parses natively for
   BMP / PNG / JPEG / GIF via ``parse_image_dims`` (pure header
   parsing of the public container layouts, zero dependencies);
-- BMP additionally decodes AND resizes at the PIXEL level
-  (``decode_bmp``, ``_bmp_pixels``, ``resize_image_real`` — pure
-  struct/numpy);
-- pixel ops on any other format raise NotImplementedError with the
-  intended production (PIL/libvips) behavior documented;
+- BMP and PNG additionally decode AND resize at the PIXEL level
+  (``_bmp_pixels`` / ``_png_pixels``, ``resize_image_real`` — pure
+  struct/zlib/numpy; the PNG path implements all five scanline
+  filters of the public spec, 8-bit non-interlaced gray / gray+alpha
+  / RGB / RGBA);
+- pixel ops on any other format (JPEG entropy decode, GIF LZW) raise
+  NotImplementedError with the intended production (PIL/libvips)
+  behavior documented;
 - ``decode_image_metadata(decoder="fake")`` is the deterministic
   oracle-fixture path (dimensions derived from the payload hash);
   ``decoder="real"`` runs the header parsers — value-verified against
@@ -354,26 +357,179 @@ def _bmp_from_pixels(img) -> bytes:
     return header + pixel_bytes
 
 
-def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize path: uncompressed 24/32-bpp BMPs resize natively
-    (nearest-neighbor via numpy index gather — zero dependencies) and
-    re-encode as BMP; other formats require an imaging library absent
-    in this container (production impl: PIL.Image.open(io.BytesIO(
-    payload)).resize((width, height)).save(buf, 'BMP'))."""
-    if payload[:2] == b"BM":
-        import numpy as np
+def _png_pixels(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (color types 0/2/4/6 — gray,
+    RGB, gray+alpha, RGBA) into an (h, w, c) uint8 numpy array. Pure
+    stdlib ``zlib`` + numpy: chunk walk with CRC verification, IDAT
+    concatenation, inflate, then scanline unfiltering for all five
+    public filter types (None/Sub/Up/Average/Paeth). Sub and Up are
+    vectorized (per-lane cumsum / row add); Average and Paeth carry a
+    per-byte left dependency and run as spec-faithful scalar loops.
+    Raises ValueError on palette (type 3), non-8-bit depth, interlace,
+    or a corrupt chunk — decisions this dependency-free path
+    deliberately refuses to guess through."""
+    import struct
+    import zlib
 
-        if width <= 0 or height <= 0:
-            raise ValueError(f"invalid target size {width}x{height}")
-        img = _bmp_pixels(payload)
-        src_h, src_w = img.shape[:2]
-        # nearest-neighbor: pixel-center mapping, same convention as PIL NEAREST
-        ys = np.minimum(((np.arange(height) + 0.5) * src_h / height).astype(np.int64), src_h - 1)
-        xs = np.minimum(((np.arange(width) + 0.5) * src_w / width).astype(np.int64), src_w - 1)
-        return _bmp_from_pixels(img[np.ix_(ys, xs)])
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, idat, hdr = 8, [], None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} failed CRC")
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data[:13])
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = hdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type} (palette?) not supported")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    rowbytes = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (rowbytes + 1):
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected {h * (rowbytes + 1)}"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowbytes + 1)
+    recon = np.zeros((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for y in range(h):
+        ftype = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 1:  # Sub: prefix sum per channel lane, mod 256
+            rec = (cur.reshape(w, channels).cumsum(axis=0) & 0xFF).reshape(rowbytes)
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            rec = np.empty(rowbytes, dtype=np.int32)
+            for x in range(rowbytes):
+                a = rec[x - channels] if x >= channels else 0
+                rec[x] = (cur[x] + (a + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(rowbytes, dtype=np.int32)
+            for x in range(rowbytes):
+                a = int(rec[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                cc = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        recon[y] = rec
+        prev = rec.astype(np.int32)
+    return recon.reshape(h, w, channels)
+
+
+def _png_from_pixels(img, row_filters=None) -> bytes:
+    """Encode an (h, w, c) uint8 array as an 8-bit non-interlaced PNG —
+    the exact inverse of ``_png_pixels``. ``row_filters`` optionally
+    picks the scanline filter per row (default all 0/None); passing
+    1-4 applies the spec's Sub/Up/Average/Paeth transforms, which is
+    how the test suite proves each unfilter path inverts exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, channels = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rows = img.reshape(h, w * channels).astype(np.int32)
+    zeros_left = np.zeros(channels, dtype=np.int32)
+    out = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        f = int(row_filters[y]) if row_filters is not None else 0
+        cur = rows[y]
+        left = np.concatenate([zeros_left, cur[:-channels]]) if w else cur
+        upleft = np.concatenate([zeros_left, prev[:-channels]]) if w else prev
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) & 0xFF
+        elif f == 2:
+            filt = (cur - prev) & 0xFF
+        elif f == 3:
+            filt = (cur - (left + prev) // 2) & 0xFF
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out.append(f)
+        out += filt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _nn_resize(img, width: int, height: int):
+    """Nearest-neighbor resize of an (h, w, c) array via numpy index
+    gather — pixel-center mapping, same convention as PIL NEAREST."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid target size {width}x{height}")
+    src_h, src_w = img.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * src_h / height).astype(np.int64), src_h - 1)
+    xs = np.minimum(((np.arange(width) + 0.5) * src_w / width).astype(np.int64), src_w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize path: uncompressed 24/32-bpp BMPs and 8-bit
+    non-interlaced PNGs decode, resize (nearest-neighbor via numpy
+    index gather) and re-encode natively in their own container — zero
+    dependencies. Other formats require an imaging library absent in
+    this container (production impl: PIL.Image.open(io.BytesIO(
+    payload)).resize((width, height)).save(buf, fmt))."""
+    if payload[:2] == b"BM":
+        return _bmp_from_pixels(_nn_resize(_bmp_pixels(payload), width, height))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_from_pixels(_nn_resize(_png_pixels(payload), width, height))
     raise NotImplementedError(
-        "only BMP resizes natively here; other formats require an "
-        "imaging library not present in this container"
+        "only BMP and PNG resize natively here; other formats require "
+        "an imaging library not present in this container"
     )
 
 
