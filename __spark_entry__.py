@@ -467,7 +467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - Group A (first): entries that have never had a driver-green row
       (semantic_dedup, ann_multiprobe_topk, copied_spans), are new this
-      round (info_gain_terms, curate_funnel), or changed semantics this
+      round (info_gain_terms, curate_funnel, audio_meta — the REAL
+      WAV/PCM decode with an arithmetic sample-checksum oracle), or
+      changed semantics this
       round (multimodal_meta — now the REAL mixed-format header decode).
     - Group B: the 13 entries that were green in r2 but truncated out of
       the r3 artifact.
@@ -481,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-deriving per query."""
     base = {
         # --- group A: never driver-green / new / changed this round ---
+        "audio_meta": Q.q_audio_meta,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

@@ -1259,6 +1259,46 @@ JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY m.doc_id
 """
 
+# audio REAL decode over the deterministic WAV fixture: DuckDB
+# re-derives the ENTIRE decode from doc_id ARITHMETIC — rate/channels/
+# frames from the fixture formulas, n_bytes from the canonical 44-byte
+# header layout, duration from exact integer division, and xor_samples
+# by replaying the fixture's sample formula over a frame x channel
+# series and xor-folding the unsigned-16-bit values, which must equal
+# the xor-fold of the samples the Spark side ACTUALLY decoded from the
+# PCM bytes. The series bounds (255 frames, 2 channels) are the
+# fixture formulas' maxima. No export channel: every expectation is
+# pure arithmetic; a header misparse, sample misalignment, endianness
+# slip, or channel-interleave bug mismatches on xor_samples.
+ORACLE["audio_meta"] = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+         CAST(64 + (doc_id * 13) % 192 AS BIGINT) AS n_frames
+  FROM documents
+),
+xors AS (
+  SELECT p.doc_id,
+         CAST(bit_xor((p.doc_id * 7 + t.t * 31 + c.c * 17) % 65536) AS BIGINT)
+           AS xor_samples
+  FROM params p
+  JOIN generate_series(0, 255) AS t(t) ON t.t < p.n_frames
+  JOIN generate_series(0, 1) AS c(c) ON c.c < p.channels
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       CAST(44 + p.n_frames * p.channels * 2 AS BIGINT) AS n_bytes,
+       p.sample_rate,
+       p.channels,
+       CAST(16 AS INTEGER) AS bits,
+       p.n_frames,
+       CAST(p.n_frames * 1000000 // p.sample_rate AS BIGINT) AS duration_us,
+       x.xor_samples
+FROM params p JOIN xors x USING (doc_id)
+ORDER BY p.doc_id
+"""
+
 # rolling polynomial fingerprint: the ORDER-SENSITIVE fold is re-derived
 # by DuckDB from the exported per-token hash sequence (list_reduce over
 # the pos-ordered list, same modulus chain as functions/analysis.py:118);

@@ -920,6 +920,19 @@ def q_doc_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_audio_meta(spark, sf_dir):
+    """REAL audio decode over a deterministic WAV fixture
+    (functions/audio.synthetic_audio_payloads): every doc gets a genuine
+    RIFF/PCM payload whose rate/channels/frames — and the xor-checksum
+    of every decoded 16-bit sample — are pure integer functions of
+    doc_id, so the DuckDB oracle re-derives the FULL decode (header walk
+    AND pcm samples) from arithmetic alone; no export channel needed."""
+    from .functions.audio import decode_audio_meta, synthetic_audio_payloads
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_meta(synthetic_audio_payloads(d)).orderBy("doc_id")
+
+
 def q_binary_meta(spark, sf_dir):
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     return d.select(
