@@ -329,7 +329,7 @@ def _q_semantic_dedup(spark, sf_dir):
 
 
 def _q_multimodal_meta(spark, sf_dir):
-    """REAL header decode over a mixed BMP/PNG/JPEG fixture
+    """REAL header decode over a mixed BMP/PNG/JPEG/GIF fixture
     (functions/multimodal.synthetic_image_payloads): every doc gets a
     genuine container payload whose dims/channels are integer functions
     of doc_id, the mapInPandas real decoder parses the actual bytes

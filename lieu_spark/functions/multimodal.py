@@ -8,14 +8,15 @@ status (no image/audio libraries exist in this container):
 - metadata (format, width, height, channels) parses natively for
   BMP / PNG / JPEG / GIF via ``parse_image_dims`` (pure header
   parsing of the public container layouts, zero dependencies);
-- BMP and PNG additionally decode AND resize at the PIXEL level
-  (``_bmp_pixels`` / ``_png_pixels``, ``resize_image_real`` — pure
-  struct/zlib/numpy; the PNG path implements all five scanline
-  filters of the public spec, 8-bit non-interlaced gray / gray+alpha
-  / RGB / RGBA);
-- pixel ops on any other format (JPEG entropy decode, GIF LZW) raise
+- BMP, PNG, and GIF additionally decode AND resize at the PIXEL level
+  (``_bmp_pixels`` / ``_png_pixels`` / ``_gif_pixels``,
+  ``resize_image_real`` — pure struct/zlib/numpy; PNG implements all
+  five scanline filters of the public spec for 8-bit non-interlaced
+  gray / gray+alpha / RGB / RGBA, GIF implements variable-width LZW
+  with clear/EOI and 4-pass de-interlacing);
+- pixel ops on JPEG (baseline entropy decode) raise
   NotImplementedError with the intended production (PIL/libvips)
-  behavior documented;
+  behavior documented — the one genuinely codec-library-shaped gap;
 - ``decode_image_metadata(decoder="fake")`` is the deterministic
   oracle-fixture path (dimensions derived from the payload hash);
   ``decoder="real"`` runs the header parsers — value-verified against
@@ -272,15 +273,20 @@ def decode_image_metadata(
 
 def synthetic_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic mixed-format image fixture: each id gets a REAL
-    container payload (BMP / PNG / JPEG rotating on id % 3) whose
+    container payload (BMP / PNG / JPEG / GIF rotating on id % 4) whose
     dimensions and channel count are pure integer functions of the id —
     so a SQL oracle can re-derive the expected metadata from arithmetic
     alone and value-verify the header parsers end to end:
 
         width    = 8 + id % 24
         height   = 8 + (id * 7) % 24
-        channels = bmp/png: 3 if id even else 4; jpeg: 3 if even else 1
+        channels = bmp/png: 3 if id even else 4; jpeg: 3 if even else 1;
+                   gif: always 3 (palette expands to RGB)
+
+    The GIF arm carries a real 2-color LZW-compressed checkerboard, not
+    just a header, so the pixel codec is exercised by the same fixture.
     """
+    import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,14 +294,20 @@ def synthetic_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             for doc_id in pdf[id_col]:
                 i = int(doc_id)
                 w, h = 8 + i % 24, 8 + (i * 7) % 24
-                if i % 3 == 0:
+                if i % 4 == 0:
                     payloads.append(encode_bmp(w, h, 3 if i % 2 == 0 else 4))
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     payloads.append(encode_png(w, h, 3 if i % 2 == 0 else 4))
-                else:
+                elif i % 4 == 2:
                     payloads.append(
                         encode_jpeg_header(w, h, 3 if i % 2 == 0 else 1)
                     )
+                else:
+                    ca = np.array([i % 256, (i * 3) % 256, (i * 5) % 256], np.uint8)
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    board = ((yy + xx + i) % 2).astype(np.uint8)
+                    img = np.where(board[..., None] == 1, ca, 255 - ca).astype(np.uint8)
+                    payloads.append(_gif_from_pixels(img, interlace=i % 8 == 3))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
@@ -503,6 +515,214 @@ def _png_from_pixels(img, row_filters=None) -> bytes:
     )
 
 
+def _gif_pixels(payload: bytes):
+    """Decode the first frame of a GIF87a/GIF89a into an (h, w, 3)
+    uint8 RGB array. Pure stdlib + numpy: logical-screen-descriptor
+    walk, global/local color table, variable-width LZW with clear/EOI
+    codes (the public spec's algorithm, LSB-first bit packing), and
+    4-pass de-interlacing. Raises ValueError on a malformed stream or
+    a frame that does not cover the logical screen (animation
+    compositing is out of scope for a fixture codec)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: skip label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            if (left, top, iw, ih) != (0, 0, width, height):
+                raise ValueError("GIF frame does not cover the logical screen")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = []
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    order.extend(range(start, ih, step))
+                rows = np.empty(ih, dtype=np.int64)
+                rows[np.asarray(order)] = np.arange(ih)
+                indices = indices.reshape(ih, iw)[rows].reshape(-1)
+            if int(indices.max(initial=0)) >= len(table):
+                raise ValueError("GIF pixel index exceeds color table")
+            return table[indices].reshape(ih, iw, 3).copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image descriptor")
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, npix: int):
+    """GIF-variant LZW: variable code width from mcs+1 up to 12 bits,
+    clear code 2**mcs resets the dictionary, EOI ends the stream;
+    codes are packed LSB-first. Returns exactly ``npix`` indices."""
+    import numpy as np
+
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"invalid GIF LZW min code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = np.empty(npix, dtype=np.int64)
+    n_out = 0
+    # bit reader state
+    acc = bitlen = 0
+    ptr = 0
+
+    def init_dict():
+        return {i: (i,) for i in range(1 << mcs)}
+
+    table = init_dict()
+    width = mcs + 1
+    prev = None
+    while n_out < npix:
+        while bitlen < width:
+            if ptr >= len(data):
+                raise ValueError("GIF LZW stream ended early")
+            acc |= data[ptr] << bitlen
+            bitlen += 8
+            ptr += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bitlen -= width
+        if code == clear:
+            table = init_dict()
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[len(table) + 2] = prev + (entry[0],)
+        elif code == len(table) + 2:
+            entry = prev + (prev[0],)
+            table[code] = entry
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        take = min(len(entry), npix - n_out)
+        out[n_out : n_out + take] = entry[:take]
+        n_out += take
+        prev = entry
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    if n_out < npix:
+        raise ValueError(f"GIF LZW decoded {n_out} of {npix} pixels")
+    return out
+
+
+def _gif_from_pixels(img, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (<= 256 distinct colors) as a
+    single-frame GIF89a — the inverse of ``_gif_pixels`` on its domain.
+    Uses the spec's clear-code technique: every index is emitted as a
+    literal code with periodic CLEARs so the dictionary never grows —
+    valid (if uncompressed) LZW any decoder accepts. ``interlace``
+    writes the 4-pass row order, exercising the decoder's de-interlace."""
+    import struct
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("GIF fixture encoder takes RGB (h, w, 3)")
+    flat = img.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors exceed a GIF palette")
+    bits = max(2, int(len(palette) - 1).bit_length())
+    psize = 1 << bits
+    table = np.zeros((psize, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    idx = indices.reshape(h, w)
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        idx = idx[np.asarray(order)]
+    # literal-code LZW: emit CLEAR, then indices at width mcs+1,
+    # re-CLEARing before the dictionary would force a width change
+    mcs = bits
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    budget = (1 << width) - len(table) - 2 - 2  # codes until width grows
+    acc = bitlen = 0
+    emitted = 0
+    body = bytearray()
+
+    def emit(code):
+        nonlocal acc, bitlen
+        acc |= code << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    for v in idx.reshape(-1).tolist():
+        if emitted >= budget:
+            emit(clear)
+            emitted = 0
+        emit(int(v))
+        emitted += 1
+    emit(eoi)
+    if bitlen:
+        body.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    packed = 0x80 | (bits - 1)  # GCT present, size 2^bits
+    out = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, packed, 0, 0)
+        + table.tobytes()
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        + bytes([mcs])
+        + bytes(sub)
+        + b"\x3B"
+    )
+    return out
+
+
 def _nn_resize(img, width: int, height: int):
     """Nearest-neighbor resize of an (h, w, c) array via numpy index
     gather — pixel-center mapping, same convention as PIL NEAREST."""
@@ -527,9 +747,13 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
         return _bmp_from_pixels(_nn_resize(_bmp_pixels(payload), width, height))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_from_pixels(_nn_resize(_png_pixels(payload), width, height))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # NN resize only repeats/drops pixels — the palette stays valid
+        return _gif_from_pixels(_nn_resize(_gif_pixels(payload), width, height))
     raise NotImplementedError(
-        "only BMP and PNG resize natively here; other formats require "
-        "an imaging library not present in this container"
+        "only BMP, PNG, and GIF resize natively here; other formats "
+        "(JPEG entropy decode) require an imaging library not present "
+        "in this container"
     )
 
 

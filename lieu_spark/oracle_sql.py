@@ -1235,7 +1235,7 @@ LEFT JOIN (SELECT DISTINCT id_b FROM cpairs WHERE cos6 >= 950000) d ON d.id_b = 
 ORDER BY vec_id
 """
 
-# multimodal REAL header decode over the mixed BMP/PNG/JPEG fixture:
+# multimodal REAL header decode over the mixed BMP/PNG/JPEG/GIF fixture:
 # DuckDB re-derives format/width/height/channels from doc_id ARITHMETIC
 # (the fixture encodes pure integer functions of the id into genuine
 # container headers — synthetic_image_payloads) and n_bytes from
@@ -1245,11 +1245,12 @@ ORDER BY vec_id
 # row count.
 ORACLE["multimodal_meta"] = f"""
 SELECT m.doc_id, octet_length(p.payload) AS n_bytes,
-       CASE d.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-            ELSE 'jpeg' END AS format,
+       CASE d.doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format,
        CAST(8 + d.doc_id % 24 AS INTEGER) AS width,
        CAST(8 + (d.doc_id * 7) % 24 AS INTEGER) AS height,
-       CAST(CASE WHEN d.doc_id % 3 = 2
+       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 3
+                 WHEN d.doc_id % 4 = 2
                  THEN CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 1 END
                  ELSE CASE WHEN d.doc_id % 2 = 0 THEN 3 ELSE 4 END
             END AS INTEGER) AS channels

@@ -475,6 +475,54 @@ def test_png_native_pixel_codec():
         _png_pixels(b"\x89PNG\r\n\x1a\n")
 
 
+def test_gif_native_pixel_codec():
+    """Native GIF pixel codec (variable-width LZW, clear/EOI, 4-pass
+    de-interlace, palette expansion): roundtrips exact for 2..256-color
+    images, interlaced and not; resize emits a decodable GIF; palette
+    overflow and malformed streams refuse loudly."""
+    import numpy as np
+
+    from lieu_spark.functions.multimodal import (
+        _gif_from_pixels,
+        _gif_pixels,
+        _nn_resize,
+        parse_image_dims,
+        resize_image_real,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 7, size=(19, 11))]
+    for interlace in (False, True):
+        p = _gif_from_pixels(img, interlace=interlace)
+        assert parse_image_dims(p) == ("gif", 11, 19, 3)
+        assert np.array_equal(_gif_pixels(p), img), f"interlace={interlace}"
+
+    # palette-size edges: 2 colors (mcs floor) and the full 256
+    two = np.where(
+        rng.integers(0, 2, size=(5, 5, 1)).astype(bool), 255, 0
+    ).astype(np.uint8).repeat(3, axis=2)
+    assert np.array_equal(_gif_pixels(_gif_from_pixels(two)), two)
+    pal256 = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    img256 = pal256[rng.integers(0, 256, size=(64, 64))]
+    assert np.array_equal(_gif_pixels(_gif_from_pixels(img256)), img256)
+
+    # resize through the container == the raw NN gather
+    out = resize_image_real(_gif_from_pixels(img), 6, 8)
+    assert parse_image_dims(out) == ("gif", 6, 8, 3)
+    assert np.array_equal(_gif_pixels(out), _nn_resize(img, 6, 8))
+
+    # refusals: >256 distinct colors, truncated stream, bad block tag
+    with pytest.raises(ValueError, match="palette"):
+        _gif_from_pixels(rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        _gif_pixels(b"GIF89a" + b"\x00" * 4)
+    good = bytearray(_gif_from_pixels(img))
+    good[13 + 3 * 8] = 0x99  # first block tag after the 8-entry GCT
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        _gif_pixels(bytes(good))
+
+
 def test_universal_header_parsers_roundtrip():
     """parse_image_dims reads back exactly what the fixture encoders
     wrote, for every format and channel layout the fixture produces —
@@ -518,10 +566,10 @@ def test_universal_header_parsers_roundtrip():
 
 
 def test_mixed_format_real_decode_end_to_end(spark):
-    """The mixed BMP/PNG/JPEG fixture flows through the REAL decoder's
-    mapInPandas plumbing and every header parses back to the arithmetic
-    dims the fixture encoded — the Spark half of the multimodal_meta
-    driver oracle."""
+    """The mixed BMP/PNG/JPEG/GIF fixture flows through the REAL
+    decoder's mapInPandas plumbing and every header parses back to the
+    arithmetic dims the fixture encoded — the Spark half of the
+    multimodal_meta driver oracle."""
     from lieu_spark.functions.multimodal import (
         decode_image_metadata,
         synthetic_image_payloads,
@@ -535,9 +583,14 @@ def test_mixed_format_real_decode_end_to_end(spark):
     }
     assert len(got) == 60
     for i in range(60):
-        fmt = ("bmp", "png", "jpeg")[i % 3]
+        fmt = ("bmp", "png", "jpeg", "gif")[i % 4]
         w, h = 8 + i % 24, 8 + (i * 7) % 24
-        c = (3 if i % 2 == 0 else 1) if fmt == "jpeg" else (3 if i % 2 == 0 else 4)
+        if fmt == "gif":
+            c = 3
+        elif fmt == "jpeg":
+            c = 3 if i % 2 == 0 else 1
+        else:
+            c = 3 if i % 2 == 0 else 4
         gf, gw, gh, gc, nb = got[i]
         assert (gf, gw, gh, gc) == (fmt, w, h, c), (i, got[i])
         assert nb > 0
