@@ -8,15 +8,15 @@ status (no image/audio libraries exist in this container):
 - metadata (format, width, height, channels) parses natively for
   BMP / PNG / JPEG / GIF via ``parse_image_dims`` (pure header
   parsing of the public container layouts, zero dependencies);
-- BMP, PNG, and GIF additionally decode AND resize at the PIXEL level
-  (``_bmp_pixels`` / ``_png_pixels`` / ``_gif_pixels``,
-  ``resize_image_real`` — pure struct/zlib/numpy; PNG implements all
-  five scanline filters of the public spec for 8-bit non-interlaced
-  gray / gray+alpha / RGB / RGBA, GIF implements variable-width LZW
-  with clear/EOI and 4-pass de-interlacing);
-- pixel ops on JPEG (baseline entropy decode) raise
-  NotImplementedError with the intended production (PIL/libvips)
-  behavior documented — the one genuinely codec-library-shaped gap;
+- ALL FOUR formats decode AND resize at the PIXEL level
+  (``_bmp_pixels`` / ``_png_pixels`` / ``_gif_pixels`` /
+  ``jpeg._jpeg_pixels``, ``resize_image_real`` — pure
+  struct/zlib/numpy): PNG implements all five scanline filters of the
+  public spec for 8-bit non-interlaced gray / gray+alpha / RGB / RGBA;
+  GIF implements variable-width LZW with clear/EOI and 4-pass
+  de-interlacing; JPEG implements the full baseline sequential DCT
+  process (``functions/jpeg.py`` — canonical Huffman, restart markers,
+  chroma upsampling) and rejects progressive/arithmetic streams loudly;
 - ``decode_image_metadata(decoder="fake")`` is the deterministic
   oracle-fixture path (dimensions derived from the payload hash);
   ``decoder="real"`` runs the header parsers — value-verified against
@@ -283,8 +283,9 @@ def synthetic_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
         channels = bmp/png: 3 if id even else 4; jpeg: 3 if even else 1;
                    gif: always 3 (palette expands to RGB)
 
-    The GIF arm carries a real 2-color LZW-compressed checkerboard, not
-    just a header, so the pixel codec is exercised by the same fixture.
+    The GIF arm carries a real 2-color LZW-compressed checkerboard and
+    the JPEG arm a real baseline entropy-coded scan (not just headers),
+    so the pixel codecs are exercised by the same fixture.
     """
     import numpy as np
 
@@ -299,9 +300,17 @@ def synthetic_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 elif i % 4 == 1:
                     payloads.append(encode_png(w, h, 3 if i % 2 == 0 else 4))
                 elif i % 4 == 2:
-                    payloads.append(
-                        encode_jpeg_header(w, h, 3 if i % 2 == 0 else 1)
-                    )
+                    from .jpeg import encode_jpeg_baseline
+
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    if i % 2 == 0:
+                        jimg = np.stack(
+                            [(yy * 3 + i) % 256, (xx * 5 + i) % 256, (yy + xx) % 256],
+                            axis=-1,
+                        ).astype(np.uint8)
+                    else:
+                        jimg = ((yy * 7 + xx * 11 + i) % 256).astype(np.uint8)
+                    payloads.append(encode_jpeg_baseline(jimg, quality=90))
                 else:
                     ca = np.array([i % 256, (i * 3) % 256, (i * 5) % 256], np.uint8)
                     yy, xx = np.mgrid[0:h, 0:w]
@@ -750,10 +759,15 @@ def resize_image_real(payload: bytes, width: int, height: int) -> bytes:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         # NN resize only repeats/drops pixels — the palette stays valid
         return _gif_from_pixels(_nn_resize(_gif_pixels(payload), width, height))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import _jpeg_pixels, encode_jpeg_baseline
+
+        img = _nn_resize(_jpeg_pixels(payload), width, height)
+        # JPEG is lossy by nature: the re-encode quantizes again (q95)
+        return encode_jpeg_baseline(img, quality=95)
     raise NotImplementedError(
-        "only BMP, PNG, and GIF resize natively here; other formats "
-        "(JPEG entropy decode) require an imaging library not present "
-        "in this container"
+        "unrecognized container: BMP, PNG, GIF, and baseline JPEG "
+        "resize natively here"
     )
 
 
