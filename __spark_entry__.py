@@ -467,10 +467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - Group A (first): entries that have never had a driver-green row
       (semantic_dedup, ann_multiprobe_topk, copied_spans), are new this
-      round (info_gain_terms, curate_funnel, audio_meta — the REAL
-      WAV/PCM decode with an arithmetic sample-checksum oracle), or
-      changed semantics this
-      round (multimodal_meta — now the REAL mixed-format header decode).
+      round (info_gain_terms, curate_funnel, audio_meta / video_meta —
+      REAL WAV/PCM and AVI/MJPEG decodes whose sample/pixel checksums
+      DuckDB re-derives from pure arithmetic), or changed semantics
+      this round (multimodal_meta — the REAL mixed-format decode over a
+      4-format fixture).
     - Group B: the 13 entries that were green in r2 but truncated out of
       the r3 artifact.
     - Group C (last): entries with an r3-green row, cheapest first — if
@@ -484,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- group A: never driver-green / new / changed this round ---
         "audio_meta": Q.q_audio_meta,
+        "video_meta": Q.q_video_meta,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

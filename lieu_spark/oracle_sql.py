@@ -1300,6 +1300,40 @@ FROM params p JOIN xors x USING (doc_id)
 ORDER BY p.doc_id
 """
 
+# video REAL decode over the deterministic AVI/MJPEG fixture: DuckDB
+# re-derives dims/frames/rate from the fixture formulas and pix_sum by
+# replaying the per-frame solid-color formula over a frame series —
+# which must equal the sum of the pixel values the Spark side ACTUALLY
+# decoded from each frame's JPEG entropy stream (solid q100 frames
+# roundtrip exactly; n_uniform_frames == n_frames asserts full-frame
+# constancy of the real decode). The series bound (8) is the fixture's
+# n_frames maximum. No export channel: pure arithmetic.
+ORACLE["video_meta"] = """
+WITH params AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS width,
+         CAST(8 * (1 + (doc_id % 4) // 2) AS INTEGER) AS height,
+         CAST(3 + doc_id % 6 AS BIGINT) AS n_frames,
+         CAST(33333 + (doc_id % 5) * 1000 AS BIGINT) AS us_per_frame
+  FROM documents
+),
+sums AS (
+  SELECT p.doc_id,
+         CAST(SUM(((p.doc_id * 11 + f.f * 29) % 256) * 65536
+                + ((p.doc_id * 7 + f.f * 13) % 256) * 256
+                + ((p.doc_id * 3 + f.f * 5) % 256)) AS BIGINT) AS pix_sum
+  FROM params p
+  JOIN generate_series(0, 8) AS f(f) ON f.f < p.n_frames
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id, p.width, p.height, p.n_frames, p.us_per_frame,
+       CAST(p.n_frames * p.us_per_frame AS BIGINT) AS duration_us,
+       p.n_frames AS n_uniform_frames,
+       s.pix_sum
+FROM params p JOIN sums s USING (doc_id)
+ORDER BY p.doc_id
+"""
+
 # rolling polynomial fingerprint: the ORDER-SENSITIVE fold is re-derived
 # by DuckDB from the exported per-token hash sequence (list_reduce over
 # the pos-ordered list, same modulus chain as functions/analysis.py:118);

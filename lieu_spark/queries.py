@@ -933,6 +933,21 @@ def q_audio_meta(spark, sf_dir):
     return decode_audio_meta(synthetic_audio_payloads(d)).orderBy("doc_id")
 
 
+def q_video_meta(spark, sf_dir):
+    """REAL video decode over a deterministic AVI/MJPEG fixture
+    (functions/video.synthetic_video_payloads): every doc gets a genuine
+    RIFF/AVI container of solid-color baseline-JPEG frames whose
+    dims/count/rate — and the decoded pixel value of every frame — are
+    pure integer functions of (doc_id, frame_idx). Solid 8x8-aligned
+    frames roundtrip EXACTLY through the q100 JPEG path, so the DuckDB
+    oracle re-derives the container walk AND the full per-frame entropy
+    decode from arithmetic alone; no export channel."""
+    from .functions.video import decode_video_meta, synthetic_video_payloads
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_video_meta(synthetic_video_payloads(d)).orderBy("doc_id")
+
+
 def q_binary_meta(spark, sf_dir):
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     return d.select(
