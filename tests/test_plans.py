@@ -221,3 +221,38 @@ def test_doc_repetition_partial_agg(spark):
     plan = plan_of(df, "simple")
     assert "partial_count" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_modality_decoders_no_shuffle(spark):
+    """The audio/video/image decode paths are embarrassingly parallel:
+    one MapInPandas over the scan, NO Exchange anywhere — per-payload
+    decode never forces a shuffle, which is the property that makes
+    these linear at 100 TB (partition count == input splits)."""
+    from lieu_spark.functions.audio import (
+        decode_audio_meta,
+        synthetic_audio_payloads,
+    )
+    from lieu_spark.functions.multimodal import (
+        decode_image_metadata,
+        synthetic_image_payloads,
+    )
+    from lieu_spark.functions.video import (
+        decode_video_meta,
+        extract_frames,
+        synthetic_video_payloads,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+    for q in (
+        decode_audio_meta(synthetic_audio_payloads(docs)),
+        decode_video_meta(synthetic_video_payloads(docs)),
+        extract_frames(synthetic_video_payloads(docs)),
+        decode_image_metadata(synthetic_image_payloads(docs), decoder="real"),
+    ):
+        plan = plan_of(q, "simple")
+        assert "Exchange" not in plan, plan[:1500]
+        assert "MapInPandas" in plan
+        read_schema = [
+            ln for ln in plan_of(q).splitlines() if "ReadSchema" in ln
+        ][0]
+        assert "text" not in read_schema  # only doc_id leaves the scan
