@@ -123,3 +123,85 @@ def test_union_find_is_min_of_component(edges):
     for node, root in comp.items():
         assert root <= node
         assert comp.get(root, root) == root
+
+
+# --- codec properties (functions/multimodal.py, jpeg.py, audio.py) ---------
+
+_img_arrays = st.integers(min_value=1, max_value=3).flatmap(
+    lambda _: st.tuples(
+        st.integers(min_value=1, max_value=12),  # h
+        st.integers(min_value=1, max_value=12),  # w
+        st.sampled_from([1, 2, 3, 4]),           # channels
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+)
+
+
+def _rand_img(h, w, c, seed):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@given(_img_arrays, st.lists(st.integers(min_value=0, max_value=4), min_size=12, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_png_codec_roundtrip_property(dims, filters):
+    """PNG encode(decode) is the identity for every size/channel/filter
+    mix hypothesis throws at it."""
+    from lieu_spark.functions.multimodal import _png_from_pixels, _png_pixels
+
+    h, w, c, seed = dims
+    img = _rand_img(h, w, c, seed)
+    assert np.array_equal(_png_pixels(_png_from_pixels(img, filters[:h])), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=1, max_value=6),   # palette size
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_codec_roundtrip_property(h, w, ncol, seed, interlace):
+    from lieu_spark.functions.multimodal import _gif_from_pixels, _gif_pixels
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, size=(h, w))]
+    assert np.array_equal(_gif_pixels(_gif_from_pixels(img, interlace=interlace)), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=20),  # h
+    st.integers(min_value=1, max_value=20),  # w
+    st.sampled_from([1, 3]),
+    st.sampled_from([35, 60, 90, 100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_entropy_layer_lossless_property(h, w, c, quality, seed):
+    """The strongest JPEG invariant, property-tested: full encode->decode
+    is BIT-EQUAL to DCT->quantize->dequantize->IDCT with no entropy
+    coding, for arbitrary content, size, grayscale/color, quality."""
+    from lieu_spark.functions.jpeg import _jpeg_pixels, encode_jpeg_baseline
+    from tests.test_jpeg import _quant_sim
+
+    img = _rand_img(h, w, c, seed)
+    full = _jpeg_pixels(encode_jpeg_baseline(img if c == 3 else img[..., 0], quality=quality))
+    assert np.array_equal(full, _quant_sim(img, quality))
+
+
+@given(
+    st.integers(min_value=1, max_value=300),  # n_frames
+    st.sampled_from([1, 2]),                  # channels
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_codec_roundtrip_property(n, ch, rate, seed):
+    from lieu_spark.functions.audio import _wav_samples, encode_wav, parse_wav_meta
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    p = encode_wav(s, rate)
+    assert parse_wav_meta(p) == (rate, ch, 16, n)
+    assert np.array_equal(_wav_samples(p), s)
+    assert encode_wav(_wav_samples(p), rate) == p
