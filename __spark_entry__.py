@@ -108,21 +108,15 @@ def _q_copied_spans(spark, sf_dir):
     texts are exported; the DuckDB oracle returns exactly the exported
     spans that PASS the substr-equality check — a fabricated or
     misaligned span drops out and fails the row/hash compare."""
-    from lieu_spark.config import DedupeConfig as DC
-    from lieu_spark.operators.spans import copied_spans, winnow_span_candidates
     from lieu_spark.oracle_export import export_for_oracle
 
-    cfg = DC(span_min_len=40)
     feats = Q.doc_features(spark, sf_dir)
-    cand = winnow_span_candidates(feats, cfg)
-    docs = feats.select("conv_id", "doc")
-    export_for_oracle(spark, docs, "span_docs", single_file=False)
-    pa = docs.select(F.col("conv_id").alias("id_a"), F.col("doc").alias("doc_a"))
-    pb = docs.select(F.col("conv_id").alias("id_b"), F.col("doc").alias("doc_b"))
-    spans = copied_spans(cand.join(pa, "id_a").join(pb, "id_b"), cfg)
-    return export_for_oracle(spark, spans, "copied_spans_out").orderBy(
-        "id_a", "id_b"
+    export_for_oracle(
+        spark, feats.select("conv_id", "doc"), "span_docs", single_file=False
     )
+    return export_for_oracle(
+        spark, Q.spans_df(spark, sf_dir), "copied_spans_out"
+    ).orderBy("id_a", "id_b")
 
 
 def _ann_buckets_export(spark, sf_dir):
@@ -328,6 +322,31 @@ def _q_semantic_dedup(spark, sf_dir):
     )
 
 
+def _q_span_scrub(spark, sf_dir):
+    """Exact-substring dedupe REMOVAL (operators/spans.py
+    remove_copied_spans): copied_spans detects cross-conversation
+    copied text; this cuts it out of the copy side (id_b — the larger
+    id; the canonical smaller id keeps its text), merging overlapping/
+    adjacent cuts per doc first. Oracle-checked via the exported spans
+    + docs tables: DuckDB independently merges the intervals (window
+    SQL) and rebuilds the kept text as the ordered concatenation of gap
+    segments — the sha of every scrubbed doc must match the Catalyst
+    fold's output character for character."""
+    from lieu_spark.operators.spans import remove_copied_spans
+    from lieu_spark.oracle_export import export_for_oracle
+
+    feats = Q.doc_features(spark, sf_dir)
+    docs = feats.select("conv_id", "doc")
+    spans = export_for_oracle(spark, Q.spans_df(spark, sf_dir), "scrub_spans")
+    export_for_oracle(spark, docs, "scrub_docs", single_file=False)
+    out = remove_copied_spans(docs, spans)
+    return out.select(
+        "conv_id",
+        "n_cut",
+        F.sha2(F.col("doc_scrubbed"), 256).alias("scrub_sha"),
+    ).orderBy("conv_id")
+
+
 def _q_multimodal_meta(spark, sf_dir):
     """REAL header decode over a mixed BMP/PNG/JPEG/GIF fixture
     (functions/multimodal.synthetic_image_payloads): every doc gets a
@@ -486,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- group A: never driver-green / new / changed this round ---
         "audio_meta": Q.q_audio_meta,
         "video_meta": Q.q_video_meta,
+        "span_scrub": _q_span_scrub,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

@@ -271,3 +271,71 @@ def winnow_span_candidates(
     return winnow_pairs_from_fingerprints(
         winnow_fingerprints(features, cfg, id_col), cfg
     )
+
+
+def remove_copied_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "conv_id",
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Exact-substring dedupe REMOVAL: the canonical side of every span
+    pair (``id_a`` — the smaller id, the pair convention everywhere in
+    this engine) keeps its text; the copy side (``id_b``) has
+    ``[start_b, start_b + length)`` cut out. A doc reported as the copy
+    in several pairs gets every cut: intervals are first merged into
+    disjoint runs (adjacent intervals coalesce) with one sort window +
+    running max, then all cuts apply in ONE pass — an ``F.aggregate``
+    fold over the ordered interval array that concatenates the gap
+    segments (character-offset ``substring``, matching the 0-based
+    character offsets ``lcs_pair`` reports).
+
+    Pure Catalyst: one window, one groupBy, one left join, no Python —
+    the scale shape is the spans table (tiny relative to the corpus)
+    shuffled by doc id, then a narrow projection over the docs.
+    Docs with no spans pass through unchanged with ``n_cut = 0``.
+    """
+    iv = spans.select(
+        F.col("id_b").alias(id_col),
+        F.col("start_b").cast("long").alias("s"),
+        (F.col("start_b") + F.col("length")).cast("long").alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_grp = F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    grp = F.sum(new_grp).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    merged = (
+        iv.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("cuts"))
+    )
+    joined = docs.join(merged, id_col, "left")
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cur"), F.lit("").alias("acc_out")
+    )
+    folded = F.aggregate(
+        F.col("cuts"),
+        acc0,
+        lambda acc, c: F.struct(
+            c["e"].alias("cur"),
+            F.concat(
+                acc["acc_out"],
+                F.col(doc_col).substr(
+                    (acc["cur"] + 1).cast("int"), (c["s"] - acc["cur"]).cast("int")
+                ),
+            ).alias("acc_out"),
+        ),
+        lambda acc: F.concat(
+            acc["acc_out"],
+            F.col(doc_col).substr(
+                (acc["cur"] + 1).cast("int"), F.length(F.col(doc_col))
+            ),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.coalesce(F.size("cuts"), F.lit(0)).cast("long").alias("n_cut"),
+        F.coalesce(folded, F.col(doc_col)).alias("doc_scrubbed"),
+    )

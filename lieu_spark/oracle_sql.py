@@ -1367,6 +1367,73 @@ WHERE s.length >= 40
 ORDER BY s.id_a, s.id_b
 """
 
+# span SCRUBBING: DuckDB independently merges each copy-side doc's cut
+# intervals (running-max window -> group -> min/max) and rebuilds the
+# kept text as the ordered concatenation of gap segments (LAG(e) gives
+# each gap's start; a synthetic tail row covers max(e)..len) — no fold
+# needed. The sha of every scrubbed doc must equal the Spark-side
+# Catalyst aggregate fold's output exactly; docs with no spans pass
+# through with n_cut = 0.
+ORACLE["span_scrub"] = f"""
+WITH spans AS (
+  SELECT * FROM read_parquet('{_ep("scrub_spans")}/*.parquet')
+),
+docs AS (
+  SELECT conv_id, doc FROM read_parquet('{_ep("scrub_docs")}/*.parquet')
+),
+iv AS (
+  SELECT id_b AS conv_id, CAST(start_b AS BIGINT) AS s,
+         CAST(start_b + length AS BIGINT) AS e
+  FROM spans
+),
+flagged AS (
+  SELECT conv_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY conv_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ng
+  FROM iv
+),
+grouped AS (
+  SELECT conv_id, s, e,
+         SUM(ng) OVER (PARTITION BY conv_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+),
+merged AS (
+  SELECT conv_id, grp, MIN(s) AS s, MAX(e) AS e
+  FROM grouped GROUP BY conv_id, grp
+),
+segs AS (
+  SELECT conv_id,
+         COALESCE(LAG(e) OVER (PARTITION BY conv_id ORDER BY s), 0) AS gs,
+         s AS ge
+  FROM merged
+  UNION ALL
+  SELECT conv_id, MAX(e) AS gs, NULL AS ge FROM merged GROUP BY conv_id
+),
+kept AS (
+  SELECT g.conv_id,
+         string_agg(
+           substr(d.doc, CAST(g.gs + 1 AS BIGINT),
+                  CAST(COALESCE(g.ge, length(d.doc)) - g.gs AS BIGINT)),
+           '' ORDER BY g.gs
+         ) AS kept_text
+  FROM segs g JOIN docs d USING (conv_id)
+  GROUP BY g.conv_id
+),
+ncuts AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_cut FROM merged GROUP BY conv_id
+)
+SELECT d.conv_id,
+       COALESCE(n.n_cut, 0) AS n_cut,
+       sha256(COALESCE(k.kept_text, d.doc)) AS scrub_sha
+FROM docs d
+LEFT JOIN kept k USING (conv_id)
+LEFT JOIN ncuts n USING (conv_id)
+ORDER BY d.conv_id
+"""
+
 # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
 # union+window composition in operators/asof.py; the build side is
 # pre-deduped per (user_id, ts) so tie-breaking is engine-portable

@@ -156,6 +156,26 @@ def doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "doc_features", build)
 
 
+def spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied spans at span_min_len=40 over doc_features (persisted
+    memo — the LCS kernel is the most expensive driver-query stage, and
+    both copied_spans and span_scrub consume the same table)."""
+
+    def build() -> DataFrame:
+        from .config import DedupeConfig as DC
+        from .operators.spans import copied_spans, winnow_span_candidates
+
+        cfg = DC(span_min_len=40)
+        feats = doc_features(spark, sf_dir)
+        cand = winnow_span_candidates(feats, cfg)
+        docs = feats.select("conv_id", "doc")
+        pa = docs.select(F.col("conv_id").alias("id_a"), F.col("doc").alias("doc_a"))
+        pb = docs.select(F.col("conv_id").alias("id_b"), F.col("doc").alias("doc_b"))
+        return copied_spans(cand.join(pa, "id_a").join(pb, "id_b"), cfg)
+
+    return _memo(spark, sf_dir, "copied_spans_df", build)
+
+
 def feats_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_features + MinHash signatures at the default config
     (persisted memo — shared by the pipeline/match/response/band

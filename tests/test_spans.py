@@ -72,3 +72,39 @@ def test_winnow_blocker_finds_span_pair(spark):
     got = {(r.id_a, r.id_b) for r in winnow_span_candidates(df, CFG).collect()}
     assert ("A", "B") in got
     assert all("C" not in p for p in got)
+
+
+def test_remove_copied_spans_merging_and_cutting(spark):
+    """Exact-substring removal: overlapping/adjacent/nested cuts merge
+    into disjoint runs before a single-pass fold; the canonical (id_a)
+    side is untouched; docs with no spans pass through with n_cut=0."""
+    from lieu_spark.operators.spans import remove_copied_spans
+
+    docs = spark.createDataFrame(
+        [("a", "0123456789"), ("b", "abcdefghij"), ("c", "untouched")],
+        ["conv_id", "doc"],
+    )
+    spans = spark.createDataFrame(
+        [
+            ("x", "a", 0, 2, 3),  # [2,5)
+            ("x", "a", 0, 4, 2),  # [4,6) overlaps -> [2,6)
+            ("x", "a", 0, 6, 1),  # [6,7) adjacent -> [2,7)
+            ("y", "b", 0, 0, 4),  # head cut
+            ("y", "b", 0, 8, 2),  # tail cut to end
+        ],
+        ["id_a", "id_b", "start_a", "start_b", "length"],
+    )
+    out = {
+        r["conv_id"]: (r["n_cut"], r["doc_scrubbed"])
+        for r in remove_copied_spans(docs, spans).collect()
+    }
+    assert out["a"] == (1, "01789")
+    assert out["b"] == (2, "efgh")
+    assert out["c"] == (0, "untouched")
+    # whole-doc cut leaves the empty string, not NULL
+    total = spark.createDataFrame([("z", "a", 0, 0, 10)], spans.columns)
+    rows = remove_copied_spans(docs, total).collect()
+    assert {r["conv_id"]: r["doc_scrubbed"] for r in rows}["a"] == ""
+    # scrubbed output never contains a reported span's text
+    span_text = "23456"
+    assert span_text in "0123456789" and span_text not in out["a"]
