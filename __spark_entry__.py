@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": Q.q_audio_meta,
         "video_meta": Q.q_video_meta,
         "span_scrub": _q_span_scrub,
+        "lm_quality": Q.q_lm_quality,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

@@ -170,3 +170,58 @@ def doc_fingerprint(text: Column) -> Column:
         lambda acc, t: (acc * 131 + F.pmod(F.xxhash64(t), F.lit(1 << 31)))
         % F.lit(MOD31),
     )
+
+
+def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Model-based quality scoring (the perplexity-proxy filter of
+    CCNet-style pipelines): a bigram language model with Laplace
+    smoothing is trained on the corpus itself in two map-side-combinable
+    aggregations, then every doc is scored by its mean bigram
+    log-likelihood — documents full of rare word sequences (garbled
+    text, boilerplate noise) score low and can be filtered or bucketed.
+
+        score6(w1 w2) = round(ln((c(w1,w2) + 1) / (c(w1,·) + V)) * 1e6)
+        lm_score6(doc) = round(avg over the doc's bigrams)
+
+    All Catalyst: bigrams via a transform over token indices (no
+    window, no shuffle before the count aggs), vocabulary size V as a
+    LAZY broadcast 1-row aggregate (no action at plan time), integer-
+    scaled scores so the DuckDB twin is value-exact. Docs with fewer
+    than two tokens have no bigrams and drop out (the twin mirrors
+    this). Scale shape: two hash aggregations over the bigram stream +
+    one join back — linear, skew-free (bigram keys are near-uniform).
+    """
+    toks = docs.select(
+        F.col(id_col).alias(id_col), tokenize(F.col(text_col)).alias("toks")
+    )
+    big = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(2, size(toks)), "
+                "i -> struct(toks[i-2] AS w1, toks[i-1] AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cc = big.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    vocab = toks.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("_v")
+    )
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(cc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "score6",
+            F.round(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("c_ctx") + F.col("_v")))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("score6")).cast("long").alias("lm_score6"),
+    )

@@ -1260,6 +1260,37 @@ JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY m.doc_id
 """
 
+# bigram-LM quality scoring: DuckDB re-derives the full chain — bigram
+# stream, bigram/context counts, vocabulary size, Laplace-smoothed ln
+# scores (integer-scaled per the repo convention), per-doc average —
+# from the raw text with the shared tokenizer twin.
+ORACLE["lm_quality"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(generate_series(2, len(toks))) AS i,
+         toks
+  FROM tok WHERE len(toks) >= 2
+),
+bg AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM big),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_ctx FROM bg GROUP BY w1),
+v AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsize
+  FROM (SELECT unnest(toks) AS t FROM tok)
+),
+scored AS (
+  SELECT g.doc_id,
+         CAST(round(ln((b.c + 1.0) / (c.c_ctx + v.vsize)) * 1e6) AS BIGINT)
+           AS score6
+  FROM bg g JOIN bc b USING (w1, w2) JOIN cc c USING (w1) CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(avg(score6)) AS BIGINT) AS lm_score6
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
 # audio REAL decode over the deterministic WAV fixture: DuckDB
 # re-derives the ENTIRE decode from doc_id ARITHMETIC — rate/channels/
 # frames from the fixture formulas, n_bytes from the canonical 44-byte

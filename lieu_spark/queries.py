@@ -968,6 +968,17 @@ def q_video_meta(spark, sf_dir):
     return decode_video_meta(synthetic_video_payloads(d)).orderBy("doc_id")
 
 
+def q_lm_quality(spark, sf_dir):
+    """Model-based quality scoring: corpus-trained Laplace-smoothed
+    bigram LM, per-doc mean bigram log-likelihood (integer-scaled).
+    DuckDB re-derives the whole chain — bigram/context counts, vocab
+    size, ln scores, the per-doc average — from the raw text."""
+    from .functions.analysis import bigram_lm_scores
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_lm_scores(d).orderBy("doc_id")
+
+
 def q_binary_meta(spark, sf_dir):
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     return d.select(
