@@ -594,3 +594,23 @@ def test_mixed_format_real_decode_end_to_end(spark):
         gf, gw, gh, gc, nb = got[i]
         assert (gf, gw, gh, gc) == (fmt, w, h, c), (i, got[i])
         assert nb > 0
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Laplace-smoothed bigram LM on a corpus small enough to score by
+    hand.  Counts: (a,b):3 (b,a):1 (b,c):1; contexts a:3 b:2; vocab
+    {a,b,c,x} so V=4.  score6(a,b)=round(ln(4/7)e6)=-559616,
+    score6(b,a)=score6(b,c)=round(ln(2/6)e6)=-1098612.  Docs with <2
+    tokens (d3, d4, d5) have no bigrams and drop out."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "A b, c!"), (3, "x"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score6)
+        for r in A.bigram_lm_scores(docs).collect()
+    }
+    assert got == {
+        1: (3, round((2 * -559616 - 1098612) / 3)),  # -739281
+        2: (2, (-559616 - 1098612) // 2),            # -829114
+    }
