@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": Q.q_video_meta,
         "span_scrub": _q_span_scrub,
         "lm_quality": Q.q_lm_quality,
+        "group_cap": Q.q_group_cap,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

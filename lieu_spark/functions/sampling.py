@@ -129,6 +129,76 @@ def corpus_shuffle(
     )
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, cap: int, salt: str = ""
+) -> DataFrame:
+    """Exact deterministic per-group cap — the domain-cap step of
+    web-scale curation (RefinedWeb/FineWeb keep at most N pages per
+    registered domain so no single crawl host dominates the corpus).
+    Keeps, for every group, the ``cap`` rows that come first under the
+    stable order ``(hash_bucket(id, salt), id)`` — so membership is
+    reproducible across runs, partitionings, and engines, and the kept
+    set at cap k1 < k2 is a subset of the kept set at k2 (nested caps
+    for free, same salt).
+
+    Scale shape — NOT a per-group global rank. Ranking a billion-row
+    hot domain to keep 10k rows would sort the whole domain; instead:
+
+      1. per-(group, bucket) counts — map-side combinable agg, at most
+         1e6 rows per group regardless of group size;
+      2. cumulative count over the TINY counts table finds the boundary
+         bucket b* where the group crosses ``cap``;
+      3. rows in buckets < b* are kept with NO sort at all; only the
+         boundary bucket itself (~group_size/1e6 rows) is ranked by id.
+
+    So the expensive total order touches ~cap + group/1e6 rows per
+    group, never the group. Groups at/below ``cap`` never join a
+    boundary row and pass through whole. Group identity is compared
+    null-safely (a NULL group is its own capped group, matching SQL
+    ``PARTITION BY``)."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    from pyspark.sql import Window
+
+    dfb = df.withColumn("__b", hash_bucket(F.col(id_col), salt)).withColumn(
+        "__g", F.struct(F.col(group_col))
+    )
+    cnts = dfb.groupBy("__g", "__b").agg(F.count("*").alias("__c"))
+    cum = cnts.withColumn(
+        "__cum", F.sum("__c").over(Window.partitionBy("__g").orderBy("__b"))
+    )
+    # first bucket where the running count reaches cap (absent if the
+    # whole group fits): rows strictly below it are all kept, and
+    # cap - (rows before it) slots remain inside it.
+    bound = (
+        cum.filter(F.col("__cum") >= cap)
+        .groupBy("__g")
+        .agg(
+            F.min("__b").alias("__bstar"),
+            F.min_by(F.lit(cap) - (F.col("__cum") - F.col("__c")), "__b").alias(
+                "__rem"
+            ),
+        )
+    )
+    joined = dfb.join(bound, "__g", "left")
+    keep_cols = [F.col(c) for c in df.columns]
+    below = joined.filter(
+        F.col("__bstar").isNull() | (F.col("__b") < F.col("__bstar"))
+    ).select(*keep_cols)
+    at = (
+        joined.filter(F.col("__b") == F.col("__bstar"))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__g", "__b").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("__r") <= F.col("__rem"))
+        .select(*keep_cols)
+    )
+    return below.unionByName(at)
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, id_col: str, salt: str = ""
 ) -> DataFrame:

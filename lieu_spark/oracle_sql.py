@@ -1260,6 +1260,25 @@ JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY m.doc_id
 """
 
+# per-group cap: the Spark side keeps (bucket < b*) plus an id-ranked
+# remainder inside the boundary bucket b*, which is exactly the first
+# `cap` rows per group under the (md5 bucket, doc_id) order — so the
+# twin is one plain window rank over the same portable key.
+ORACLE["group_cap"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS bkt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, lang FROM r WHERE rn <= 70 ORDER BY doc_id
+"""
+
 # bigram-LM quality scoring: DuckDB re-derives the full chain — bigram
 # stream, bigram/context counts, vocabulary size, Laplace-smoothed ln
 # scores (integer-scaled per the repo convention), per-doc average —

@@ -979,6 +979,22 @@ def q_lm_quality(spark, sf_dir):
     return bigram_lm_scores(d).orderBy("doc_id")
 
 
+def q_group_cap(spark, sf_dir):
+    """Exact deterministic per-group cap (the domain-cap step of
+    web-scale curation): keep at most 70 docs per lang under the stable
+    (md5 bucket, doc_id) order. lang is skewed at sf0.01 (en=218,
+    de=70 exactly at cap, fr=64 under), so one query exercises the
+    over-cap boundary ranking, the exact-fit group, and the
+    pass-through-whole group. DuckDB re-derives every kept row with a
+    plain per-group row_number over the same portable order."""
+    from .functions.sampling import cap_per_group
+
+    d = load(spark, sf_dir, "documents")
+    return cap_per_group(
+        d.select("doc_id", "lang"), "lang", "doc_id", cap=70, salt="cap"
+    ).orderBy("doc_id")
+
+
 def q_binary_meta(spark, sf_dir):
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     return d.select(

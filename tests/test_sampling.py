@@ -190,3 +190,62 @@ def test_mixture_sample_validates_rates(spark):
         mixture_sample(df, {"a": 1.5}, "grp", "id")
     with pytest.raises(ValueError):
         mixture_sample(df, {"a": 0.5}, "grp", "id", default_rate=-0.1)
+
+
+def _cap_reference(rows, cap, salt=""):
+    """Pure-python twin of cap_per_group: first `cap` rows per group
+    under the (md5 bucket, id) order. rows = [(id, group)]."""
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for i, g in rows:
+        by_g[g].append((_py_bucket(i, salt), i))
+    kept = set()
+    for g, members in by_g.items():
+        for _, i in sorted(members)[:cap]:
+            kept.add(i)
+    return kept
+
+
+def test_cap_per_group_matches_reference_incl_null_and_exact_fit(spark):
+    from lieu_spark.functions.sampling import cap_per_group
+
+    # groups: 'big' 40 rows (over cap), 'fit' exactly cap rows, 'small'
+    # 3 rows (under cap), None group 7 rows (its own capped group)
+    rows = (
+        [(i, "big") for i in range(40)]
+        + [(100 + i, "fit") for i in range(10)]
+        + [(200 + i, "small") for i in range(3)]
+        + [(300 + i, None) for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {
+        r.doc_id
+        for r in cap_per_group(df, "grp", "doc_id", cap=10, salt="t").collect()
+    }
+    assert got == _cap_reference(rows, 10, "t")
+    assert len([i for i, g in rows if g == "fit" and i in got]) == 10
+    assert len([i for i, g in rows if g == "small" and i in got]) == 3
+    assert len([i for i, g in rows if g is None and i in got]) == 7
+
+    # partition invariance
+    got7 = {
+        r.doc_id
+        for r in cap_per_group(
+            df.repartition(7), "grp", "doc_id", cap=10, salt="t"
+        ).collect()
+    }
+    assert got7 == got
+
+
+def test_cap_per_group_nested_caps_and_edges(spark):
+    from lieu_spark.functions.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    k5 = {r.doc_id for r in cap_per_group(df, "grp", "doc_id", 5).collect()}
+    k12 = {r.doc_id for r in cap_per_group(df, "grp", "doc_id", 12).collect()}
+    assert k5 < k12 and len(k5) == 15 and len(k12) == 36
+    assert cap_per_group(df, "grp", "doc_id", 0).count() == 0
+    with pytest.raises(ValueError):
+        cap_per_group(df, "grp", "doc_id", -1)
