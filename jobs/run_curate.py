@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--metrics-dir", default=None)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--min-quality6", type=int, default=250000)
+    ap.add_argument("--min-lm-score6", type=int, default=None,
+                    help="set to add the bigram-LM quality gate")
+    ap.add_argument("--group-cap", type=int, default=None,
+                    help="set to cap kept docs per --group-cap-col value")
+    ap.add_argument("--group-cap-col", default="lang")
     ap.add_argument("--pack-capacity", type=int, default=2048)
     ap.add_argument("--pack-nshards", type=int, default=64)
     ap.add_argument("--split-salt", default="curate")
@@ -64,6 +69,9 @@ def main() -> None:
     cfg = CurateConfig(
         min_tokens=args.min_tokens,
         min_quality6=args.min_quality6,
+        min_lm_score6=args.min_lm_score6,
+        group_cap=args.group_cap,
+        group_cap_col=args.group_cap_col,
         pack_capacity=args.pack_capacity,
         pack_nshards=args.pack_nshards,
         split_salt=args.split_salt,

@@ -2,9 +2,9 @@
 actually runs before pretraining.
 
     annotate -> quality/repetition filter -> PII scrub ->
-    decontaminate (vs a holdout/eval set) -> near-dup dedupe ->
-    cluster representatives -> [mixture sampling] ->
-    leakage-safe split -> sequence packing
+    [bigram-LM quality gate] -> decontaminate (vs a holdout/eval set) ->
+    near-dup dedupe -> cluster representatives -> [per-group cap] ->
+    [mixture sampling] -> leakage-safe split -> sequence packing
 
 Every stage flows through the same checkpoint/metrics recipe as
 ``pipeline.run_pipeline`` (StageStore fingerprint = config + input
@@ -39,13 +39,19 @@ from .checkpoint import StageStore, input_signature
 from .config import DedupeConfig
 from .functions import text as T
 from .functions.analysis import (
+    bigram_lm_scores,
     lang_guess,
     quality_score6,
     repetition_signals,
     ws_token_count,
 )
 from .functions.redact import redact_pii
-from .functions.sampling import corpus_shuffle, mixture_sample, split_assign
+from .functions.sampling import (
+    cap_per_group,
+    corpus_shuffle,
+    mixture_sample,
+    split_assign,
+)
 from .metrics import record_stage
 from .operators.packing import pack_sequences
 from .pipeline import run_pipeline
@@ -61,6 +67,20 @@ class CurateConfig:
     max_dup_bigram_ratio6: int = 500000
     contamination_min_shared: int = 3
     contamination_min_containment6: int = 500000
+    # model-based quality gate (the CCNet-style perplexity-proxy
+    # filter): a bigram LM is trained on the scrubbed survivors
+    # themselves and docs whose mean bigram log-likelihood
+    # (1e6-scaled, analysis.bigram_lm_scores) falls below the
+    # threshold are dropped. None = skip the stage entirely (no LM is
+    # trained). Scoreless docs (< 2 tokens) pass — the gate acts only
+    # on evidence.
+    min_lm_score6: int | None = None
+    # per-group cap on the kept representatives (the domain-cap step:
+    # at most N docs per group so no single source dominates);
+    # None = skip
+    group_cap: int | None = None
+    group_cap_col: str = "lang"
+    group_cap_salt: str = "cap"
     # data-mixing weights applied to the kept corpus before packing:
     # group value -> target rate (sampling.mixture_sample); None = skip
     mixture_rates: dict[str, float] | None = None
@@ -85,11 +105,14 @@ class CurateConfig:
 @dataclass
 class CurateResult:
     annotated: DataFrame  # every input doc + lang/quality/tokens/repetition
-    filtered: DataFrame  # survivors of the quality/repetition gate, scrubbed
+    filtered: DataFrame  # survivors of the quality/repetition gate,
+    #   scrubbed (and past the bigram-LM gate when cfg.min_lm_score6
+    #   is set)
     decon: DataFrame  # filtered minus holdout-contaminated docs
     clusters: DataFrame  # (doc_id, cluster_id) over the filtered survivors
     splits: DataFrame  # (doc_id, cluster_id, split) — cluster-level split
-    kept: DataFrame  # scrubbed cluster reps, mixture-sampled if configured
+    kept: DataFrame  # scrubbed cluster reps; per-group-capped and/or
+    #   mixture-sampled if configured
     packed: DataFrame  # (doc_id, split, shard, seq, n_tokens)
     #   + (order_shard, order_pos) when cfg.shuffle_salt is set: the
     #   reproducible training order of each packed sequence — read
@@ -216,6 +239,23 @@ def curate(
 
     filtered = stage("filtered", build_filtered, cache=True)
 
+    if cfg.min_lm_score6 is not None:
+
+        def build_lm_gate() -> DataFrame:
+            # trained on the survivors, scored on the survivors — two
+            # combinable count aggs + a join, linear and skew-free
+            scores = bigram_lm_scores(filtered).select("doc_id", "lm_score6")
+            return (
+                filtered.join(scores, "doc_id", "left")
+                .filter(
+                    F.col("lm_score6").isNull()
+                    | (F.col("lm_score6") >= cfg.min_lm_score6)
+                )
+                .drop("lm_score6")
+            )
+
+        filtered = stage("lm_gate", build_lm_gate, cache=True)
+
     def build_decontaminated() -> DataFrame:
         # holdout text is scrubbed with the SAME redaction as the
         # training side: the filtered docs are post-scrub, so verbatim
@@ -254,10 +294,13 @@ def curate(
     if holdout is None:
         # no eval set: the stage would be a byte-identical copy of
         # filtered — skip the redundant checkpoint/persist entirely
+        # (copy the count from whichever gate actually fed it)
         decon = filtered
         walls["decontaminated"] = 0.0
-        if funnel is not None and "filtered" in funnel:
-            funnel["decontaminated"] = funnel["filtered"]
+        if funnel is not None:
+            src = "lm_gate" if cfg.min_lm_score6 is not None else "filtered"
+            if src in funnel:
+                funnel["decontaminated"] = funnel[src]
     else:
         decon = stage("decontaminated", build_decontaminated, cache=True)
 
@@ -312,6 +355,19 @@ def curate(
         return decon.join(reps, "doc_id")
 
     kept = stage("kept", build_kept, cache=True)
+
+    if cfg.group_cap is not None:
+
+        def build_capped() -> DataFrame:
+            return cap_per_group(
+                kept,
+                group_col=cfg.group_cap_col,
+                id_col="doc_id",
+                cap=cfg.group_cap,
+                salt=cfg.group_cap_salt,
+            )
+
+        kept = stage("capped", build_capped, cache=True)
 
     if cfg.mixture_rates is not None:
 

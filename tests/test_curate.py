@@ -211,3 +211,61 @@ def test_ordered_stage_shuffles_sequences(spark):
         for r in again.packed.collect()
     }
     assert same == {k: next(iter(v)) for k, v in by_seq.items()}
+
+
+def test_lm_gate_and_group_cap_stages(spark):
+    """Optional stages: the bigram-LM gate drops the doc whose mean
+    bigram log-likelihood is lowest (garbled word salad that passes the
+    heuristic gates), and the per-group cap bounds kept docs per lang;
+    both default to OFF (fingerprint-identical funnel otherwise)."""
+    import hashlib
+
+    from lieu_spark.functions.analysis import bigram_lm_scores
+
+    # word salad: stopwords keep the heuristic quality gate happy, but
+    # every bigram is unique in the corpus -> lowest LM score
+    salad = (
+        "the zephyr of quartz and vortex with plinth from gasket "
+        "under bezel through flange beside grommet along trivet"
+    )
+    docs = _docs(spark).union(
+        spark.createDataFrame([(500, salad)], "doc_id long, text string")
+    )
+    base_cfg = CurateConfig(pack_capacity=64, pack_nshards=2)
+    res0 = curate(spark, docs, base_cfg, eager=True)
+    kept0 = {r.doc_id for r in res0.kept.select("doc_id").collect()}
+    assert 500 in kept0, "salad must survive the heuristic gates"
+    scores = {
+        r.doc_id: r.lm_score6
+        for r in bigram_lm_scores(res0.filtered).collect()
+    }
+    others = [v for k, v in scores.items() if k != 500]
+    assert scores[500] < min(others), "salad must have the lowest LM score"
+    thr = scores[500] + 1
+
+    gated_cfg = CurateConfig(
+        pack_capacity=64, pack_nshards=2, min_lm_score6=thr
+    )
+    res1 = curate(spark, docs, gated_cfg, eager=True)
+    f1 = {r.doc_id for r in res1.filtered.select("doc_id").collect()}
+    assert 500 not in f1
+    assert f1 == {k for k, v in scores.items() if v >= thr}
+    assert res1.funnel["lm_gate"] == len(f1)
+
+    capped_cfg = CurateConfig(
+        pack_capacity=64, pack_nshards=2, min_lm_score6=thr, group_cap=3
+    )
+    res2 = curate(spark, docs, capped_cfg, eager=True)
+    kept2 = [(r.doc_id, r.lang) for r in res2.kept.select("doc_id", "lang").collect()]
+    from collections import Counter, defaultdict
+
+    assert max(Counter(g for _, g in kept2).values()) <= 3
+    # python replay of the cap over the pre-cap rep set (= res1.kept)
+    pre = [(r.doc_id, r.lang) for r in res1.kept.select("doc_id", "lang").collect()]
+    by = defaultdict(list)
+    for i, g in pre:
+        h = int(hashlib.md5(("cap" + str(i)).encode()).hexdigest()[:15], 16) % 1_000_000
+        by[g].append((h, i))
+    expect = {i for g, m in by.items() for _, i in sorted(m)[:3]}
+    assert {i for i, _ in kept2} == expect
+    assert res2.funnel["capped"] == len(expect)
