@@ -155,7 +155,9 @@ def cap_per_group(
     group, never the group. Groups at/below ``cap`` never join a
     boundary row and pass through whole. Group identity is compared
     null-safely (a NULL group is its own capped group, matching SQL
-    ``PARTITION BY``)."""
+    ``PARTITION BY``). ``id_col`` values must be unique (as everywhere
+    in this module) — duplicate ids tie inside the boundary bucket and
+    the winner would be partition-order-dependent."""
     if cap < 0:
         raise ValueError(f"cap must be >= 0, got {cap}")
     from pyspark.sql import Window
@@ -197,6 +199,19 @@ def cap_per_group(
         .select(*keep_cols)
     )
     return below.unionByName(at)
+
+
+def global_cap(
+    df: DataFrame, id_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly ``k`` rows from the whole corpus, deterministically —
+    ``cap_per_group`` with one constant group (same boundary-bucket
+    machinery: no global sort, only ~k + n/1e6 rows are ever ranked).
+    Use instead of ``deterministic_sample`` when the contract is a
+    COUNT ("exactly 10k eval docs"), not a rate; nested: the k1 < k2
+    sample is a prefix of the k2 sample (same salt)."""
+    tagged = df.withColumn("__const", F.lit(0))
+    return cap_per_group(tagged, "__const", id_col, k, salt).drop("__const")
 
 
 def deterministic_sample(

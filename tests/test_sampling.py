@@ -249,3 +249,17 @@ def test_cap_per_group_nested_caps_and_edges(spark):
     assert cap_per_group(df, "grp", "doc_id", 0).count() == 0
     with pytest.raises(ValueError):
         cap_per_group(df, "grp", "doc_id", -1)
+
+
+def test_global_cap_exact_k_and_nested(spark):
+    from lieu_spark.functions.sampling import cap_per_group, global_cap
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    k20 = {r.doc_id for r in global_cap(df, "doc_id", 20, "g").collect()}
+    k50 = {r.doc_id for r in global_cap(df, "doc_id", 50, "g").collect()}
+    assert len(k20) == 20 and len(k50) == 50 and k20 < k50
+    # equals the pure-python (bucket, id) order prefix
+    order = sorted((_py_bucket(i, "g"), i) for i in range(200))
+    assert k20 == {i for _, i in order[:20]}
+    # k beyond the corpus returns everything, no duplication
+    assert global_cap(df, "doc_id", 500, "g").count() == 200
