@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": _q_span_scrub,
         "lm_quality": Q.q_lm_quality,
         "group_cap": Q.q_group_cap,
+        "global_cap": Q.q_global_cap,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

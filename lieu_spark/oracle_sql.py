@@ -1279,6 +1279,23 @@ r AS (
 SELECT doc_id, lang FROM r WHERE rn <= 70 ORDER BY doc_id
 """
 
+# corpus-level cap: global_cap is cap_per_group with one constant
+# group, so the twin is the group_cap twin without the PARTITION BY —
+# one window rank over the same portable (md5 bucket, doc_id) key.
+ORACLE["global_cap"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('gcap' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS bkt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, row_number() OVER (ORDER BY bkt, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, lang FROM r WHERE rn <= 150 ORDER BY doc_id
+"""
+
 # bigram-LM quality scoring: DuckDB re-derives the full chain — bigram
 # stream, bigram/context counts, vocabulary size, Laplace-smoothed ln
 # scores (integer-scaled per the repo convention), per-doc average —

@@ -995,6 +995,21 @@ def q_group_cap(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_global_cap(spark, sf_dir):
+    """Exact deterministic k-of-corpus sample (the "exactly 10k eval
+    docs" contract): global_cap is cap_per_group with one constant
+    group, so only the boundary md5 bucket is ever id-ranked — no
+    global sort at any scale. k=150 < 500 docs at sf0.01 exercises the
+    boundary bucket; DuckDB re-derives every kept row with one plain
+    row_number over the same portable (md5 bucket, doc_id) order."""
+    from .functions.sampling import global_cap
+
+    d = load(spark, sf_dir, "documents")
+    return global_cap(
+        d.select("doc_id", "lang"), "doc_id", k=150, salt="gcap"
+    ).orderBy("doc_id")
+
+
 def q_binary_meta(spark, sf_dir):
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     return d.select(
