@@ -525,6 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-deriving per query."""
     base = {
         # --- group A: never driver-green / new / changed this round ---
+        "line_dedup": Q.q_line_dedup,
+        "normalized_exact_dup": Q.q_normalized_exact_dup,
+        "top_ngrams": Q.q_top_ngrams,
+        "gopher_rules": Q.q_gopher_rules,
         "audio_meta": Q.q_audio_meta,
         "video_meta": Q.q_video_meta,
         "span_scrub": _q_span_scrub,

@@ -87,6 +87,50 @@ def quality_score6(text: Column) -> Column:
     return F.round(score * 1e6).cast("long")
 
 
+def gopher_rules(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, adapted to this
+    corpus): word-count bounds, mean-word-length band, minimum stopword
+    evidence, minimum alphabetic-word fraction. Emits the underlying
+    signals, one int flag per rule, and ``keep`` = all rules pass —
+    int (not boolean) so the driver's type-sensitive value hash matches
+    DuckDB exactly. Pure Catalyst over a staged token array: one
+    projection, no shuffle, map-side only."""
+    d = docs.withColumn("__toks", tokenize(F.col(text_col)))
+    toks = F.col("__toks")
+    n = F.size(toks).cast("long")
+    mean6 = _ratio6(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)),
+        n,
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    alpha6 = _ratio6(alpha_words, n)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).cast("long")
+    r_len = ((n >= 50) & (n <= 100000)).cast("int")
+    r_mean = ((mean6 >= 3000000) & (mean6 <= 10000000)).cast("int")
+    r_stop = (stops >= 2).cast("int")
+    r_alpha = (alpha6 >= 800000).cast("int")
+    keep = (
+        (n >= 50)
+        & (n <= 100000)
+        & (mean6 >= 3000000)
+        & (mean6 <= 10000000)
+        & (stops >= 2)
+        & (alpha6 >= 800000)
+    ).cast("int")
+    return d.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean6.alias("mean_token_len6"),
+        alpha6.alias("alpha_word_ratio6"),
+        stops.alias("stop_hits"),
+        r_len.alias("r_len"),
+        r_mean.alias("r_mean"),
+        r_stop.alias("r_stop"),
+        r_alpha.alias("r_alpha"),
+        keep.alias("keep"),
+    )
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     toks = tokenize(text)
     return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))).cast("long")

@@ -27,6 +27,19 @@ def canonicalize(text: Column) -> Column:
     return F.trim(c)
 
 
+def normalize_template(text: Column) -> Column:
+    """Template-normalized form for the normalize-then-exact-hash dedupe
+    tier (the Falcon/RefinedWeb recipe): lowercase, digit runs removed,
+    whitespace collapsed, trimmed — collapses docs that differ only in
+    counters / ids / timestamps, which byte-exact sha dedupe misses.
+    Kept to three regexp passes so it stays whole-stage-codegen'd; the
+    DuckDB oracle twin applies the identical chain."""
+    c = F.lower(F.coalesce(text, F.lit("")))
+    c = F.regexp_replace(c, r"[0-9]+", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def tokenize(text: Column) -> Column:
     """array<string> of canonical tokens ([] for empty/null text).
 

@@ -1327,6 +1327,130 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
+# C4-style line dedup: DuckDB re-derives the WHOLE chain from the raw
+# text — the 12-word chunking, the planted per-(doc_id % 7) footer line,
+# first-occurrence ranking over (doc_id, position), and the sha256 of
+# the reassembled kept text in original order. The Spark side keys the
+# shuffle on md5(line) (fixed-width key) but keeps the same first-
+# occurrence semantics, so the kept_sha witness must agree byte-for-
+# byte; the left join keeps a fully-deduped doc visible as n_kept = 0.
+ORACLE["line_dedup"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+built AS (
+  SELECT doc_id, list_concat(
+    list_transform(
+      generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
+      i -> array_to_string(words[12*i+1:12*i+12], ' ')),
+    ['footer boilerplate ' || CAST(doc_id % 7 AS VARCHAR)]
+  ) AS lines FROM w
+),
+lined AS (
+  SELECT doc_id, i, lines[i] AS line
+  FROM (SELECT doc_id, lines,
+               unnest(generate_series(1, len(lines))) AS i
+        FROM built)
+),
+ranked AS (
+  SELECT doc_id, i, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+  FROM lined
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lined GROUP BY doc_id
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         sha256(string_agg(line, chr(10) ORDER BY i)) AS kept_sha
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(r.kept_sha, sha256('')) AS kept_sha
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY doc_id
+"""
+
+# normalize-then-exact-hash dedupe: the oracle rebuilds the variant
+# fixture (counter prefix + upper-case), applies the identical
+# lower/strip-digits/collapse-ws/trim chain, and verifies every group
+# assignment via the sorted member list — not just group counts.
+ORACLE["normalized_exact_dup"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         CAST((doc_id * 7919) % 97 AS VARCHAR) || ' ' || upper(text)
+  FROM documents WHERE doc_id % 3 = 0
+),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+             '[0-9]+', '', 'g'), '\\s+', ' ', 'g'))) AS norm_key
+  FROM aug
+)
+SELECT norm_key, CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM n GROUP BY norm_key HAVING count(*) > 1 ORDER BY norm_key
+"""
+
+# corpus-wide top-25 trigrams (n-gram boilerplate screen): same shared
+# tokenizer, same (tf desc, ngram) total order so the cut at 25 is
+# engine-exact.
+ORACLE["top_ngrams"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tri AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM tok WHERE len(toks) >= 3)
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tri GROUP BY ngram ORDER BY tf DESC, ngram LIMIT 25
+"""
+
+# Gopher-style rule filter: every signal and flag re-derived from the
+# raw text with the shared tokenizer; flags as INT on both sides (the
+# driver's value hash is type-sensitive).
+ORACLE["gopher_rules"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, regexp_replace(text, '[a-z]', '9', 'g')
+  FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 200000, regexp_replace(text, ' ', '', 'g')
+  FROM documents WHERE doc_id < 10
+),
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN CAST(round(
+              CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                   AS DOUBLE) * 1e6 / len(toks)) AS BIGINT)
+              ELSE 0 END AS mean_token_len6,
+         CASE WHEN len(toks) > 0 THEN CAST(round(
+              CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                   AS DOUBLE) * 1e6 / len(toks)) AS BIGINT)
+              ELSE 0 END AS alpha_word_ratio6,
+         CAST(len(list_filter(toks, t -> list_contains(
+              ['the','a','of','and','to','in','is','it'], t))) AS BIGINT)
+           AS stop_hits
+  FROM tok
+)
+SELECT doc_id, n_tokens, mean_token_len6, alpha_word_ratio6, stop_hits,
+       CAST(n_tokens >= 50 AND n_tokens <= 100000 AS INT) AS r_len,
+       CAST(mean_token_len6 >= 3000000 AND mean_token_len6 <= 10000000 AS INT)
+         AS r_mean,
+       CAST(stop_hits >= 2 AS INT) AS r_stop,
+       CAST(alpha_word_ratio6 >= 800000 AS INT) AS r_alpha,
+       CAST(n_tokens >= 50 AND n_tokens <= 100000
+            AND mean_token_len6 >= 3000000 AND mean_token_len6 <= 10000000
+            AND stop_hits >= 2 AND alpha_word_ratio6 >= 800000 AS INT) AS keep
+FROM s ORDER BY doc_id
+"""
+
 # audio REAL decode over the deterministic WAV fixture: DuckDB
 # re-derives the ENTIRE decode from doc_id ARITHMETIC — rate/channels/
 # frames from the fixture formulas, n_bytes from the canonical 44-byte

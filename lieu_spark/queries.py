@@ -1010,6 +1010,136 @@ def q_global_cap(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def lined_docs(spark, sf_dir, words_per_line: int = 12, footer_mod: int = 7):
+    """documents reshaped into a (doc_id, lines) view: the raw
+    space-separated text chunked into 12-word lines, plus one shared
+    footer line ``footer boilerplate <doc_id % 7>`` — ~1/7 of the corpus
+    shares each footer, so line dedup must keep exactly the first
+    occurrence and drop the rest. Both engines derive the identical
+    lines from the raw text (no export channel needed)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("__words", F.split(F.col("text"), " "))
+    d = d.withColumn(
+        "__nl", F.ceil(F.size("__words") / F.lit(words_per_line)).cast("int")
+    )
+    body = F.transform(
+        F.sequence(F.lit(0), F.col("__nl") - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("__words"), i * words_per_line + 1, words_per_line), " "
+        ),
+    )
+    footer = F.concat(
+        F.lit("footer boilerplate "),
+        (F.col("doc_id") % footer_mod).cast("string"),
+    )
+    return d.select("doc_id", F.concat(body, F.array(footer)).alias("lines"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-wide line dedup, first occurrence kept
+    (operators/linededup.py): repeated lines (the planted shared footers
+    plus any natural chunk collisions) survive only at their first
+    (doc_id, line_idx). Output is per-doc (n_lines, n_kept, kept_sha) —
+    the sha256 of the kept text is an exact order-sensitive witness, so
+    the DuckDB twin re-derives the whole chain: chunking, first-
+    occurrence ranking, and reassembly."""
+    from .operators.linededup import dedupe_lines, explode_lines
+
+    lined = explode_lines(lined_docs(spark, sf_dir))
+    return dedupe_lines(lined).orderBy("doc_id")
+
+
+def q_normalized_exact_dup(spark, sf_dir):
+    """Normalize-then-exact-hash dedupe tier (functions/text.py
+    normalize_template): docs differing only in case / digits /
+    whitespace hash identically. Fixture: every doc_id % 3 == 0 gains a
+    byte-distinct variant (+100000) prefixed with a doc-dependent
+    counter and upper-cased — normalization-identical to its source.
+    Groups of size > 1 are reported with the full sorted member list so
+    the oracle verifies every assignment, not just the counts."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    var = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            ((F.col("doc_id") * 7919) % 97).cast("string"),
+            F.lit(" "),
+            F.upper(F.col("text")),
+        ).alias("text"),
+    )
+    aug = d.unionByName(var)
+    return (
+        aug.withColumn("norm_key", F.md5(T.normalize_template(F.col("text"))))
+        .groupBy("norm_key")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("norm_key")
+    )
+
+
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-25 token trigrams with term and doc frequency —
+    the n-gram-level boilerplate screen (Gopher's 'most common n-gram'
+    signals). Pure Catalyst: staged token array, sequence+transform
+    trigram build, one explode, one map-side-combinable agg; the
+    (tf desc, ngram) total order makes the top-25 cut deterministic in
+    both engines."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "__toks", T.tokenize(F.col("text"))
+    )
+    d = d.filter(F.size("__toks") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("__toks"), i),
+            F.element_at(F.col("__toks"), i + 1),
+            F.element_at(F.col("__toks"), i + 2),
+        ),
+    )
+    occ = d.select("doc_id", F.explode(tri).alias("ngram"))
+    return (
+        occ.groupBy("ngram")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("ngram"))
+        .limit(25)
+    )
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style composite rule filter (functions/analysis.py
+    gopher_rules). The natural corpus exercises the token-count floor
+    and the stopword floor both ways; the alphabetic-word floor and the
+    mean-length band cannot fail on an all-latin word soup, so two
+    planted variants (doc_id < 10) cover them: a digit-soup copy
+    (+100000, every letter -> '9': alpha ratio 0) and a de-spaced copy
+    (+200000, one giant token: mean length far above the band). Every
+    rule therefore rejects at least one doc and passes others."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    small = d.filter(F.col("doc_id") < 10)
+    digit_soup = small.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), "[a-z]", "9").alias("text"),
+    )
+    despaced = small.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " ", "").alias("text"),
+    )
+    aug = d.unionByName(digit_soup).unionByName(despaced)
+    return A.gopher_rules(aug).orderBy("doc_id")
+
+
 def q_binary_meta(spark, sf_dir):
     d = with_binary_payload(load(spark, sf_dir, "documents"))
     return d.select(
