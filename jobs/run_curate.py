@@ -48,6 +48,8 @@ def main() -> None:
     ap.add_argument("--min-quality6", type=int, default=250000)
     ap.add_argument("--min-lm-score6", type=int, default=None,
                     help="set to add the bigram-LM quality gate")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="add the C4-style corpus-wide line-dedup stage")
     ap.add_argument("--group-cap", type=int, default=None,
                     help="set to cap kept docs per --group-cap-col value")
     ap.add_argument("--group-cap-col", default="lang")
@@ -70,6 +72,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         min_quality6=args.min_quality6,
         min_lm_score6=args.min_lm_score6,
+        line_dedup=args.line_dedup,
         group_cap=args.group_cap,
         group_cap_col=args.group_cap_col,
         pack_capacity=args.pack_capacity,

@@ -75,6 +75,13 @@ class CurateConfig:
     # trained). Scoreless docs (< 2 tokens) pass — the gate acts only
     # on evidence.
     min_lm_score6: int | None = None
+    # C4-style corpus-wide line dedup of the scrubbed survivors: every
+    # repeated line (split on '\n') is removed except its first
+    # (doc_id, position) occurrence, docs rebuilt in original order,
+    # fully-deduped docs dropped, n_tokens recomputed on the text that
+    # actually ships. Runs BEFORE the bigram-LM gate so model-based
+    # quality scores the deduped text. False = skip the stage.
+    line_dedup: bool = False
     # per-group cap on the kept representatives (the domain-cap step:
     # at most N docs per group so no single source dominates);
     # None = skip
@@ -239,6 +246,34 @@ def curate(
 
     filtered = stage("filtered", build_filtered, cache=True)
 
+    if cfg.line_dedup:
+        src_filtered = filtered
+
+        def build_line_deduped() -> DataFrame:
+            from .operators.linededup import dedupe_lines_text
+
+            lined = src_filtered.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("text"), "\n")).alias(
+                    "line_idx", "line"
+                ),
+            )
+            new_text = dedupe_lines_text(lined)
+            return (
+                src_filtered.drop("text", "n_tokens")
+                .join(new_text, "doc_id")
+                .filter(F.length(F.col("text")) > 0)
+                .select(
+                    "doc_id",
+                    "text",
+                    "lang",
+                    "quality6",
+                    ws_token_count(F.col("text")).alias("n_tokens"),
+                )
+            )
+
+        filtered = stage("line_deduped", build_line_deduped, cache=True)
+
     if cfg.min_lm_score6 is not None:
 
         def build_lm_gate() -> DataFrame:
@@ -298,7 +333,12 @@ def curate(
         decon = filtered
         walls["decontaminated"] = 0.0
         if funnel is not None:
-            src = "lm_gate" if cfg.min_lm_score6 is not None else "filtered"
+            if cfg.min_lm_score6 is not None:
+                src = "lm_gate"
+            elif cfg.line_dedup:
+                src = "line_deduped"
+            else:
+                src = "filtered"
             if src in funnel:
                 funnel["decontaminated"] = funnel[src]
     else:

@@ -43,6 +43,49 @@ def explode_lines(
     )
 
 
+def kept_lines(
+    lined: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The surviving occurrences ``(id_col, line_idx, line)`` of a
+    corpus-wide first-occurrence line dedup: a line occurrence survives
+    iff it IS the global ``min(struct(id, line_idx))`` for its distinct
+    line value."""
+    occ = lined.withColumn("__line_key", F.md5(F.col("line")))
+    firsts = occ.groupBy("__line_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("__first")
+    )
+    return (
+        occ.join(firsts, "__line_key")
+        .filter(
+            (F.col(id_col) == F.col(f"__first.{id_col}"))
+            & (F.col("line_idx") == F.col("__first.line_idx"))
+        )
+        .select(id_col, "line_idx", "line")
+    )
+
+
+def dedupe_lines_text(
+    lined: DataFrame,
+    id_col: str = "doc_id",
+    text_alias: str = "text",
+) -> DataFrame:
+    """The C4 mutation itself: per-doc kept text — surviving lines
+    re-joined with ``\\n`` in original order. A doc whose every line was
+    seen earlier comes back with an empty string; callers decide the
+    empty-doc policy (curate() drops them)."""
+    kept = kept_lines(lined, id_col)
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_alias)
+    )
+
+
 def dedupe_lines(
     lined: DataFrame,
     id_col: str = "doc_id",
@@ -55,18 +98,7 @@ def dedupe_lines(
     sha256 of the surviving lines re-joined with ``\\n`` in original
     order — an exact, order-sensitive witness of the kept text.
     """
-    occ = lined.withColumn("__line_key", F.md5(F.col("line")))
-    firsts = occ.groupBy("__line_key").agg(
-        F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("__first")
-    )
-    kept = (
-        occ.join(firsts, "__line_key")
-        .filter(
-            (F.col(id_col) == F.col(f"__first.{id_col}"))
-            & (F.col("line_idx") == F.col("__first.line_idx"))
-        )
-        .select(id_col, "line_idx", "line")
-    )
+    kept = kept_lines(lined, id_col)
     totals = lined.groupBy(id_col).agg(F.count("*").cast("long").alias("n_lines"))
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_kept"),

@@ -269,3 +269,37 @@ def test_lm_gate_and_group_cap_stages(spark):
     expect = {i for g, m in by.items() for _, i in sorted(m)[:3]}
     assert {i for i, _ in kept2} == expect
     assert res2.funnel["capped"] == len(expect)
+
+
+def test_line_dedup_stage(spark):
+    """Optional C4 line-dedup stage: a footer line shared by two multi-
+    line docs survives only in the lower-id doc; the other doc's text is
+    rebuilt without it, n_tokens shrinks to match the shipped text, and
+    a doc that was ONLY the footer drops out entirely. Off by default."""
+    footer = "subscribe to the daily newsletter for more updates and news"
+    body_a = GOOD + " chapter alpha tells the story of the harbor lights"
+    body_b = GOOD + " chapter beta follows the trail across the high ridge"
+    docs = spark.createDataFrame(
+        [
+            (1, body_a + "\n" + footer),
+            (2, body_b + "\n" + footer),
+            (3, footer),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurateConfig(pack_capacity=64, pack_nshards=2, line_dedup=True)
+    res = curate(spark, docs, cfg, eager=True)
+    f = {r.doc_id: r for r in res.filtered.collect()}
+    assert f[1].text == body_a + "\n" + footer, "first occurrence keeps its footer"
+    assert f[2].text == body_b, "later occurrence loses the shared footer"
+    assert 3 not in f, "footer-only doc fully dedupes away"
+    assert f[2].n_tokens == len(body_b.split()), "token count follows the shipped text"
+    assert res.funnel["line_deduped"] == 2
+
+    # off by default: the stage never runs and texts pass through intact
+    res0 = curate(
+        spark, docs, CurateConfig(pack_capacity=64, pack_nshards=2), eager=True
+    )
+    assert "line_deduped" not in res0.funnel
+    texts0 = {r.doc_id: r.text for r in res0.filtered.collect()}
+    assert texts0[2] == body_b + "\n" + footer
