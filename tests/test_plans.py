@@ -256,3 +256,20 @@ def test_modality_decoders_no_shuffle(spark):
             ln for ln in plan_of(q).splitlines() if "ReadSchema" in ln
         ][0]
         assert "text" not in read_schema  # only doc_id leaves the scan
+
+
+def test_line_dedup_partial_agg_no_global_sort(spark):
+    """C4 line dedup: the first-occurrence reduction must run a map-side
+    partial min (hot boilerplate lines pre-reduce per map task — the
+    skew IS the workload), every Exchange must be hash partitioning
+    (never range), there is no corpus-wide Sort outside the final
+    orderBy, and no Python eval anywhere."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["line_dedup"](spark, SF_DIR)
+    plan = plan_of(df, "simple")
+    assert "partial_min" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one range exchange (the presentation orderBy); every other
+    # Exchange is an equi-hash shuffle
+    assert plan.lower().count("rangepartitioning") <= 1, plan[:3000]
