@@ -75,3 +75,29 @@ def test_gopher_rules_flags(spark):
     # digit tokens: '9999' repeated -> alpha ratio 0, mean len 4 in-band
     assert out[3]["alpha_word_ratio6"] == 0
     assert out[3]["mean_token_len6"] == 4000000
+
+
+def test_dedupe_lines_idempotent_and_conserving(spark):
+    """Invariants: n_kept <= n_lines per doc; total kept == number of
+    distinct lines in the corpus; and the operator is idempotent — the
+    kept occurrence set is already line-unique, so re-running keeps
+    everything."""
+    from lieu_spark.operators.linededup import kept_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "a", "c"]),
+            (2, ["b", "d", "d"]),
+            (3, ["c", "e"]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    lined = explode_lines(docs)
+    stats = dedupe_lines(lined).collect()
+    assert all(r["n_kept"] <= r["n_lines"] for r in stats)
+    n_distinct = lined.select("line").distinct().count()
+    assert sum(r["n_kept"] for r in stats) == n_distinct
+
+    kept = kept_lines(lined)
+    again = dedupe_lines(kept)
+    assert all(r["n_kept"] == r["n_lines"] for r in again.collect())
