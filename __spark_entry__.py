@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_meta": Q.q_video_meta,
         "span_scrub": _q_span_scrub,
         "lm_quality": Q.q_lm_quality,
+        "dsir_weights": Q.q_dsir_weights,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,
         "semantic_dedup": _q_semantic_dedup,

@@ -351,3 +351,117 @@ def information_gain(
         "w", (-F.log2(F.col("p_w"))).alias("ig")
     )
     return ig.unionByName(lonely).withColumnRenamed("w", "token")
+
+
+DSIR_BUCKETS = 1024
+_DSIR_SALT = "dsir"
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-n-gram distribution is, so a
+    small high-quality target set steers selection over a web-scale raw
+    corpus. Features are unigrams + bigrams hashed into ``m`` buckets;
+    bag-of-buckets models with Laplace smoothing are fit on the target
+    rows (``is_target`` Column predicate) and the raw rows, and a doc's
+    log importance weight is
+
+        delta6(b)   = round((ln((ct_b+1)/(Nt+m)) - ln((cr_b+1)/(Nr+m))) * 1e6)
+        logw6(doc)  = sum over the doc's features of delta6(bucket)
+
+    (per-bucket integer-scaled BEFORE summing, so the doc score is exact
+    integer arithmetic and engine-portable). Selection is then top-k by
+    (logw6 DESC, id) — ``df.orderBy(...).limit(k)`` plans as
+    TakeOrderedAndProject, per-partition top-k then a k-row driver
+    merge, which is the scale-safe shape for the small k DSIR uses.
+
+    Bucket hashing is md5-based (same recipe as sampling.hash_bucket,
+    salt-domain-separated) so DuckDB re-derives every bucket. Scale
+    shape: one hash agg over the feature stream for the (ct, cr) bucket
+    table (m-bounded -> broadcast), one hash agg on (doc, bucket),
+    totals as a lazy broadcast 1-row agg — linear, skew-free (buckets
+    are near-uniform by construction), no window, no global sort.
+    Zero-token docs stay visible with n_feats = 0, logw6 = 0.
+    """
+    from .text import tokenize
+
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    toks = docs.select(
+        F.col(id_col).alias(id_col),
+        is_target.cast("boolean").alias("__tgt"),
+        tokenize(F.col(text_col)).alias("toks"),
+    )
+    feats = toks.select(
+        id_col,
+        "__tgt",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.expr(
+                    "CASE WHEN size(toks) < 2 THEN array() "
+                    "ELSE transform(sequence(2, size(toks)), "
+                    "i -> concat(toks[i-2], ' ', toks[i-1])) END"
+                ),
+            )
+        ).alias("ng"),
+    ).withColumn(
+        "__bkt",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(_DSIR_SALT), F.col("ng"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        ),
+    )
+    cnt = feats.groupBy("__bkt").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = cnt.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("_nt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("_nr"),
+    )
+    wt = cnt.crossJoin(F.broadcast(tot)).select(
+        "__bkt",
+        F.round(
+            (
+                F.log((F.col("ct") + F.lit(1.0)) / (F.col("_nt") + F.lit(float(m))))
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("_nr") + F.lit(float(m))))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("delta6"),
+    )
+    per_doc = (
+        feats.groupBy(id_col, "__bkt")
+        .agg(F.count("*").alias("__c"))
+        .join(F.broadcast(wt), "__bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_feats"),
+            F.sum(F.col("__c") * F.col("delta6")).cast("long").alias("logw6"),
+        )
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias(id_col), is_target.cast("int").alias("is_target")
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
+            F.coalesce(F.col("logw6"), F.lit(0).cast("long")).alias("logw6"),
+        )
+    )

@@ -2107,3 +2107,63 @@ UNION ALL SELECT 'kept', count(*), bit_xor(doc_id) FROM keptt
 UNION ALL SELECT 'packed_bins', count(*), bit_xor(bin_id) FROM binid
 ORDER BY stage
 """
+
+# DSIR importance weights: DuckDB re-derives the entire chain from the
+# raw text — unigram+bigram features, md5 bucket hashing (the portable
+# hash_bucket recipe, 'dsir' salt, m=1024), both Laplace-smoothed
+# bucket models, the integer-scaled per-bucket ln-ratio deltas, and
+# every document's summed weight. Sums are CAST to BIGINT (DuckDB
+# SUM(BIGINT) -> HUGEINT would break the driver's arrow-level hash).
+ORACLE["dsir_weights"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+fe AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           toks,
+           CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(2, len(toks)),
+                                    i -> toks[i-1] || ' ' || toks[i]) END
+         )) AS ng
+  FROM tok
+),
+b AS (
+  SELECT doc_id, doc_id % 5 = 0 AS tgt,
+         CAST(concat('0x', substr(md5('dsir' || ng), 1, 15)) AS BIGINT)
+           % 1024 AS bkt
+  FROM fe
+),
+cnt AS (
+  SELECT bkt,
+         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM b GROUP BY bkt
+),
+tot AS (
+  SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt,
+         CAST(coalesce(sum(cr), 0) AS DOUBLE) AS nr
+  FROM cnt
+),
+wt AS (
+  SELECT bkt,
+         CAST(round((ln((ct + 1.0) / (nt + 1024.0))
+                   - ln((cr + 1.0) / (nr + 1024.0))) * 1e6) AS BIGINT)
+           AS delta6
+  FROM cnt CROSS JOIN tot
+),
+dc AS (
+  SELECT doc_id, bkt, CAST(count(*) AS BIGINT) AS c
+  FROM b GROUP BY doc_id, bkt
+),
+sc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_feats,
+         CAST(sum(c * delta6) AS BIGINT) AS logw6
+  FROM dc JOIN wt USING (bkt) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.doc_id % 5 = 0 AS INT) AS is_target,
+       coalesce(sc.n_feats, CAST(0 AS BIGINT)) AS n_feats,
+       coalesce(sc.logw6, CAST(0 AS BIGINT)) AS logw6
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -1820,3 +1820,20 @@ def q_corpus_shuffle(spark, sf_dir):
     return corpus_shuffle(d, id_col="doc_id", salt="ord", nshards=16).orderBy(
         "doc_id"
     )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR data selection (functions/weighting.dsir_logweights): hashed
+    unigram+bigram importance weights of every document against a
+    deterministic target slice (doc_id % 5 == 0 stands in for the
+    high-quality target corpus). Per-bucket ln-ratio deltas are
+    integer-scaled BEFORE the per-doc sum, so the score is exact integer
+    arithmetic; buckets are md5-hashed (engine-portable) and DuckDB
+    re-derives the full chain — features, buckets, both smoothed models,
+    every doc's weight — from the raw text."""
+    from .functions.weighting import dsir_logweights
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_logweights(d, F.pmod(F.col("doc_id"), F.lit(5)) == 0).orderBy(
+        "doc_id"
+    )
