@@ -534,6 +534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": _q_span_scrub,
         "lm_quality": Q.q_lm_quality,
         "dsir_weights": Q.q_dsir_weights,
+        "geo_blocking": Q.q_geo_blocking,
+        "geo_aliases": Q.q_geo_aliases,
+        "safe_decode": Q.q_safe_decode,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,
         "semantic_dedup": _q_semantic_dedup,

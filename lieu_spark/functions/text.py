@@ -165,3 +165,23 @@ def with_text_features(df, text_col: str, k: int):
         .withColumn("token_hashes", token_hashes(F.col("tokens")))
         .withColumn("shingle_hashes", shingle_hash_set(F.col("token_hashes"), k))
     )
+
+
+def safe_decode(b: Column) -> Column:
+    """bytes -> string with UTF-8-first, latin-1 fallback — the
+    reference's safe_decode (lib/lieu/encoding.py:8-21: try utf-8,
+    on UnicodeDecodeError decode latin-1). Pure Catalyst: a binary
+    cast to string wraps the bytes unvalidated, ``is_valid_utf8``
+    checks them, and ISO-8859-1 decode never fails (all 256 byte
+    values map) — no UDF, no per-row Python, ANSI-safe (a strict
+    ``decode(b, 'UTF-8')`` would throw MALFORMED_CHARACTER_CODING
+    on exactly the rows the fallback exists for)."""
+    s_raw = b.cast("string")
+    return F.when(F.is_valid_utf8(s_raw), s_raw).otherwise(
+        F.decode(b, "ISO-8859-1")
+    )
+
+
+def is_utf8(b: Column) -> Column:
+    """True iff the bytes are valid UTF-8 (the safe_decode branch)."""
+    return F.is_valid_utf8(b.cast("string"))

@@ -2167,3 +2167,140 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN sc USING (doc_id)
 ORDER BY d.doc_id
 """
+
+# --- geo blocking (F9/F11) -------------------------------------------
+# closed-form geohash-4 in integer SQL: interleave 10 lon bits (odd
+# positions) with 10 lat bits (even positions), then 4 base32 chars by
+# substring-on-alphabet — the exact arithmetic of functions/geo.py.
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH4_Z = " + ".join(
+    [f"(((nlon) >> {j}) & 1) * {1 << (2 * j + 1)}" for j in range(10)]
+    + [f"(((nlat) >> {j}) & 1) * {1 << (2 * j)}" for j in range(10)]
+)
+_GH4_CHARS = " || ".join(
+    f"substr('{_B32}', CAST(((z >> {5 * (3 - k)}) & 31) + 1 AS INT), 1)"
+    for k in range(4)
+)
+# 9-cell fan (center idx 0, then the Spark loop order), with latitude
+# validity and longitude wrap mod 2^10
+_GH4_FAN = """
+  (VALUES (0, 0, 0), (1, -1, -1), (2, -1, 0), (3, -1, 1), (4, 0, -1),
+          (5, 0, 1), (6, 1, -1), (7, 1, 0), (8, 1, 1)) AS f(idx, dlat, dlon)
+"""
+
+# F11 + F9: expected coordinates re-derived from doc_id arithmetic
+# (never parsed — the STRING parsing is what the Spark side is being
+# tested on), DMS hemisphere sign applied (the documented reference-bug
+# fix), longitude wrapped with the same 180 - fmod(180 - lon, 360)
+# double chain, then the quantize/interleave/base32 replay.
+ORACLE["geo_blocking"] = f"""
+WITH v AS (
+  SELECT doc_id, doc_id % 4 AS var,
+         1000 + (doc_id * 37) % 7900 AS lat_c,
+         1000 + (doc_id * 73) % 7900 AS lon_c,
+         CASE WHEN doc_id % 2 = 1 THEN -1.0 ELSE 1.0 END AS lat_sgn,
+         CASE WHEN doc_id % 3 <> 0 THEN -1.0 ELSE 1.0 END AS lon_sgn,
+         10 + doc_id % 79 AS dd,
+         (doc_id * 7) % 60 AS dm,
+         (doc_id * 13) % 60 AS ds
+  FROM documents
+),
+val AS (
+  SELECT doc_id,
+    CASE WHEN var = 2
+         THEN lat_sgn * (CAST(dd AS DOUBLE) + dm / 60.0 + ds / 3600.0)
+         ELSE lat_sgn * (CAST(lat_c AS DOUBLE) / 100.0) END AS lat,
+    CASE WHEN var = 2
+         THEN lon_sgn * (CAST(dd AS DOUBLE) + dm / 60.0 + ds / 3600.0)
+         ELSE lon_sgn * (CAST(lon_c AS DOUBLE) / 100.0) END AS lon0
+  FROM v
+),
+w AS (
+  SELECT doc_id, lat, 180.0 - fmod(180.0 - lon0, 360.0) AS lon FROM val
+),
+q AS (
+  SELECT doc_id,
+         CAST(round(lat * 1e6) AS BIGINT) AS lat6,
+         CAST(round(lon * 1e6) AS BIGINT) AS lon6,
+         least(CAST(floor((lat + 90.0) / 180.0 * 1024.0) AS BIGINT), 1023) AS latq,
+         least(CAST(floor((lon + 180.0) / 360.0 * 1024.0) AS BIGINT), 1023) AS lonq
+  FROM w
+),
+cells AS (
+  SELECT doc_id, lat6, lon6, f.idx,
+         latq + f.dlat AS nlat,
+         ((lonq + f.dlon) % 1024 + 1024) % 1024 AS nlon
+  FROM q, {_GH4_FAN}
+  WHERE latq + f.dlat BETWEEN 0 AND 1023
+),
+zt AS (SELECT doc_id, lat6, lon6, idx, {_GH4_Z} AS z FROM cells),
+gs AS (SELECT doc_id, lat6, lon6, idx, {_GH4_CHARS} AS gh FROM zt)
+SELECT doc_id, lat6, lon6,
+       min(CASE WHEN idx = 0 THEN gh END) AS gh,
+       string_agg(gh, ',' ORDER BY idx) AS cells_cat
+FROM gs GROUP BY doc_id, lat6, lon6 ORDER BY doc_id
+"""
+
+# F9 sparse-cell aliasing: grid fixture on exact dyadic offsets, every
+# blocking key counted (cell + 8 neighbors), sparse cells (< 250)
+# alias to the argmax-count qualifying neighbor (gh tie-break DESC) —
+# counts, fan and argmax all re-derived.
+ORACLE["geo_aliases"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         10.0 + (doc_id % 3) * (180.0 / 1024.0) AS lat,
+         20.0 + (doc_id % 5) * (360.0 / 1024.0) AS lon
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         least(CAST(floor((lat + 90.0) / 180.0 * 1024.0) AS BIGINT), 1023) AS latq,
+         least(CAST(floor((lon + 180.0) / 360.0 * 1024.0) AS BIGINT), 1023) AS lonq
+  FROM d
+),
+cells AS (
+  SELECT doc_id,
+         latq + f.dlat AS nlat,
+         ((lonq + f.dlon) % 1024 + 1024) % 1024 AS nlon
+  FROM q, {_GH4_FAN}
+  WHERE latq + f.dlat BETWEEN 0 AND 1023
+),
+zt AS (SELECT doc_id, nlat, nlon, {_GH4_Z} AS z FROM cells),
+by_geo AS (
+  SELECT {_GH4_CHARS} AS geo, min(nlat) AS latq, min(nlon) AS lonq,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM zt GROUP BY z
+),
+keep AS (SELECT geo, n_docs FROM by_geo WHERE n_docs >= 250),
+sparse AS (SELECT geo, latq, lonq FROM by_geo WHERE n_docs < 250),
+fan AS (
+  SELECT s.geo, s.latq + f.dlat AS nlat,
+         ((s.lonq + f.dlon) % 1024 + 1024) % 1024 AS nlon
+  FROM sparse s, {_GH4_FAN}
+  WHERE f.idx > 0 AND s.latq + f.dlat BETWEEN 0 AND 1023
+),
+fz AS (SELECT geo, {_GH4_Z} AS z FROM fan),
+fg AS (SELECT geo, {_GH4_CHARS} AS neighbor FROM fz),
+ranked AS (
+  SELECT fg.geo, fg.neighbor, k.n_docs,
+         row_number() OVER (PARTITION BY fg.geo
+                            ORDER BY k.n_docs DESC, fg.neighbor DESC) AS rn
+  FROM fg JOIN keep k ON k.geo = fg.neighbor
+)
+SELECT geo, neighbor AS alias_geo FROM ranked WHERE rn = 1 ORDER BY geo
+"""
+
+# F12 safe_decode: expected text / fallback flag / byte length all
+# re-derived from doc_id arithmetic (strlen = BYTE length of the utf-8
+# arm; the latin-1 arm is one byte per char by construction).
+ORACLE["safe_decode"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'héllo ' || CAST(doc_id AS VARCHAR)
+            ELSE 'café ' || CAST(doc_id AS VARCHAR) END AS decoded,
+       CAST(doc_id % 2 AS INT) AS fallback,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN strlen('héllo ' || CAST(doc_id AS VARCHAR))
+                 ELSE length('café ' || CAST(doc_id AS VARCHAR)) END AS INT)
+         AS n_bytes
+FROM documents ORDER BY doc_id
+"""

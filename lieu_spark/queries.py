@@ -1837,3 +1837,140 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_logweights(d, F.pmod(F.col("doc_id"), F.lit(5)) == 0).orderBy(
         "doc_id"
     )
+
+
+def _geo_coord_strings(d):
+    """Deterministic coordinate-STRING fixture from doc_id, cycling the
+    reference's four accepted formats (coordinates.py:110-167): junk-
+    wrapped decimal, decimal+hemisphere, DMS with unit marks, plain
+    signed decimal. All integer arithmetic, so the DuckDB oracle
+    re-derives every expected value without parsing."""
+    lat_c = F.lit(1000) + F.pmod(F.col("doc_id") * 37, F.lit(7900))
+    lon_c = F.lit(1000) + F.pmod(F.col("doc_id") * 73, F.lit(7900))
+    lat_neg = F.pmod(F.col("doc_id"), F.lit(2)) == 1
+    lon_neg = F.pmod(F.col("doc_id"), F.lit(3)) != 0
+    v = F.pmod(F.col("doc_id"), F.lit(4))
+
+    def dec(c):
+        return F.concat(
+            F.floor(c / 100).cast("int").cast("string"),
+            F.lit("."),
+            F.lpad(F.pmod(c, F.lit(100)).cast("string"), 2, "0"),
+        )
+
+    def signed(c, neg):
+        return F.concat(F.when(neg, F.lit("-")).otherwise(F.lit("")), dec(c))
+
+    dd = F.lit(10) + F.pmod(F.col("doc_id"), F.lit(79))
+    dm = F.pmod(F.col("doc_id") * 7, F.lit(60))
+    ds = F.pmod(F.col("doc_id") * 13, F.lit(60))
+
+    def dms(neg, pos_c, neg_c):
+        return F.concat(
+            dd.cast("string"),
+            F.lit("°"),
+            dm.cast("string"),
+            F.lit("′"),
+            ds.cast("string"),
+            F.lit("″"),
+            F.when(neg, F.lit(neg_c)).otherwise(F.lit(pos_c)),
+        )
+
+    lat_s = (
+        F.when(v == 0, F.concat(F.lit("lat "), signed(lat_c, lat_neg), F.lit("°")))
+        .when(
+            v == 1,
+            F.concat(dec(lat_c), F.lit(" "), F.when(lat_neg, F.lit("S")).otherwise(F.lit("N"))),
+        )
+        .when(v == 2, dms(lat_neg, "N", "S"))
+        .otherwise(signed(lat_c, lat_neg))
+    )
+    lon_s = (
+        F.when(v == 0, F.concat(F.lit("lon "), signed(lon_c, lon_neg), F.lit("°")))
+        .when(
+            v == 1,
+            F.concat(dec(lon_c), F.lit(" "), F.when(lon_neg, F.lit("W")).otherwise(F.lit("E"))),
+        )
+        .when(v == 2, dms(lon_neg, "E", "W"))
+        .otherwise(signed(lon_c, lon_neg))
+    )
+    return d.select("doc_id", lat_s.alias("lat_s"), lon_s.alias("lon_s"))
+
+
+def q_geo_blocking(spark, sf_dir):
+    """F11 + F9 end to end: parse four coordinate-string formats
+    (functions/geo.parse_latlon — DMS hemisphere sign APPLIED, the
+    documented reference-bug fix) then geohash-4 cell + 8 neighbors as
+    blocking keys (geo.geohash_cells — closed-form bit interleave,
+    pure Catalyst). DuckDB re-derives every expected coordinate from
+    doc_id arithmetic and replays the quantize/interleave/base32 chain
+    in integer SQL, so cell ids must match bit-for-bit."""
+    from .functions.geo import geohash_cells, geohash_encode, parse_latlon
+
+    d = _geo_coord_strings(load(spark, sf_dir, "documents").select("doc_id"))
+    p = parse_latlon(F.col("lat_s"), F.col("lon_s"))
+    return (
+        d.withColumn("__p", p)
+        .select(
+            "doc_id",
+            F.round(F.col("__p.lat") * 1e6).cast("long").alias("lat6"),
+            F.round(F.col("__p.lon") * 1e6).cast("long").alias("lon6"),
+            geohash_encode(F.col("__p.lat"), F.col("__p.lon"), 4).alias("gh"),
+            F.array_join(
+                geohash_cells(F.col("__p.lat"), F.col("__p.lon"), 4), ","
+            ).alias("cells_cat"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_geo_aliases(spark, sf_dir):
+    """F9's sparse-cell aliasing (reference geo_word_index.py:19-26):
+    docs cluster on a 3x5 grid of adjacent geohash-4 cells (exact
+    dyadic offsets — 180/1024 and 360/1024 are exact doubles, so the
+    quantization is reproducible everywhere), total_docs_by_geo counts
+    every blocking key (cell + 8 neighbors), and cells under the
+    min-doc threshold alias to their most-populated qualifying
+    neighbor (argmax count, geohash tie-break). DuckDB re-derives the
+    grid, the fan-in counts, and every alias choice."""
+    from .functions.geo import geo_aliases, geohash_cells, total_docs_by_geo
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    lat = F.lit(10.0) + F.pmod(F.col("doc_id"), F.lit(3)).cast("double") * F.lit(
+        180.0 / 1024
+    )
+    lon = F.lit(20.0) + F.pmod(F.col("doc_id"), F.lit(5)).cast("double") * F.lit(
+        360.0 / 1024
+    )
+    cells = d.select(geohash_cells(lat, lon, 4).alias("cells"))
+    by_geo = total_docs_by_geo(cells)
+    return geo_aliases(by_geo, min_doc_count=250, precision=4).orderBy("geo")
+
+
+def q_safe_decode(spark, sf_dir):
+    """F12 safe_decode (reference lib/lieu/encoding.py:8-21): UTF-8
+    first, latin-1 fallback, as a pure Catalyst branch over
+    is_valid_utf8 (functions/text.safe_decode). The fixture alternates
+    genuine UTF-8 payloads (multi-byte é) with latin-1 bytes (0xE9 —
+    invalid UTF-8); DuckDB re-derives the decoded text, the fallback
+    flag, and the byte length from doc_id arithmetic."""
+    from .functions.text import is_utf8, safe_decode
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    payload = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.encode(
+            F.concat(F.lit("héllo "), F.col("doc_id").cast("string")), "UTF-8"
+        ),
+    ).otherwise(
+        F.encode(
+            F.concat(F.lit("café "), F.col("doc_id").cast("string")), "ISO-8859-1"
+        )
+    )
+    b = d.withColumn("b", payload)
+    return b.select(
+        "doc_id",
+        safe_decode(F.col("b")).alias("decoded"),
+        (~is_utf8(F.col("b"))).cast("int").alias("fallback"),
+        F.octet_length("b").cast("int").alias("n_bytes"),
+    ).orderBy("doc_id")

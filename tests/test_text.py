@@ -83,3 +83,33 @@ def test_tokenizer_unicode_parity_with_oracle(spark):
     got = {r.i: r.t for r in df.select("i", tokenize(F.col("text")).alias("t")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == oracle.tokens(c), (c, got[i], oracle.tokens(c))
+
+
+def test_safe_decode_utf8_and_latin1_fallback(spark):
+    from pyspark.sql import functions as F
+
+    from lieu_spark.functions.text import is_utf8, safe_decode
+
+    df = spark.createDataFrame(
+        [
+            (0, "plain ascii".encode("utf-8")),
+            (1, "héllo wörld".encode("utf-8")),
+            (2, "café crème".encode("latin-1")),
+            (3, b"\xff\xfe mixed \xe9 bytes"),
+            (4, b""),
+        ],
+        ["i", "b"],
+    )
+    rows = {
+        r.i: (r.s, r.f)
+        for r in df.select(
+            "i",
+            safe_decode(F.col("b")).alias("s"),
+            is_utf8(F.col("b")).alias("f"),
+        ).collect()
+    }
+    assert rows[0] == ("plain ascii", True)
+    assert rows[1] == ("héllo wörld", True)
+    assert rows[2] == ("café crème".encode("latin-1").decode("latin-1"), False)
+    assert rows[3] == (b"\xff\xfe mixed \xe9 bytes".decode("latin-1"), False)
+    assert rows[4] == ("", True)
