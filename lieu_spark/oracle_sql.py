@@ -2268,11 +2268,17 @@ cells AS (
 zt AS (SELECT doc_id, nlat, nlon, {_GH4_Z} AS z FROM cells),
 by_geo AS (
   SELECT {_GH4_CHARS} AS geo, min(nlat) AS latq, min(nlon) AS lonq,
-         CAST(count(*) AS BIGINT) AS n_docs
+         CAST(count(*) AS BIGINT) AS raw_docs
   FROM zt GROUP BY z
 ),
-keep AS (SELECT geo, n_docs FROM by_geo WHERE n_docs >= 250),
-sparse AS (SELECT geo, latq, lonq FROM by_geo WHERE n_docs < 250),
+tot AS (SELECT CAST(coalesce(sum(raw_docs), 1) AS DOUBLE) AS t FROM by_geo),
+norm AS (
+  SELECT geo, latq, lonq,
+         CAST(round(raw_docs * 10000.0 / t) AS BIGINT) AS n_docs
+  FROM by_geo CROSS JOIN tot
+),
+keep AS (SELECT geo, n_docs FROM norm WHERE n_docs >= 556),
+sparse AS (SELECT geo, latq, lonq FROM norm WHERE n_docs < 556),
 fan AS (
   SELECT s.geo, s.latq + f.dlat AS nlat,
          ((s.lonq + f.dlon) % 1024 + 1024) % 1024 AS nlon

@@ -1931,8 +1931,12 @@ def q_geo_aliases(spark, sf_dir):
     quantization is reproducible everywhere), total_docs_by_geo counts
     every blocking key (cell + 8 neighbors), and cells under the
     min-doc threshold alias to their most-populated qualifying
-    neighbor (argmax count, geohash tie-break). DuckDB re-derives the
-    grid, the fan-in counts, and every alias choice."""
+    neighbor (argmax count, geohash tie-break). Counts are normalized
+    to per-10k-of-total (lazy broadcast 1-row scalar, no action) so
+    the keep/sparse split is scale-invariant — the same cells alias at
+    every sf instead of the fixed threshold going vacuous as the
+    corpus grows. DuckDB re-derives the grid, the fan-in counts, the
+    normalization, and every alias choice."""
     from .functions.geo import geo_aliases, geohash_cells, total_docs_by_geo
 
     d = load(spark, sf_dir, "documents").select("doc_id")
@@ -1944,7 +1948,16 @@ def q_geo_aliases(spark, sf_dir):
     )
     cells = d.select(geohash_cells(lat, lon, 4).alias("cells"))
     by_geo = total_docs_by_geo(cells)
-    return geo_aliases(by_geo, min_doc_count=250, precision=4).orderBy("geo")
+    tot = by_geo.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(1)).cast("double").alias("_tot")
+    )
+    per10k = by_geo.crossJoin(F.broadcast(tot)).select(
+        "geo",
+        F.round(F.col("n_docs") * 10000.0 / F.col("_tot"))
+        .cast("long")
+        .alias("n_docs"),
+    )
+    return geo_aliases(per10k, min_doc_count=556, precision=4).orderBy("geo")
 
 
 def q_safe_decode(spark, sf_dir):
