@@ -537,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_blocking": Q.q_geo_blocking,
         "geo_aliases": Q.q_geo_aliases,
         "safe_decode": Q.q_safe_decode,
+        "bpe_merges": Q.q_bpe_merges,
+        "bpe_token_counts": Q.q_bpe_token_counts,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,
         "semantic_dedup": _q_semantic_dedup,

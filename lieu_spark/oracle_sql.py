@@ -2310,3 +2310,86 @@ SELECT doc_id,
          AS n_bytes
 FROM documents ORDER BY doc_id
 """
+
+# --- distributed BPE training ----------------------------------------
+# DuckDB RE-LEARNS the merges: distinct-word counts (hapax pruned),
+# wrapped-symbol sequences, then 6 macro-generated stages of
+# pair-count -> argmax (count DESC, w1, w2) -> greedy string-replace
+# merge — the identical chain the Spark side runs. MATERIALIZED is
+# load-bearing: every v{i} feeds both p{i+1} and v{i+1}.
+_BPE_N = 6
+
+
+def _bpe_chain(n: int) -> str:
+    stages = ["""
+wc AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(toks) AS word
+        FROM (SELECT {toks} AS toks FROM documents))
+  GROUP BY word HAVING count(*) >= 2
+),
+v0 AS MATERIALIZED (
+  SELECT word, cnt,
+         ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)), '  ') || ' ' AS seq
+  FROM wc
+)""".format(toks=_TOKS)]
+    for i in range(1, n + 1):
+        stages.append(f"""
+b{i} AS (
+  SELECT cnt, unnest(generate_series(2, len(syms))) AS j, syms
+  FROM (SELECT cnt, string_split(trim(seq), '  ') AS syms FROM v{i - 1})
+  WHERE len(syms) >= 2
+),
+p{i} AS (
+  SELECT syms[j-1] AS w1, syms[j] AS w2,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM b{i} GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+  SELECT CAST({i} AS INT) AS step, w1, w2, pair_count
+  FROM p{i} ORDER BY pair_count DESC, w1, w2 LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT v.word, v.cnt,
+         replace(v.seq, ' ' || m.w1 || '  ' || m.w2 || ' ',
+                 ' ' || m.w1 || m.w2 || ' ') AS seq
+  FROM v{i - 1} v CROSS JOIN m{i} m
+)""")
+    return ",".join(stages)
+
+
+ORACLE["bpe_merges"] = f"""
+WITH {_bpe_chain(_BPE_N)}
+SELECT step, w1, w2, pair_count FROM (
+  {" UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, _BPE_N + 1))}
+) ORDER BY step
+"""
+
+ORACLE["bpe_token_counts"] = f"""
+WITH {_bpe_chain(_BPE_N)},
+seg AS (
+  SELECT word, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_sub
+  FROM v{_BPE_N}
+),
+dw AS (
+  SELECT doc_id, unnest(toks) AS word
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+),
+pw AS (
+  SELECT dw.doc_id,
+         coalesce(seg.n_sub, CAST(length(dw.word) AS BIGINT)) AS n_sub
+  FROM dw LEFT JOIN seg USING (word)
+),
+agg AS (
+  SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+         CAST(count(*) AS BIGINT) AS n_words
+  FROM pw GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+       coalesce(agg.n_words, CAST(0 AS BIGINT)) AS n_words
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -1987,3 +1987,55 @@ def q_safe_decode(spark, sf_dir):
         (~is_utf8(F.col("b"))).cast("int").alias("fallback"),
         F.octet_length("b").cast("int").alias("n_bytes"),
     ).orderBy("doc_id")
+
+
+def _bpe_vocab(spark, sf_dir):
+    """Shared trained-BPE state for the bpe_* queries: 6 merges over
+    the documents word table, hapax words pruned (min_word_count=2)."""
+    from .functions.bpe import train_bpe
+
+    def build():
+        d = load(spark, sf_dir, "documents")
+        merges, vocab = train_bpe(d, n_merges=6, min_word_count=2)
+        return merges.unionByName(
+            vocab.select(
+                F.lit(0).alias("step"),
+                F.col("word").alias("w1"),
+                F.col("seq").alias("w2"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+
+    return _memo(spark, sf_dir, "bpe_state", build)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/bpe.train_bpe,
+    Sennrich et al. 2016): 6 merge steps learned over the distinct-word
+    table (hapax pruned), each step = one combinable pair-count agg +
+    one broadcast argmax merge applied via the wrapped-symbol string
+    replace (greedy left-to-right, exactly the published merge pass).
+    DuckDB RE-LEARNS all 6 merges from raw text through the identical
+    chain and must pick the same pairs with the same counts."""
+    st = _bpe_vocab(spark, sf_dir)
+    return st.filter(F.col("step") > 0).select(
+        "step", "w1", "w2", "pair_count"
+    ).orderBy("step")
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-doc token counts under the learned BPE segmentation: doc
+    words join the broadcast vocab for subword counts (out-of-vocab
+    words fall back to character count), empty docs visible with 0 —
+    the corpus is touched once, the merge loop never sees it. DuckDB
+    re-trains the tokenizer AND re-counts every document."""
+    from .functions.bpe import bpe_token_counts
+
+    st = _bpe_vocab(spark, sf_dir)
+    vocab = st.filter(F.col("step") == 0).select(
+        F.col("w1").alias("word"),
+        F.col("pair_count").alias("cnt"),
+        F.col("w2").alias("seq"),
+    )
+    d = load(spark, sf_dir, "documents")
+    return bpe_token_counts(d, vocab).orderBy("doc_id")
