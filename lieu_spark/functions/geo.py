@@ -237,22 +237,30 @@ def geo_aliases(
         F.lit(0).cast("long"),
     )
     sp = sparse.withColumn("__lat_q", lat_q).withColumn("__lon_q", lon_q)
-    neigh = []
-    for dlat in (-1, 0, 1):
-        for dlon in (-1, 0, 1):
-            if dlat == 0 and dlon == 0:
-                continue
-            nlat = F.col("__lat_q") + F.lit(dlat)
-            nlon = F.pmod(F.col("__lon_q") + F.lit(dlon), F.lit(1 << lon_bits))
-            neigh.append(
-                F.when(
-                    (nlat >= 0) & (nlat < (1 << lat_bits)),
-                    geohash_from_ints(nlat, nlon, precision),
-                )
-            )
-    fan = sp.select(
-        F.col("geo"),
-        F.explode(F.filter(F.array(*neigh), lambda c: c.isNotNull())).alias(
+    # fan out the 8 offsets FIRST, stage the neighbor indices as plain
+    # columns, and encode ONCE on the staged columns — encoding inside
+    # 8 branch expressions inlines the 5p-bit interleave ~36x and the
+    # codegen/analysis cost dominates the (tiny) data
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
+            for dlat in (-1, 0, 1)
+            for dlon in (-1, 0, 1)
+            if not (dlat == 0 and dlon == 0)
+        ]
+    )
+    fanned = (
+        sp.select("geo", "__lat_q", "__lon_q", F.explode(offsets).alias("__o"))
+        .withColumn("__nlat", F.col("__lat_q") + F.col("__o.dlat"))
+        .withColumn(
+            "__nlon",
+            F.pmod(F.col("__lon_q") + F.col("__o.dlon"), F.lit(1 << lon_bits)),
+        )
+        .filter((F.col("__nlat") >= 0) & (F.col("__nlat") < (1 << lat_bits)))
+    )
+    fan = fanned.select(
+        "geo",
+        geohash_from_ints(F.col("__nlat"), F.col("__nlon"), precision).alias(
             "neighbor"
         ),
     )
