@@ -50,6 +50,10 @@ def main() -> None:
                     help="set to add the bigram-LM quality gate")
     ap.add_argument("--line-dedup", action="store_true",
                     help="add the C4-style corpus-wide line-dedup stage")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet (doc_id, text) target corpus for DSIR selection")
+    ap.add_argument("--dsir-top-k", type=int, default=None,
+                    help="keep the k most target-like survivors (needs --dsir-target)")
     ap.add_argument("--group-cap", type=int, default=None,
                     help="set to cap kept docs per --group-cap-col value")
     ap.add_argument("--group-cap-col", default="lang")
@@ -73,6 +77,7 @@ def main() -> None:
         min_quality6=args.min_quality6,
         min_lm_score6=args.min_lm_score6,
         line_dedup=args.line_dedup,
+        dsir_top_k=args.dsir_top_k,
         group_cap=args.group_cap,
         group_cap_col=args.group_cap_col,
         pack_capacity=args.pack_capacity,
@@ -87,6 +92,11 @@ def main() -> None:
         if args.holdout
         else None
     )
+    dsir_target = (
+        spark.read.parquet(args.dsir_target).select("doc_id", "text")
+        if args.dsir_target
+        else None
+    )
     store = StageStore(args.checkpoint_dir) if args.checkpoint_dir else None
     metrics_dir = args.metrics_dir or os.path.join(args.output, "metrics")
 
@@ -96,6 +106,7 @@ def main() -> None:
         documents,
         cfg,
         holdout=holdout,
+        dsir_target=dsir_target,
         store=store,
         metrics_dir=metrics_dir,
         run_id=args.run_id,

@@ -2,9 +2,12 @@
 actually runs before pretraining.
 
     annotate -> quality/repetition filter -> PII scrub ->
-    [bigram-LM quality gate] -> decontaminate (vs a holdout/eval set) ->
+    [C4 line dedup] -> [bigram-LM quality gate] ->
+    [DSIR top-k selection vs a target corpus] ->
+    decontaminate (vs a holdout/eval set) ->
     near-dup dedupe -> cluster representatives -> [per-group cap] ->
-    [mixture sampling] -> leakage-safe split -> sequence packing
+    [mixture sampling] -> leakage-safe split -> sequence packing ->
+    [training-order shuffle]
 
 Every stage flows through the same checkpoint/metrics recipe as
 ``pipeline.run_pipeline`` (StageStore fingerprint = config + input
@@ -75,6 +78,13 @@ class CurateConfig:
     # trained). Scoreless docs (< 2 tokens) pass — the gate acts only
     # on evidence.
     min_lm_score6: int | None = None
+    # DSIR data selection (Xie et al. 2023) against a target corpus:
+    # keep only the dsir_top_k most target-like survivors by
+    # hashed-ngram importance logweight (weighting.dsir_logweights,
+    # fit jointly on the scrubbed survivors and the PII-scrubbed
+    # target). Runs after the LM gate, before decontamination.
+    # None = skip; requires the ``dsir_target`` DataFrame when set.
+    dsir_top_k: int | None = None
     # C4-style corpus-wide line dedup of the scrubbed survivors: every
     # repeated line (split on '\n') is removed except its first
     # (doc_id, position) occurrence, docs rebuilt in original order,
@@ -139,6 +149,7 @@ def curate(
     documents: DataFrame,
     cfg: CurateConfig | None = None,
     holdout: DataFrame | None = None,
+    dsir_target: DataFrame | None = None,
     store: StageStore | None = None,
     metrics_dir: str | None = None,
     run_id: str | None = None,
@@ -165,6 +176,12 @@ def curate(
         # signature — the presence marker still separates them from
         # no-holdout runs (content changes then need a fresh store).
         fp = f"{fp}-ho{input_signature(holdout) or 'mem'}"
+    if cfg.dsir_top_k is not None and dsir_target is None:
+        raise ValueError("cfg.dsir_top_k is set but no dsir_target was given")
+    if dsir_target is not None:
+        # same reasoning as the holdout: the target corpus shapes the
+        # selection, so it belongs in the resume fingerprint
+        fp = f"{fp}-dt{input_signature(dsir_target) or 'mem'}"
 
     def stage(name: str, build, cache: bool = False) -> DataFrame:
         # same recipe as pipeline.run_pipeline.stage (kept in sync):
@@ -290,6 +307,46 @@ def curate(
             )
 
         filtered = stage("lm_gate", build_lm_gate, cache=True)
+
+    if cfg.dsir_top_k is not None:
+        src_dsir = filtered
+
+        def build_dsir_selected() -> DataFrame:
+            from .functions.redact import redact_pii as _scrub
+            from .functions.weighting import dsir_logweights
+
+            # fit the target/raw hashed-ngram models on one combined
+            # frame (ids prefixed so the two corpora can't collide);
+            # the target is PII-scrubbed like every other side input so
+            # both distributions are compared post-redaction
+            raw = src_dsir.select(
+                F.concat(F.lit("r:"), F.col("doc_id").cast("string")).alias("k"),
+                F.col("text"),
+                F.lit(False).alias("tgt"),
+            )
+            tgt = dsir_target.select(
+                F.concat(F.lit("t:"), F.col("doc_id").cast("string")).alias("k"),
+                _scrub(F.col("text")).alias("text"),
+                F.lit(True).alias("tgt"),
+            )
+            scored = dsir_logweights(
+                raw.unionByName(tgt), F.col("tgt"), id_col="k"
+            )
+            # top-k of the RAW side by target-likeness: per-partition
+            # top-k + k-row driver merge (TakeOrderedAndProject), the
+            # scale-safe shape for small k
+            kept_ids = (
+                scored.filter(F.col("is_target") == 0)
+                .orderBy(F.desc("logw6"), "k")
+                .limit(cfg.dsir_top_k)
+                .select(F.expr("substring(k, 3)").alias("__kid"))
+            )
+            return src_dsir.join(
+                F.broadcast(kept_ids),
+                src_dsir["doc_id"].cast("string") == F.col("__kid"),
+            ).drop("__kid")
+
+        filtered = stage("dsir_selected", build_dsir_selected, cache=True)
 
     def build_decontaminated() -> DataFrame:
         # holdout text is scrubbed with the SAME redaction as the

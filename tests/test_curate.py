@@ -303,3 +303,41 @@ def test_line_dedup_stage(spark):
     assert "line_deduped" not in res0.funnel
     texts0 = {r.doc_id: r.text for r in res0.filtered.collect()}
     assert texts0[2] == body_b + "\n" + footer
+
+
+def test_dsir_selection_stage(spark):
+    """Optional DSIR stage: top-k most target-like survivors kept; an
+    off-distribution word-salad doc (passes the heuristic gates, shares
+    only stopwords with the target) ranks last and is cut; the stage
+    requires a target corpus; default stays OFF."""
+    salad = (
+        "the zephyr of quartz and vortex with plinth from gasket "
+        "under bezel through flange beside grommet along trivet"
+    )
+    docs = _docs(spark).union(
+        spark.createDataFrame([(600, salad)], "doc_id long, text string")
+    )
+    # the target must carry real probability mass for the shared
+    # vocabulary (DSIR's operating regime — with a toy target the
+    # Laplace smoothing term dominates every ratio): 20 in-domain docs
+    target = spark.createDataFrame(
+        [
+            (i, GOOD + f" chapter {i} tells the story of day {i} in the town")
+            for i in range(50, 70)
+        ],
+        "doc_id long, text string",
+    )
+    base = CurateConfig(pack_capacity=64, pack_nshards=2)
+    res0 = curate(spark, docs, base, eager=True)
+    n_surv = res0.filtered.count()
+    assert {r.doc_id for r in res0.filtered.select("doc_id").collect()} >= {600}
+
+    cfg = CurateConfig(pack_capacity=64, pack_nshards=2, dsir_top_k=n_surv - 1)
+    res1 = curate(spark, docs, cfg, dsir_target=target, eager=True)
+    f1 = {r.doc_id for r in res1.filtered.select("doc_id").collect()}
+    assert len(f1) == n_surv - 1
+    assert res1.funnel["dsir_selected"] == n_surv - 1
+    assert 600 not in f1, "the off-distribution doc must be the one cut"
+
+    with pytest.raises(ValueError, match="dsir_target"):
+        curate(spark, docs, cfg, eager=True)
