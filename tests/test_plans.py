@@ -273,3 +273,54 @@ def test_line_dedup_partial_agg_no_global_sort(spark):
     # exactly one range exchange (the presentation orderBy); every other
     # Exchange is an equi-hash shuffle
     assert plan.lower().count("rangepartitioning") <= 1, plan[:3000]
+
+
+def test_dsir_plan_broadcasts_weights_no_cartesian(spark):
+    """DSIR logweights scale shape: the m-row bucket-weight table
+    attaches via BroadcastHashJoin (never shuffling the feature
+    stream on the bucket), aggregations are hash (map-side combinable),
+    the only nested-loop is the 1-row lazy totals scalar (repo
+    convention for broadcast scalars), and nothing is a cartesian
+    product. The final doc-level left join IS allowed to sort-merge —
+    both sides are corpus-sized, which is the correct plan at scale."""
+    from lieu_spark.functions.weighting import dsir_logweights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = dsir_logweights(docs, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # formatted explain prints each node twice (tree + detail) — count
+    # tree occurrences of the Cross node: only the 1-row totals scalar
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_bpe_token_counts_broadcast_vocab(spark):
+    """Applying the learned segmentation is one broadcast join + one
+    hash agg over the corpus — never a shuffle keyed on the word."""
+    from lieu_spark.functions.bpe import bpe_token_counts, train_bpe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    _, vocab = train_bpe(docs, n_merges=2)
+    plan = plan_of(bpe_token_counts(docs, vocab))
+    # the word->segmentation attach is the explicit broadcast; the
+    # doc-level left join may sort-merge (corpus-sized both sides);
+    # the only nested-loops are train_bpe's 1-row merge broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_blocking_is_shuffle_free_projection(spark):
+    """Coordinate parse + geohash cells is a pure projection: the only
+    Exchange in the plan is the final presentation orderBy."""
+    from lieu_spark.functions.geo import geohash_cells, parse_latlon
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = parse_latlon(F.col("doc_id").cast("string"), F.col("doc_id").cast("string"))
+    q = docs.withColumn("__p", p).select(
+        "doc_id",
+        geohash_cells(F.col("__p.lat"), F.col("__p.lon"), 4).alias("cells"),
+    )
+    plan = plan_of(q)
+    assert "Exchange" not in plan, "parse+encode must not shuffle"
