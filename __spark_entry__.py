@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_decode": Q.q_safe_decode,
         "bpe_merges": Q.q_bpe_merges,
         "bpe_token_counts": Q.q_bpe_token_counts,
+        "verbatim_13gram_decon": Q.q_verbatim_13gram_decon,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,
         "semantic_dedup": _q_semantic_dedup,

@@ -2393,3 +2393,28 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg USING (doc_id)
 ORDER BY d.doc_id
 """
+
+# exact 13-gram verbatim decontamination: DuckDB re-derives the planted
+# aug corpus, every distinct 13-token window's md5-prefix key, and the
+# per-train-doc hit counts — the GPT-3-style verbatim rule next to the
+# containment sweep of contamination_pairs.
+ORACLE["verbatim_13gram_decon"] = f"""
+WITH {_DOCS_AUG},
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(13, len(toks)),
+                     i -> substr(md5(array_to_string(toks[i-12:i], ' ')), 1, 16))
+           END)) AS g
+  FROM tok
+),
+ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id < 25),
+tr AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id >= 100000)
+SELECT tr.train_id,
+       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared_13grams,
+       CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev USING (g)
+GROUP BY tr.train_id ORDER BY tr.train_id
+"""

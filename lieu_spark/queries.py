@@ -2039,3 +2039,43 @@ def q_bpe_token_counts(spark, sf_dir):
     )
     d = load(spark, sf_dir, "documents")
     return bpe_token_counts(d, vocab).orderBy("doc_id")
+
+
+def q_verbatim_13gram_decon(spark, sf_dir):
+    """GPT-3/Llama-style EXACT 13-gram decontamination (the verbatim
+    rule, complementing the containment sweep of contamination_pairs):
+    a TRAINING doc is flagged if it shares ANY exact 13-token window
+    with an eval doc. Eval = originals with doc_id < 25, train = the
+    planted aug copies (exact + suffixed). Scale shape: distinct
+    13-gram md5 prefixes per doc (fixed 16-byte join key — never
+    shuffling 13-word strings), equi-join on the hash, one combinable
+    agg; the md5 key keeps the DuckDB twin pure SQL."""
+    aug = docs_aug(spark, sf_dir)
+    toks = aug.select("doc_id", T.tokenize(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(toks) < 13 THEN array() "
+                    "ELSE transform(sequence(13, size(toks)), "
+                    "i -> substring(md5(array_join(slice(toks, i-12, 13), ' ')), 1, 16)) END"
+                )
+            )
+        ).alias("g"),
+    )
+    ev = grams.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    tr = grams.filter(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("train_id"), "g"
+    )
+    return (
+        tr.join(ev, "g")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_shared_13grams"),
+            F.countDistinct("eval_id").cast("long").alias("n_eval_docs"),
+        )
+        .orderBy("train_id")
+    )
