@@ -20,7 +20,9 @@ than re-implemented.
 
 Scale notes per stage: annotate is pure Catalyst except the repetition
 agg (explode + two-level combinable agg, shuffles on doc_id);
-decontamination is a shingle equi-join (never a cross join); splits are
+decontamination is a shingle equi-join — plus an optional exact
+n-token-window verbatim rule on md5-prefix keys (never a cross join,
+and never shuffling n-word strings); splits are
 assigned at the CLUSTER level so no near-dup pair straddles train/test;
 packing is next-fit per (split, shard) — one shuffle, sequences never
 mix splits.
@@ -70,6 +72,14 @@ class CurateConfig:
     max_dup_bigram_ratio6: int = 500000
     contamination_min_shared: int = 3
     contamination_min_containment6: int = 500000
+    # GPT-3-style VERBATIM decontamination rule, alongside the
+    # containment rule above: when set (canonically 13), any surviving
+    # doc that shares an exact n-token window with a holdout doc is
+    # also removed — catches short verbatim quotes of a long eval doc
+    # whose shingle containment never reaches the threshold. Joined on
+    # fixed-width md5-prefix keys (text.verbatim_ngram_keys), never on
+    # the n-word strings. None = containment rule only.
+    decon_verbatim_ngram: int | None = None
     # model-based quality gate (the CCNet-style perplexity-proxy
     # filter): a bigram LM is trained on the scrubbed survivors
     # themselves and docs whose mean bigram log-likelihood
@@ -381,6 +391,35 @@ def curate(
             .select(F.col("train_id").alias("doc_id"))
             .distinct()
         )
+        if cfg.decon_verbatim_ngram is not None:
+            # verbatim rule: ANY shared exact n-token window flags the
+            # training doc, regardless of containment. Both sides are
+            # the same scrubbed text the containment rule sees; keys
+            # are 16-char md5 prefixes so the equi-join shuffle never
+            # carries n-word strings. Eval side collapses to a distinct
+            # key set first (holdouts are small; the optimizer picks
+            # broadcast when it fits — not forced, same policy as the
+            # boilerplate anti-join).
+            n = cfg.decon_verbatim_ngram
+
+            def _keys(df: DataFrame, id_alias: str) -> DataFrame:
+                toks = df.select(
+                    F.col("doc_id").alias(id_alias),
+                    T.tokenize(F.col("text")).alias("toks"),
+                )
+                return toks.select(
+                    id_alias,
+                    F.explode(T.verbatim_ngram_keys(F.col("toks"), n)).alias("g"),
+                )
+
+            ev_keys = _keys(ho, "eval_id").select("g").distinct()
+            verbatim = (
+                _keys(filtered, "train_id")
+                .join(ev_keys, "g")
+                .select(F.col("train_id").alias("doc_id"))
+                .distinct()
+            )
+            hits = hits.unionByName(verbatim).distinct()
         return filtered.join(hits, "doc_id", "left_anti")
 
     if holdout is None:

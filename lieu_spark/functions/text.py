@@ -51,6 +51,31 @@ def tokenize(text: Column) -> Column:
     return F.filter(parts, lambda t: t != "")
 
 
+def verbatim_ngram_keys(toks: Column, n: int) -> Column:
+    """Distinct fixed-width join keys for the exact n-token windows of a
+    doc — array<string> of ``substring(md5(join(window, ' ')), 1, 16)``.
+
+    The GPT-3-style verbatim decontamination rule (n=13) joins on these
+    16-char hex prefixes instead of the n-word strings themselves, so
+    the shuffle carries fixed-width keys. md5 (not xxhash64) keeps the
+    DuckDB oracle twin pure SQL. Docs shorter than n tokens emit no
+    keys.
+
+    IMPORTANT: pass a *materialized column* of tokens, not an inline
+    expression — a computed outer expression referenced inside the
+    transform() lambda re-evaluates per element (see shingle_hash_set).
+    """
+    win = F.transform(
+        F.sequence(F.lit(n), F.size(toks)),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(toks, i - (n - 1), n), " ")), 1, 16
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(win)
+    )
+
+
 def token_hashes(toks: Column) -> Column:
     """xxhash64 per token (duplicates kept, order kept) — array<long>.
     One string-hash pass shared by shingling AND SimHash."""

@@ -341,3 +341,58 @@ def test_dsir_selection_stage(spark):
 
     with pytest.raises(ValueError, match="dsir_target"):
         curate(spark, docs, cfg, eager=True)
+
+
+def test_verbatim_ngram_decon_stage(spark):
+    # a LONG holdout doc (40 tokens -> 36 shingles at k=5) quoted for
+    # exactly 13 tokens: containment is 9/36 = 0.25 < 0.5 so the
+    # shingle rule never fires — only the GPT-3-style verbatim rule
+    # catches the quote; a 12-token quote stays under it.
+    ho_words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu amber birch cedar dune "
+        "ember fjord grove heath inlet jetty knoll larch mesa nook"
+    ).split()
+    assert len(ho_words) == 40
+    quote13 = " ".join(ho_words[10:23])
+    quote12 = " ".join(ho_words[20:32])
+    holdout = spark.createDataFrame(
+        [(0, " ".join(ho_words))], "doc_id long, text string"
+    )
+    docs = _docs(spark).union(
+        spark.createDataFrame(
+            [
+                (
+                    500,
+                    "the annual climate report for the northern district "
+                    "opens with a long discussion of rainfall totals and "
+                    "then the report quotes " + quote13 + " before moving "
+                    "on to harvest yields and road conditions in the valley",
+                ),
+                (
+                    501,
+                    "a separate survey of the southern district mentions "
+                    "only a shorter fragment saying " + quote12 + " and "
+                    "then returns to its own subject matter for the rest",
+                ),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    base = CurateConfig(pack_capacity=64, pack_nshards=2)
+    res0 = curate(spark, docs, base, holdout=holdout, eager=True)
+    d0 = {r.doc_id for r in res0.decon.select("doc_id").collect()}
+    assert {500, 501} <= d0, "containment alone must not remove the quotes"
+
+    cfg = CurateConfig(
+        pack_capacity=64, pack_nshards=2, decon_verbatim_ngram=13
+    )
+    res1 = curate(spark, docs, cfg, holdout=holdout, eager=True)
+    d1 = {r.doc_id for r in res1.decon.select("doc_id").collect()}
+    assert 500 not in d1, "a shared exact 13-gram must remove the doc"
+    assert 501 in d1, "a 12-token quote stays under the verbatim rule"
+    # the two rules compose: everything the containment rule removed
+    # is still removed (doc 400 contains a holdout... different holdout
+    # here, so just check the verbatim cfg removed exactly one more)
+    assert d0 - d1 == {500}
