@@ -54,6 +54,9 @@ def main() -> None:
                     help="parquet (doc_id, text) target corpus for DSIR selection")
     ap.add_argument("--dsir-top-k", type=int, default=None,
                     help="keep the k most target-like survivors (needs --dsir-target)")
+    ap.add_argument("--decon-verbatim-ngram", type=int, default=None,
+                    help="set (e.g. 13) to also remove docs sharing an "
+                         "exact n-token window with a holdout doc")
     ap.add_argument("--group-cap", type=int, default=None,
                     help="set to cap kept docs per --group-cap-col value")
     ap.add_argument("--group-cap-col", default="lang")
@@ -78,6 +81,7 @@ def main() -> None:
         min_lm_score6=args.min_lm_score6,
         line_dedup=args.line_dedup,
         dsir_top_k=args.dsir_top_k,
+        decon_verbatim_ngram=args.decon_verbatim_ngram,
         group_cap=args.group_cap,
         group_cap_col=args.group_cap_col,
         pack_capacity=args.pack_capacity,
