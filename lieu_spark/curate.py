@@ -429,7 +429,9 @@ def curate(
         decon = filtered
         walls["decontaminated"] = 0.0
         if funnel is not None:
-            if cfg.min_lm_score6 is not None:
+            if cfg.dsir_top_k is not None:
+                src = "dsir_selected"
+            elif cfg.min_lm_score6 is not None:
                 src = "lm_gate"
             elif cfg.line_dedup:
                 src = "line_deduped"

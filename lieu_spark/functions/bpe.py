@@ -106,14 +106,29 @@ def train_bpe(
             .select(F.lit(step).alias("step"), "w1", "w2", "pair_count")
         )
         merges.append(m)
-        vocab = vocab.crossJoin(F.broadcast(m.select("w1", "w2"))).select(
-            "word",
-            "cnt",
-            F.replace(
-                F.col("seq"),
-                F.concat(F.lit(" "), F.col("w1"), F.lit("  "), F.col("w2"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("w1"), F.col("w2"), F.lit(" ")),
-            ).alias("seq"),
+        # LEFT join on a constant key, not crossJoin: if the corpus runs
+        # out of pairs before n_merges, the argmax frame is EMPTY and a
+        # crossJoin would silently wipe the whole vocab table (and every
+        # later step); the left join leaves seq untouched instead.
+        mk = m.select("w1", "w2").withColumn("__k", F.lit(1))
+        vocab = (
+            vocab.withColumn("__k", F.lit(1))
+            .join(F.broadcast(mk), "__k", "left")
+            .select(
+                "word",
+                "cnt",
+                F.when(F.col("w1").isNull(), F.col("seq"))
+                .otherwise(
+                    F.replace(
+                        F.col("seq"),
+                        F.concat(
+                            F.lit(" "), F.col("w1"), F.lit("  "), F.col("w2"), F.lit(" ")
+                        ),
+                        F.concat(F.lit(" "), F.col("w1"), F.col("w2"), F.lit(" ")),
+                    )
+                )
+                .alias("seq"),
+            )
         )
     out = merges[0]
     for m in merges[1:]:

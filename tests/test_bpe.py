@@ -46,8 +46,11 @@ def test_bpe_greedy_back_to_back_merges(spark):
     assert got[0] == ("a", "b")
     seg = {r.word: r.seq for r in vocab.collect()}
     assert seg["abab"].split() == ["ab", "ab"]
-    if got[1] == ("a", "a"):
-        assert seg["aaa"].split() == ["aa", "a"]
+    # step 2 is a tie — (ab,ab) count 2 vs (a,a) count 2 — and the
+    # (w1, w2) ascending tie-break makes (a,a) win deterministically,
+    # so the left-to-right non-overlap property is always exercised.
+    assert got[1] == ("a", "a")
+    assert seg["aaa"].split() == ["aa", "a"]
 
 
 def test_bpe_argmax_tiebreak_deterministic(spark):
@@ -74,6 +77,19 @@ def test_bpe_token_counts_oov_fallback_and_empty(spark):
     assert got[1] == (seg["hello"] + seg["world"], 2)
     assert got[2] == (3, 1)  # OOV 'zzz' falls back to char count
     assert got[3] == (0, 0)  # empty doc visible
+
+
+def test_bpe_pair_exhaustion_keeps_vocab(spark):
+    # n_merges beyond the corpus's supply of pairs: the exhausted steps
+    # have an EMPTY argmax frame, which must leave the vocab table
+    # untouched (a crossJoin there would wipe it to zero rows) and emit
+    # no merge rows for those steps.
+    docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
+    merges, vocab = train_bpe(docs, n_merges=4)
+    got = [(r.step, r.w1, r.w2, r.pair_count) for r in merges.orderBy("step").collect()]
+    assert got == [(1, "a", "b", 3)]
+    rows = vocab.collect()
+    assert [(r.word, r.cnt, r.seq) for r in rows] == [("ab", 3, " ab ")]
 
 
 def test_bpe_min_word_count_prunes_hapax(spark):
