@@ -286,10 +286,13 @@ def curate(
                 ),
             )
             new_text = dedupe_lines_text(lined)
+            # trim: blank lines are dedup-exempt, so a doc whose every
+            # NON-blank line was seen earlier rebuilds to separators
+            # only — that's an empty doc for the funnel's purposes
             return (
                 src_filtered.drop("text", "n_tokens")
                 .join(new_text, "doc_id")
-                .filter(F.length(F.col("text")) > 0)
+                .filter(F.length(F.trim(F.col("text"))) > 0)
                 .select(
                     "doc_id",
                     "text",

@@ -50,18 +50,29 @@ def kept_lines(
     """The surviving occurrences ``(id_col, line_idx, line)`` of a
     corpus-wide first-occurrence line dedup: a line occurrence survives
     iff it IS the global ``min(struct(id, line_idx))`` for its distinct
-    line value."""
-    occ = lined.withColumn("__line_key", F.md5(F.col("line")))
+    line value.
+
+    Blank lines (empty after trim) are EXEMPT and always survive: an
+    empty line is paragraph structure, not boilerplate — deduping it
+    corpus-wide would strip every paragraph separator except one global
+    first occurrence. The exemption also keeps blank occurrences out of
+    the dedup shuffle entirely (they'd otherwise be the hottest key in
+    the corpus)."""
+    blank = F.trim(F.col("line")) == F.lit("")
+    occ = lined.filter(~blank).withColumn("__line_key", F.md5(F.col("line")))
     firsts = occ.groupBy("__line_key").agg(
         F.min(F.struct(F.col(id_col), F.col("line_idx"))).alias("__first")
     )
-    return (
+    survivors = (
         occ.join(firsts, "__line_key")
         .filter(
             (F.col(id_col) == F.col(f"__first.{id_col}"))
             & (F.col("line_idx") == F.col("__first.line_idx"))
         )
         .select(id_col, "line_idx", "line")
+    )
+    return survivors.unionByName(
+        lined.filter(blank).select(id_col, "line_idx", "line")
     )
 
 

@@ -1328,12 +1328,15 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 # C4-style line dedup: DuckDB re-derives the WHOLE chain from the raw
-# text — the 12-word chunking, the planted per-(doc_id % 7) footer line,
-# first-occurrence ranking over (doc_id, position), and the sha256 of
-# the reassembled kept text in original order. The Spark side keys the
-# shuffle on md5(line) (fixed-width key) but keeps the same first-
-# occurrence semantics, so the kept_sha witness must agree byte-for-
-# byte; the left join keeps a fully-deduped doc visible as n_kept = 0.
+# text — the 12-word chunking, the planted blank separator + per-
+# (doc_id % 7) footer line, first-occurrence ranking over (doc_id,
+# position), and the sha256 of the reassembled kept text in original
+# order. Blank (trim-empty) lines are EXEMPT from dedup on both sides —
+# paragraph structure, not boilerplate — so every doc keeps its planted
+# separator. The Spark side keys the shuffle on md5(line) (fixed-width
+# key) but keeps the same first-occurrence semantics, so the kept_sha
+# witness must agree byte-for-byte; the left join keeps a fully-deduped
+# doc visible as n_kept = 0.
 ORACLE["line_dedup"] = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 built AS (
@@ -1341,7 +1344,7 @@ built AS (
     list_transform(
       generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
       i -> array_to_string(words[12*i+1:12*i+12], ' ')),
-    ['footer boilerplate ' || CAST(doc_id % 7 AS VARCHAR)]
+    ['', 'footer boilerplate ' || CAST(doc_id % 7 AS VARCHAR)]
   ) AS lines FROM w
 ),
 lined AS (
@@ -1362,7 +1365,7 @@ tot AS (
 reb AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
          sha256(string_agg(line, chr(10) ORDER BY i)) AS kept_sha
-  FROM ranked WHERE rn = 1 GROUP BY doc_id
+  FROM ranked WHERE rn = 1 OR trim(line) = '' GROUP BY doc_id
 )
 SELECT t.doc_id, t.n_lines,
        coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,

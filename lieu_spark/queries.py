@@ -1012,11 +1012,13 @@ def q_global_cap(spark, sf_dir):
 
 def lined_docs(spark, sf_dir, words_per_line: int = 12, footer_mod: int = 7):
     """documents reshaped into a (doc_id, lines) view: the raw
-    space-separated text chunked into 12-word lines, plus one shared
-    footer line ``footer boilerplate <doc_id % 7>`` — ~1/7 of the corpus
-    shares each footer, so line dedup must keep exactly the first
-    occurrence and drop the rest. Both engines derive the identical
-    lines from the raw text (no export channel needed)."""
+    space-separated text chunked into 12-word lines, then one BLANK
+    separator line (every doc shares it — exercises the blank-line
+    dedup exemption), then one shared footer line ``footer boilerplate
+    <doc_id % 7>`` — ~1/7 of the corpus shares each footer, so line
+    dedup must keep exactly the first occurrence and drop the rest
+    while every blank separator survives. Both engines derive the
+    identical lines from the raw text (no export channel needed)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.withColumn("__words", F.split(F.col("text"), " "))
     d = d.withColumn(
@@ -1032,7 +1034,9 @@ def lined_docs(spark, sf_dir, words_per_line: int = 12, footer_mod: int = 7):
         F.lit("footer boilerplate "),
         (F.col("doc_id") % footer_mod).cast("string"),
     )
-    return d.select("doc_id", F.concat(body, F.array(footer)).alias("lines"))
+    return d.select(
+        "doc_id", F.concat(body, F.array(F.lit(""), footer)).alias("lines")
+    )
 
 
 def q_line_dedup(spark, sf_dir):

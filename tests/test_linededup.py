@@ -49,6 +49,27 @@ def test_dedupe_lines_within_doc_repeat(spark):
     assert row["kept_sha"] == _sha("x\ny")
 
 
+def test_dedupe_lines_blank_lines_exempt(spark):
+    # blank (trim-empty) lines are paragraph structure, not boilerplate:
+    # every occurrence survives, including repeats inside one doc and
+    # across docs — only the non-blank "shared" line dedupes.
+    docs = spark.createDataFrame(
+        [
+            (1, ["p1", "", "shared", "  ", "p2"]),
+            (2, ["q1", "", "shared", "q2"]),
+        ],
+        "doc_id long, lines array<string>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedupe_lines(explode_lines(docs)).collect()
+    }
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 5
+    assert out[1]["kept_sha"] == _sha("p1\n\nshared\n  \np2")
+    assert out[2]["n_lines"] == 4 and out[2]["n_kept"] == 3
+    assert out[2]["kept_sha"] == _sha("q1\n\nq2")
+
+
 def test_normalize_template_collapses_digits_case_ws(spark):
     df = spark.createDataFrame(
         [("Run 42:  alpha  beta 7x",), ("run : alpha beta x",)],
