@@ -232,8 +232,22 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     LAZY broadcast 1-row aggregate (no action at plan time), integer-
     scaled scores so the DuckDB twin is value-exact. Docs with fewer
     than two tokens have no bigrams and drop out (the twin mirrors
-    this). Scale shape: two hash aggregations over the bigram stream +
-    one join back — linear, skew-free (bigram keys are near-uniform).
+    this).
+
+    Scale shape: the occurrence stream is FIRST reduced to per-(doc,
+    w1, w2) counts — one map-side-combinable hash agg, the only
+    exchange that sees the corpus — and everything else derives from
+    it: bc = sum over docs (same exchange subtree, reused), cc = sum
+    over w2 of bc (model-vocab-sized), and the join back is one equi-
+    join on the composite (w1, w2) key whose distribution is near-
+    uniform. Nothing ever joins the doc-level stream on the bare w1
+    key (the hot-stopword skew axis — 'the' as a join key would hash
+    every occurrence in the corpus to one reducer). The per-doc score
+    is the k-weighted mean, identical to the per-occurrence mean:
+    score6 is an exact integer per distinct bigram, and both engines'
+    double accumulations of |score6| <= ~2e7 over <= ~1e6-bigram docs
+    stay under 2^53, so round() agrees bit-for-bit with the twin's
+    avg-over-occurrences.
     """
     toks = docs.select(
         F.col(id_col).alias(id_col), tokenize(F.col(text_col)).alias("toks")
@@ -248,24 +262,30 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    cc = big.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    dwc = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k"))
+    bc = dwc.groupBy("w1", "w2").agg(F.sum("k").alias("c"))
+    cc = bc.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
     vocab = toks.select(F.explode("toks").alias("t")).agg(
         F.countDistinct("t").cast("double").alias("_v")
     )
-    scored = (
-        big.join(bc, ["w1", "w2"])
-        .join(cc, "w1")
+    model = (
+        bc.join(cc, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "score6",
+        .select(
+            "w1",
+            "w2",
             F.round(
                 F.log((F.col("c") + F.lit(1.0)) / (F.col("c_ctx") + F.col("_v")))
                 * 1e6
-            ).cast("long"),
+            )
+            .cast("long")
+            .alias("score6"),
         )
     )
+    scored = dwc.join(model, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("score6")).cast("long").alias("lm_score6"),
+        F.sum("k").alias("n_bigrams"),
+        F.round(F.sum(F.col("k") * F.col("score6")) / F.sum("k"))
+        .cast("long")
+        .alias("lm_score6"),
     )

@@ -33,17 +33,20 @@ BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 # reference regexes (coordinates.py:27-34), Java-dialect twins. The
 # DMS body accepts degrees + optional minutes/seconds with their unit
-# marks; direction letter optional.
+# marks; direction letter optional. The reference compiles every one
+# with re.I, so uppercase unit marks ('40D30M15S') parse — the inline
+# (?i) is the Java spelling of that flag (the marks are ASCII, so
+# ASCII-only case folding is exact parity).
 _LAT_DMS = (
-    r"^(-?[0-9]{1,2})[ ]*[ :°ºd][ ]*([0-5]?[0-9])?[ ]*[:'′m]?"
+    r"(?i)^(-?[0-9]{1,2})[ ]*[ :°ºd][ ]*([0-5]?[0-9])?[ ]*[:'′m]?"
     r"[ ]*([0-5]?[0-9](?:\.\d+)?)?[ ]*[:?\"″s]?[ ]*(N|n|S|s)?$"
 )
 _LON_DMS = (
-    r"^(-?1[0-8][0-9]|0?[0-9]{1,2})[ ]*[ :°ºd][ ]*([0-5]?[0-9])?[ ]*[:'′m]?"
+    r"(?i)^(-?1[0-8][0-9]|0?[0-9]{1,2})[ ]*[ :°ºd][ ]*([0-5]?[0-9])?[ ]*[:'′m]?"
     r"[ ]*([0-5]?[0-9](?:\.\d+)?)?[ ]*[:?\"″s]?[ ]*(E|e|W|w)?$"
 )
-_LAT_DIR = r"^(-?[0-9][0-9](?:\.[0-9]+))[ ]*[ :°ºd]?[ ]*(N|n|S|s)$"
-_LON_DIR = r"^(-?1[0-8][0-9]|0?[0-9][0-9](?:\.[0-9]+))[ ]*[ :°ºd]?[ ]*(E|e|W|w)$"
+_LAT_DIR = r"(?i)^(-?[0-9][0-9](?:\.[0-9]+))[ ]*[ :°ºd]?[ ]*(N|n|S|s)$"
+_LON_DIR = r"(?i)^(-?1[0-8][0-9]|0?[0-9][0-9](?:\.[0-9]+))[ ]*[ :°ºd]?[ ]*(E|e|W|w)$"
 
 
 def _sign(direction: Column) -> Column:

@@ -1869,14 +1869,23 @@ def _geo_coord_strings(d):
     dm = F.pmod(F.col("doc_id") * 7, F.lit(60))
     ds = F.pmod(F.col("doc_id") * 13, F.lit(60))
 
+    # half the DMS rows use the unicode marks, half uppercase D/M/S —
+    # the reference parses both (its regexes compile with re.I), so the
+    # fixture exercises the case-insensitive twin; the oracle derives
+    # the expected decimal from doc_id arithmetic either way
+    upper_marks = F.pmod(F.col("doc_id"), F.lit(8)) >= 4
+
     def dms(neg, pos_c, neg_c):
+        def mark(uni, asc):
+            return F.when(upper_marks, F.lit(asc)).otherwise(F.lit(uni))
+
         return F.concat(
             dd.cast("string"),
-            F.lit("°"),
+            mark("°", "D"),
             dm.cast("string"),
-            F.lit("′"),
+            mark("′", "M"),
             ds.cast("string"),
-            F.lit("″"),
+            mark("″", "S"),
             F.when(neg, F.lit(neg_c)).otherwise(F.lit(pos_c)),
         )
 

@@ -102,6 +102,12 @@ def test_parse_latlon_reference_cases(spark):
         ("45.0", "200.0"),
         ("90", "-180"),
         ("garbage", "junk"),
+        # uppercase unit marks: the reference compiles its DMS and
+        # decimal-with-direction regexes with re.I, so 'D'/'M'/'S'
+        # parse identically to '°'/'′'/'″' (the bare fallback would
+        # otherwise strip the trailing S and return 40.0/garbage)
+        ("40D30M15S", "74D00M21SW"),
+        ("40.74D N", "74.001D W"),
     ]
     df = spark.createDataFrame(cases, ["lat_s", "lon_s"])
     got = [
@@ -121,6 +127,8 @@ def test_parse_latlon_reference_cases(spark):
         (45.0, -160.0),  # lon wrapped into (-180, 180]
         (89.9999, 180.0),  # lat clamped, -180 wraps to +180
         None,
+        (round(40 + 30 / 60 + 15 / 3600, 9), round(-(74 + 21 / 3600), 9)),
+        (40.74, -74.001),
     ]
 
 
