@@ -207,7 +207,17 @@ def curate(
         if store is not None:
             df = store.save(spark, name, df, fp)
         elif cache or eager:
-            df = df.persist()
+            # localCheckpoint, NOT bare persist: funnel stages reference
+            # their predecessor 2-3x (filtered ⋈ scores(filtered), the
+            # dsir self-join), so with persist alone the LOGICAL plan
+            # doubles per stage and Catalyst analysis OOMs the driver
+            # once enough optional stages are enabled (measured: lm_gate
+            # + dsir_top_k at sf0.001 exhausted an 8g heap before any
+            # data moved). Checkpointing truncates the plan to the
+            # materialized RDD; blocks are non-resilient to executor
+            # loss, which is the documented cache-mode trade — store
+            # mode (parquet round-trip) stays the production path.
+            df = df.localCheckpoint(eager=False)
         elif metrics_dir is not None:
             df = df.persist(StorageLevel.DISK_ONLY)
         if eager:

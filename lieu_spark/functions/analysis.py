@@ -11,6 +11,7 @@ driver's value-hash comparison exact across engines.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -235,12 +236,17 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     this).
 
     Scale shape: the occurrence stream is FIRST reduced to per-(doc,
-    w1, w2) counts — one map-side-combinable hash agg, the only
-    exchange that sees the corpus — and everything else derives from
-    it: bc = sum over docs (same exchange subtree, reused), cc = sum
-    over w2 of bc (model-vocab-sized), and the join back is one equi-
-    join on the composite (w1, w2) key whose distribution is near-
-    uniform. Nothing ever joins the doc-level stream on the bare w1
+    w1, w2) counts — one map-side-combinable hash agg — and the result
+    is PERSISTED: dwc feeds three consumers (bc, cc via bc, the probe
+    side of the score join) and Catalyst's exchange reuse does NOT
+    unify them (column pruning gives each subtree a different output
+    list, so the canonical plans differ — measured: 4 corpus scans,
+    0 ReusedExchange without the persist; 2 scans with it, the other
+    being the cheap vocab pass). MEMORY_AND_DISK keeps lineage so a
+    lost executor recomputes instead of failing the job. bc = sum over
+    docs, cc = sum over w2 of bc (model-vocab-sized), and the join
+    back is one equi-join on the composite (w1, w2) key whose
+    distribution is near-uniform. Nothing ever joins the doc-level stream on the bare w1
     key (the hot-stopword skew axis — 'the' as a join key would hash
     every occurrence in the corpus to one reducer). The per-doc score
     is the k-weighted mean, identical to the per-occurrence mean:
@@ -262,7 +268,9 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    dwc = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k"))
+    dwc = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bc = dwc.groupBy("w1", "w2").agg(F.sum("k").alias("c"))
     cc = bc.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
     vocab = toks.select(F.explode("toks").alias("t")).agg(

@@ -22,6 +22,7 @@ tokens count more than shared boilerplate).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,16 +51,26 @@ def tfidf_scores(
     # the full upstream lineage before the real job runs (and in
     # streaming foreachBatch it would fire per micro-batch).
     n = docs_tokens.agg(F.count("*").cast("double").alias("_n_docs"))
+    # one explode pass, persisted: tf has exactly one row per distinct
+    # (doc, token), so df = count per token over tf IS the distinct-doc
+    # frequency — no second explode of the corpus (doc_frequencies
+    # stays for standalone callers). scored is persisted too because it
+    # feeds both the norm aggregation and the final join, and exchange
+    # reuse does not unify differently-pruned subtrees (measured on the
+    # bigram-LM chain: 4 corpus scans, 0 ReusedExchange).
     tf = (
         docs_tokens.select(id_col, F.explode("tokens").alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    df = doc_frequencies(docs_tokens, id_col).filter(F.col("df") >= min_df)
+    df = tf.groupBy("token").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
     scored = tf.join(df, "token").crossJoin(F.broadcast(n)).withColumn(
         "score",
         F.log(F.col("tf") + 1.0) * F.log(F.col("_n_docs") / F.col("df")),
-    ).drop("_n_docs")
+    ).drop("_n_docs").persist(StorageLevel.MEMORY_AND_DISK)
     norms = scored.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("l2"),
         F.count("*").alias("n_tokens_distinct"),
@@ -305,11 +316,19 @@ def information_gain(
       no co-occurrences at all -> ig(w) = -log2(p(w))
     """
     toks = docs_tokens.select(id_col, F.array_distinct("tokens").alias("toks"))
+    # marg feeds m / pw / pc / the lonely anti-join and pairs feeds the
+    # n scalar + the joint probe: both are persisted post-aggregation
+    # (vocab- and vocab-pair-bounded) so the corpus explodes — in
+    # pairs' case the |toks|^2 per-doc pair stream, the dominant cost —
+    # run exactly once instead of once per consumer (exchange reuse
+    # does not unify differently-pruned subtrees; measured on the
+    # bigram-LM chain).
     marg = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # totals as lazy broadcast scalars (coalesce(,1) guards the empty
     # corpus) — no driver-side action during plan construction
@@ -322,6 +341,7 @@ def information_gain(
         .filter(F.col("w") != F.col("c"))
         .groupBy("w", "c")
         .agg(F.count("*").alias("co"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = pairs.agg(
         F.coalesce(F.sum("co"), F.lit(1)).cast("double").alias("_n_total")
@@ -384,10 +404,12 @@ def dsir_logweights(
 
     Bucket hashing is md5-based (same recipe as sampling.hash_bucket,
     salt-domain-separated) so DuckDB re-derives every bucket. Scale
-    shape: one hash agg over the feature stream for the (ct, cr) bucket
-    table (m-bounded -> broadcast), one hash agg on (doc, bucket),
-    totals as a lazy broadcast 1-row agg — linear, skew-free (buckets
-    are near-uniform by construction), no window, no global sort.
+    shape: ONE map-side-combinable hash agg reduces the occurrence
+    stream to persisted per-(doc, bucket) counts; the (ct, cr) bucket
+    model (m-bounded -> broadcast) and the doc scores both derive from
+    that cache, so the corpus is tokenized exactly once; totals are a
+    lazy broadcast 1-row agg — linear, skew-free (buckets are
+    near-uniform by construction), no window, no global sort.
     Zero-token docs stay visible with n_feats = 0, logw6 = 0.
     """
     from .text import tokenize
@@ -423,9 +445,21 @@ def dsir_logweights(
             F.lit(m),
         ),
     )
-    cnt = feats.groupBy("__bkt").agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
+    # reduce the occurrence stream to per-(doc, bucket) counts ONCE and
+    # persist: both the bucket model (cnt) and the doc scores (per_doc)
+    # derive from dbc, and without the persist each consumer re-runs
+    # the tokenize + explode pass over the whole corpus (exchange reuse
+    # does not unify them — column pruning gives the subtrees different
+    # canonical plans; same measured failure as bigram_lm_scores).
+    # __tgt is per-doc constant so grouping by it adds no keys.
+    dbc = (
+        feats.groupBy(id_col, "__tgt", "__bkt")
+        .agg(F.count("*").alias("__c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cnt = dbc.groupBy("__bkt").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), F.col("__c")).otherwise(0)).alias("cr"),
     )
     tot = cnt.agg(
         F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("_nt"),
@@ -444,9 +478,7 @@ def dsir_logweights(
         .alias("delta6"),
     )
     per_doc = (
-        feats.groupBy(id_col, "__bkt")
-        .agg(F.count("*").alias("__c"))
-        .join(F.broadcast(wt), "__bkt")
+        dbc.join(F.broadcast(wt), "__bkt")
         .groupBy(id_col)
         .agg(
             F.sum("__c").cast("long").alias("n_feats"),
