@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,7 +139,16 @@ def semantic_dedup_flags(
     w = Window.partitionBy(*part_keys).orderBy(
         F.col("cent_cos6").desc(), F.col("id").asc()
     )
-    ranked = asg.withColumn("rnk", F.row_number().over(w))
+    # persisted: ranked feeds THREE consumers (lhs, rhs, the final
+    # keep-flag join) and its lineage includes the pandas-UDF
+    # centroid-cosine pass over every embedding when assignments comes
+    # straight from semantic_cells — without the persist that UDF pass
+    # runs once per consumer (exchange reuse does not unify the
+    # differently-pruned subtrees). Narrow frame: (id, cell, cent_cos6
+    # [, sub], rnk).
+    ranked = asg.withColumn("rnk", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     base = embeddings.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
@@ -173,7 +183,7 @@ def semantic_dedup_flags(
         .distinct()
     )
     return (
-        asg.join(dropped.withColumn("dropped", F.lit(1)), "id", "left")
+        ranked.join(dropped.withColumn("dropped", F.lit(1)), "id", "left")
         .select(
             "id",
             "cell",
