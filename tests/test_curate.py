@@ -396,3 +396,47 @@ def test_verbatim_ngram_decon_stage(spark):
     # is still removed (doc 400 contains a holdout... different holdout
     # here, so just check the verbatim cfg removed exactly one more)
     assert d0 - d1 == {500}
+
+
+def test_maximal_config_funnel_all_stages(spark):
+    """Every optional stage enabled at once — the composition that
+    exploded before curate's stage() truncated lineage per stage
+    (persist-only plans double per stage because stages reference
+    their predecessor 2-3x; with lm_gate + dsir both on, Catalyst
+    ANALYSIS exhausted an 8g driver heap before any data moved).
+    Asserts the full 12-stage funnel builds, runs eager, and emits a
+    monotone funnel with every stage key present."""
+    docs = _docs(spark)
+    target = docs.filter(F.col("doc_id") < 5)
+    cfg = CurateConfig(
+        pack_capacity=64,
+        pack_nshards=2,
+        line_dedup=True,
+        min_lm_score6=-100_000_000_000,  # gate on, rejects nothing
+        dsir_top_k=1000,  # selection on, larger than the corpus
+        decon_verbatim_ngram=13,
+        group_cap=1000,
+        group_cap_col="lang",
+        mixture_rates={"en": 1.0},
+        shuffle_salt="stress",
+    )
+    res = curate(
+        spark, docs, cfg, holdout=_holdout(spark), eager=True,
+        dsir_target=target,
+    )
+    expected = [
+        "annotated", "filtered", "line_deduped", "lm_gate",
+        "dsir_selected", "decontaminated", "splits", "kept",
+        "capped", "mixed", "packed", "ordered",
+    ]
+    assert [k for k in res.funnel if k in expected] == expected
+    assert res.funnel["annotated"] == docs.count()
+    # permissive thresholds: nothing drops between the optional gates
+    assert res.funnel["lm_gate"] == res.funnel["line_deduped"]
+    assert res.funnel["dsir_selected"] == res.funnel["lm_gate"]
+    assert res.funnel["capped"] == res.funnel["kept"]
+    assert res.funnel["packed"] >= 1
+    # the shuffle stage is sequence-atomic: ordered == packed
+    assert res.funnel["ordered"] == res.funnel["packed"]
+    cols = set(res.packed.columns)
+    assert {"order_shard", "order_pos"} <= cols
