@@ -324,3 +324,37 @@ def test_geo_blocking_is_shuffle_free_projection(spark):
     )
     plan = plan_of(q)
     assert "Exchange" not in plan, "parse+encode must not shuffle"
+
+
+def test_multi_consumer_frames_are_cached_in_plan(spark):
+    """End-r4 plan-shape guard: chains whose reduced frame feeds 2+
+    differently-pruned consumers must show the persisted frame as an
+    InMemoryRelation in the plan — Catalyst exchange reuse does NOT
+    unify differently-pruned subtrees (measured on the bigram-LM chain:
+    4 corpus scans, 0 ReusedExchange without the persist), so losing
+    the persist silently multiplies the corpus tokenize+explode passes
+    per consumer."""
+    from lieu_spark.functions.analysis import bigram_lm_scores
+    from lieu_spark.functions.text import tokenize
+    from lieu_spark.functions.weighting import (
+        dsir_logweights,
+        information_gain,
+        tfidf_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dt = docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+
+    for name, df in [
+        ("bigram_lm", bigram_lm_scores(docs)),
+        ("dsir", dsir_logweights(docs, F.pmod(F.col("doc_id"), F.lit(5)) == 0)),
+        ("tfidf", tfidf_scores(dt)),
+        ("information_gain", information_gain(dt)),
+    ]:
+        plan = plan_of(df)
+        assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, (
+            name,
+            plan[:2000],
+        )
