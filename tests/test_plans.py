@@ -347,11 +347,16 @@ def test_multi_consumer_frames_are_cached_in_plan(spark):
     )
     dt = docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
 
+    from lieu_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
     for name, df in [
         ("bigram_lm", bigram_lm_scores(docs)),
         ("dsir", dsir_logweights(docs, F.pmod(F.col("doc_id"), F.lit(5)) == 0)),
         ("tfidf", tfidf_scores(dt)),
         ("information_gain", information_gain(dt)),
+        ("semdedup", semantic_dedup(emb)),
     ]:
         plan = plan_of(df)
         assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan, (
