@@ -60,6 +60,11 @@ def main() -> None:
     ap.add_argument("--group-cap", type=int, default=None,
                     help="set to cap kept docs per --group-cap-col value")
     ap.add_argument("--group-cap-col", default="lang")
+    ap.add_argument("--mixture-rates", default=None,
+                    help="data-mixing rates for the kept corpus as "
+                         "'group=rate,group=rate' (e.g. 'en=0.9,de=1.0')")
+    ap.add_argument("--mixture-group-col", default="lang")
+    ap.add_argument("--mixture-default-rate", type=float, default=1.0)
     ap.add_argument("--pack-capacity", type=int, default=2048)
     ap.add_argument("--pack-nshards", type=int, default=64)
     ap.add_argument("--split-salt", default="curate")
@@ -84,6 +89,16 @@ def main() -> None:
         decon_verbatim_ngram=args.decon_verbatim_ngram,
         group_cap=args.group_cap,
         group_cap_col=args.group_cap_col,
+        mixture_rates=(
+            {
+                k: float(v)
+                for k, v in (p.split("=", 1) for p in args.mixture_rates.split(","))
+            }
+            if args.mixture_rates
+            else None
+        ),
+        mixture_group_col=args.mixture_group_col,
+        mixture_default_rate=args.mixture_default_rate,
         pack_capacity=args.pack_capacity,
         pack_nshards=args.pack_nshards,
         split_salt=args.split_salt,
