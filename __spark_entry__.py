@@ -542,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbatim_13gram_decon": Q.q_verbatim_13gram_decon,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,
+        "token_budget_select": Q.q_token_budget_select,
+        "chunk_documents": Q.q_chunk_documents,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

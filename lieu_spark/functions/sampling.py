@@ -214,6 +214,116 @@ def global_cap(
     return cap_per_group(tagged, "__const", id_col, k, salt).drop("__const")
 
 
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact deterministic best-first selection under a token budget —
+    the "keep the highest-quality documents until we have T training
+    tokens" step of corpus assembly (the selection rule FineWeb-Edu-style
+    classifier filtering applies after scoring). Keeps the maximal
+    PREFIX of the corpus ordered by ``(score DESC, hash_bucket(id,salt)
+    ASC, id ASC)`` whose cumulative ``weight`` (token count) stays
+    <= ``budget`` — the first document that would cross the budget is
+    dropped along with everything ranked after it, so the selection at
+    budget T1 < T2 is a prefix of the selection at T2 (same salt) and
+    membership is reproducible across runs, partitionings, and engines.
+
+    Scale shape — NOT a global sort. Sorting a 100 TB corpus by score
+    to take a prefix would range-shuffle everything; instead the
+    boundary is located twice at aggregate level (the ``cap_per_group``
+    recipe, weighted):
+
+      1. per-score-class weight sums — map-side combinable, one row per
+         DISTINCT score (scores here are quantized score6 longs, so the
+         class table is <= ~1e6 rows regardless of corpus size);
+         cumulative over score DESC finds the boundary class s* where
+         the running token total crosses ``budget``. Classes above s*
+         pass whole with NO per-row ranking; classes below are dropped
+         at the scan.
+      2. inside s* (the only class whose rows are touched
+         individually): per-md5-bucket weight sums, cumulative over
+         bucket ASC finds the boundary bucket b'; buckets below b' pass
+         whole, and only b' itself (~class_size/1e6 rows) takes a
+         per-row running sum ordered by id.
+
+    So the expensive total order touches ~class/1e6 rows, never the
+    corpus. ``score_col`` must be a non-null integer-quantized score
+    (the repo's score6 convention — quantize continuous scores first or
+    the class table degenerates toward one row per doc); ``weight_col``
+    must be non-null and >= 0 (token counts); ``id_col`` values must be
+    unique. Both aggregate cumulations run as single-partition windows
+    over the TINY class/bucket tables (bounded by distinct-score count
+    and 1e6 respectively), never over data."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    dfb = (
+        df.withColumn("__s", F.col(score_col).cast("long"))
+        .withColumn("__w", F.col(weight_col).cast("long"))
+        .withColumn("__b", hash_bucket(F.col(id_col), salt))
+    )
+    keep_cols = [F.col(c) for c in df.columns]
+
+    # level 1: score classes, descending.
+    cls = dfb.groupBy("__s").agg(F.sum("__w").alias("__sw"))
+    cum = cls.withColumn(
+        "__cum", F.sum("__sw").over(Window.orderBy(F.col("__s").desc()))
+    )
+    # boundary class = highest score whose running total crosses the
+    # budget (absent when the whole corpus fits); __rem = budget left
+    # for the boundary class itself.
+    bound = cum.filter(F.col("__cum") > budget).agg(
+        F.max("__s").alias("__sstar"),
+        F.max_by(F.lit(budget) - (F.col("__cum") - F.col("__sw")), "__s").alias(
+            "__rem"
+        ),
+    )
+    joined = dfb.join(F.broadcast(bound), how="cross")
+    above = joined.filter(
+        F.col("__sstar").isNull() | (F.col("__s") > F.col("__sstar"))
+    ).select(*keep_cols)
+
+    # level 2: inside the boundary class, order (__b ASC, id ASC).
+    at_cls = joined.filter(F.col("__s") == F.col("__sstar"))
+    bcls = at_cls.groupBy("__b", "__rem").agg(F.sum("__w").alias("__bw"))
+    bcum = bcls.withColumn(
+        "__bcum", F.sum("__bw").over(Window.orderBy(F.col("__b")))
+    )
+    bbound = bcum.filter(F.col("__bcum") > F.col("__rem")).agg(
+        F.min("__b").alias("__bstar"),
+        F.min_by(F.col("__rem") - (F.col("__bcum") - F.col("__bw")), "__b").alias(
+            "__rem2"
+        ),
+    )
+    j2 = at_cls.join(F.broadcast(bbound), how="cross")
+    below_b = j2.filter(
+        F.col("__bstar").isNull() | (F.col("__b") < F.col("__bstar"))
+    ).select(*keep_cols)
+    # only the boundary bucket takes a per-row running sum; weights are
+    # >= 0 so the running sum is monotone and `<= __rem2` IS the
+    # maximal prefix (a crossing doc blocks everything ranked after it).
+    at_b = (
+        j2.filter(F.col("__b") == F.col("__bstar"))
+        .withColumn(
+            "__run",
+            F.sum("__w").over(
+                Window.partitionBy("__b")
+                .orderBy(F.col(id_col))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("__run") <= F.col("__rem2"))
+        .select(*keep_cols)
+    )
+    return above.unionByName(below_b).unionByName(at_b)
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, id_col: str, salt: str = ""
 ) -> DataFrame:

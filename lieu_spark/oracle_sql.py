@@ -1296,6 +1296,81 @@ r AS (
 SELECT doc_id, lang FROM r WHERE rn <= 150 ORDER BY doc_id
 """
 
+# token-budget selection: the Spark side locates the boundary score
+# class / boundary bucket at aggregate level (weighted cap_per_group
+# recipe — no global sort), which keeps exactly the maximal prefix of
+# the (quality6 DESC, md5 bucket, doc_id) order whose cumulative token
+# count stays <= the budget — so the twin is one plain window cumsum
+# over the same portable total order. The quality CTE mirrors
+# analysis.quality_score6 operation-for-operation (IEEE doubles round
+# identically — same shape as the proven _AUG_QUALITY twin).
+ORACLE["token_budget_select"] = f"""
+WITH tok AS (SELECT doc_id, coalesce(text, '') AS text, {_TOKS} AS toks FROM documents),
+qfeat AS (
+    SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS alpha6,
+       CASE WHEN length(text) > 0 THEN CAST(round(
+            CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            * 1e6 / length(text)) AS BIGINT) ELSE 0 END AS punct6,
+       CASE WHEN len(toks) > 0 THEN CAST(round(
+            CAST(len(list_filter(toks, t -> list_contains(
+                ['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+            * 1e6 / len(toks)) AS BIGINT) ELSE 0 END AS stop6
+    FROM tok
+),
+qual AS (
+    SELECT doc_id, n_tokens, CAST(round(
+        (0.3 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+         + 0.4 * (CAST(alpha6 AS DOUBLE) / 1e6)
+         + 0.3 * least(CAST(stop6 AS DOUBLE) / 1e6 * 4.0, 1.0))
+        * (1.0 - least(CAST(punct6 AS DOUBLE) / 1e6 * 2.0, 1.0)) * 1e6
+    ) AS BIGINT) AS quality6
+    FROM qfeat
+),
+b AS (
+    SELECT doc_id, quality6, n_tokens,
+           CAST(concat('0x', substr(md5('tb' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000 AS bkt
+    FROM qual
+),
+r AS (
+    SELECT doc_id, quality6, n_tokens,
+           sum(n_tokens) OVER (ORDER BY quality6 DESC, bkt ASC, doc_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM b
+)
+SELECT doc_id, quality6, n_tokens FROM r WHERE cum <= 12000 ORDER BY doc_id
+"""
+
+# sliding-window chunking: both engines derive chunk counts from the
+# same exact-integer formula (HF convention: 1 window if the doc fits,
+# else ceil((n - max)/step) + 1), and the window text from the shared
+# tokenizer twin — DuckDB's 1-based inclusive list slice toks[s+1:s+32]
+# is exactly Spark's slice(toks, s+1, 32) (both clamp at the end).
+ORACLE["chunk_documents"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tok
+      WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks,
+             CAST(CASE WHEN n <= 32 THEN 1
+                  ELSE (n - 32 + 23) // 24 + 1 END AS BIGINT) AS c
+      FROM n),
+ch AS (SELECT doc_id, toks, unnest(generate_series(0, c - 1)) AS chunk_idx
+       FROM c)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+       CAST(len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+           AS chunk_text
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
 # bigram-LM quality scoring: DuckDB re-derives the full chain — bigram
 # stream, bigram/context counts, vocabulary size, Laplace-smoothed ln
 # scores (integer-scaled per the repo convention), per-doc average —

@@ -1010,6 +1010,48 @@ def q_global_cap(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_token_budget_select(spark, sf_dir):
+    """Exact deterministic best-first selection under a token budget
+    (the "keep the highest-quality docs until T training tokens" step of
+    corpus assembly): order by (quality_score6 DESC, md5 bucket, doc_id)
+    and keep the maximal prefix whose cumulative whitespace-token count
+    stays <= 12000 (~44% of the sf0.01 corpus, so the boundary score
+    class and its boundary bucket are both exercised). No global sort at
+    any scale — the boundary is located twice at aggregate level
+    (functions/sampling.token_budget_select, the weighted cap_per_group
+    recipe). DuckDB re-derives every kept row with one plain window
+    cumsum over the same portable total order."""
+    from .functions.sampling import token_budget_select
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        A.quality_score6(F.col("text")).alias("quality6"),
+        A.ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    return token_budget_select(
+        scored, "doc_id", "quality6", "n_tokens", budget=12000, salt="tb"
+    ).orderBy("doc_id")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking of over-length docs into 32-token
+    training windows with 8-token overlap (HF return_overflowing_tokens
+    convention; operators/chunking.py) — the step that runs BEFORE
+    pack_sequences so no document exceeds the model context. Docs at
+    sf0.01 span 1-99 tokens, so the query exercises single-chunk docs,
+    multi-chunk docs (up to 4 windows), and short final windows. Pure
+    Catalyst: staged tokenize + one narrow explode, no shuffle; DuckDB
+    re-derives every chunk boundary and window text from the shared
+    tokenizer twin with generate_series + list slicing."""
+    from .operators.chunking import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        d.select("doc_id", "text"), max_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def lined_docs(spark, sf_dir, words_per_line: int = 12, footer_mod: int = 7):
     """documents reshaped into a (doc_id, lines) view: the raw
     space-separated text chunked into 12-word lines, then one BLANK

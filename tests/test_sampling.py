@@ -263,3 +263,75 @@ def test_global_cap_exact_k_and_nested(spark):
     assert k20 == {i for _, i in order[:20]}
     # k beyond the corpus returns everything, no duplication
     assert global_cap(df, "doc_id", 500, "g").count() == 200
+
+
+def _budget_reference(rows, budget, salt=""):
+    """Pure-python twin of token_budget_select: maximal prefix of the
+    (score DESC, md5 bucket, id) order with cumulative weight <= budget.
+    rows = [(id, score, weight)]."""
+    order = sorted(rows, key=lambda r: (-r[1], _py_bucket(r[0], salt), r[0]))
+    kept, cum = set(), 0
+    for i, _, w in order:
+        if cum + w > budget:
+            break
+        cum += w
+        kept.add(i)
+    return kept
+
+
+def test_token_budget_select_matches_reference_and_prefix(spark):
+    from lieu_spark.functions.sampling import token_budget_select
+
+    # scores deliberately collide (i % 7) so the boundary lands INSIDE a
+    # score class and the level-2 bucket machinery does real work.
+    rows = [(i, (i * 31) % 7, 1 + (i * 13) % 20) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, w long")
+    total = sum(w for _, _, w in rows)
+    for budget in (0, 37, total // 3, total // 2, total, total + 10):
+        got = {
+            r.doc_id
+            for r in token_budget_select(
+                df, "doc_id", "score", "w", budget, "tb"
+            ).collect()
+        }
+        assert got == _budget_reference(rows, budget, "tb"), budget
+    # nesting: smaller budget selects a prefix of the larger selection
+    k1 = _budget_reference(rows, total // 3, "tb")
+    k2 = _budget_reference(rows, total // 2, "tb")
+    assert k1 <= k2
+    # full budget = passthrough
+    assert _budget_reference(rows, total, "tb") == {i for i, _, _ in rows}
+    with pytest.raises(ValueError):
+        token_budget_select(df, "doc_id", "score", "w", -1)
+
+
+def test_token_budget_select_all_one_score_and_zero_weights(spark):
+    from lieu_spark.functions.sampling import token_budget_select
+
+    # one score class: level 1 keeps nothing wholesale, the whole
+    # selection comes from the bucket boundary walk.
+    rows = [(i, 5, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, w long")
+    got = {
+        r.doc_id
+        for r in token_budget_select(df, "doc_id", "score", "w", 333, "z").collect()
+    }
+    ref = _budget_reference(rows, 333, "z")
+    assert got == ref and len(got) == 33
+    # zero-weight rows: kept for free while the running total allows,
+    # dropped once a crossing doc blocks the prefix.
+    rows2 = [(0, 9, 0), (1, 9, 5), (2, 9, 0), (3, 9, 50), (4, 9, 0), (5, 1, 0)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, score long, w long")
+    got2 = {
+        r.doc_id
+        for r in token_budget_select(df2, "doc_id", "score", "w", 10, "").collect()
+    }
+    assert got2 == _budget_reference(rows2, 10, "")
+    # partition invariance
+    got2b = {
+        r.doc_id
+        for r in token_budget_select(
+            df2.repartition(5), "doc_id", "score", "w", 10, ""
+        ).collect()
+    }
+    assert got2b == got2
