@@ -214,6 +214,94 @@ def global_cap(
     return cap_per_group(tagged, "__const", id_col, k, salt).drop("__const")
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mC4 / XLM-R recipe,
+    Conneau et al. 2020 §3.1): derive each group's keep-rate from the
+    corpus itself so the sampled mixture follows ``p_g^alpha``
+    (renormalized) instead of the raw proportions ``p_g`` — alpha < 1
+    upsamples rare groups (languages, sources) relative to dominant
+    ones, alpha = 1 is plain proportional sampling, alpha = 0 targets
+    equal counts per group. ``target_frac`` sets the expected overall
+    kept fraction; per-group rates are clamped to 1 in one shot (the
+    standard single-pass formula — mass a clamped group cannot absorb
+    is NOT redistributed; run with a smaller target_frac if exactness
+    there matters). Membership is the usual portable md5-bucket
+    threshold, so the sample is deterministic and nested in
+    ``target_frac``.
+
+    Fully distributed — unlike ``mixture_sample`` (explicit rate dict)
+    there is NO driver-side rate computation: per-group counts are one
+    map-side-combinable agg, the corpus totals are a lazy broadcast
+    1-row agg (no action during plan construction), and the per-group
+    threshold joins back via broadcast (group cardinality must be small
+    enough to broadcast — languages/sources, not URLs).
+
+    Engine-portable exactness: the rate chain avoids order-dependent
+    double sums. ``p_g^alpha`` is quantized per group FIRST
+    (``s_g = round(n_g^alpha * 1e9)`` — for the default alpha = 0.5 the
+    power is computed with sqrt, which IEEE-754 guarantees correctly
+    rounded, so both engines get the identical long; the shared
+    ``1/N^alpha`` factor cancels in the ratio and is never computed),
+    the normalizer ``S = sum(s_g)`` is an exact INTEGER sum, and the
+    final rate ``target_frac * N / n_g * s_g / S`` is evaluated in that
+    exact association order on exact inputs — bit-identical in any
+    IEEE engine. For alpha not in {0, 0.5, 1}, pow() is not guaranteed
+    correctly rounded and cross-engine bit-parity of the quantized s_g
+    is merely overwhelmingly likely, not certain."""
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in [0, 1], got {target_frac}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    nd = F.col("__n").cast("double")
+    if alpha == 0.5:
+        powed = F.sqrt(nd)
+    elif alpha == 0.0:
+        powed = F.lit(1.0)
+    elif alpha == 1.0:
+        powed = nd
+    else:
+        powed = F.pow(nd, F.lit(float(alpha)))
+    cnts = (
+        df.select(F.struct(F.col(group_col)).alias("__g"))
+        .groupBy("__g")
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__s", F.round(powed * 1e9).cast("long"))
+    )
+    # names must not collide case-insensitively with __n/__s — Spark's
+    # default resolver treats __N == __n.
+    tot = cnts.agg(
+        F.sum("__n").alias("__ntot"), F.sum("__s").alias("__stot")
+    )
+    rate = (
+        F.lit(float(target_frac))
+        * F.col("__ntot").cast("double")
+        / F.col("__n").cast("double")
+        * F.col("__s").cast("double")
+        / F.col("__stot").cast("double")
+    )
+    rates = (
+        cnts.join(F.broadcast(tot), how="cross")
+        .withColumn(
+            "__thr", F.round(F.least(F.lit(1.0), rate) * BUCKETS).cast("long")
+        )
+        .select("__g", "__thr")
+    )
+    kept = (
+        df.withColumn("__g", F.struct(F.col(group_col)))
+        .join(F.broadcast(rates), "__g")
+        .filter(hash_bucket(F.col(id_col), salt) < F.col("__thr"))
+        .drop("__g", "__thr")
+    )
+    return kept
+
+
 def token_budget_select(
     df: DataFrame,
     id_col: str,

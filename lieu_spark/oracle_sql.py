@@ -1371,6 +1371,32 @@ SELECT doc_id,
 FROM ch ORDER BY doc_id, chunk_idx
 """
 
+# temperature mixture sampling: DuckDB re-derives the whole rate chain
+# — per-lang counts, quantized sqrt weights (sqrt is IEEE
+# correctly-rounded, so round(sqrt(n)*1e9) is the identical BIGINT in
+# both engines; the shared 1/N^alpha factor cancels and is never
+# computed), exact integer normalizer, the rate in the same IEEE
+# association order, and every md5-bucket membership.
+ORACLE["temperature_mixture"] = """
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+s AS (SELECT lang, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS s
+      FROM c),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(s) AS BIGINT) AS stot
+      FROM s),
+r AS (SELECT lang,
+             CAST(round(least(1.0,
+                  0.4 * CAST(ntot AS DOUBLE) / CAST(n AS DOUBLE)
+                      * CAST(s AS DOUBLE) / CAST(stot AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS thr
+      FROM s, t)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+WHERE CAST(concat('0x', substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000 < r.thr
+ORDER BY d.doc_id
+"""
+
 # bigram-LM quality scoring: DuckDB re-derives the full chain — bigram
 # stream, bigram/context counts, vocabulary size, Laplace-smoothed ln
 # scores (integer-scaled per the repo convention), per-doc average —

@@ -1052,6 +1052,26 @@ def q_chunk_documents(spark, sf_dir):
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (mC4/XLM-R alpha-temperature
+    recipe) over documents.lang at alpha=0.5, target 40% of the corpus:
+    keep-rates are derived FROM the corpus (p_g^0.5 renormalized) with
+    no driver-side rate dict — counts, quantized sqrt weights, integer
+    normalizer, and thresholds all inside the plan (lazy broadcast
+    1-row agg for the totals). en is downsampled below 0.4, the rarer
+    langs above it (sf0.01: en 218 / zh 75 / es 73 / de 70 / fr 64), so
+    the reweighting is visible in the kept counts. sqrt is IEEE
+    correctly-rounded, so the quantized weights — and every membership
+    — are bit-identical in DuckDB."""
+    from .functions.sampling import temperature_sample
+
+    d = load(spark, sf_dir, "documents")
+    return temperature_sample(
+        d.select("doc_id", "lang"), "lang", "doc_id",
+        alpha=0.5, target_frac=0.4, salt="temp",
+    ).orderBy("doc_id")
+
+
 def lined_docs(spark, sf_dir, words_per_line: int = 12, footer_mod: int = 7):
     """documents reshaped into a (doc_id, lines) view: the raw
     space-separated text chunked into 12-word lines, then one BLANK

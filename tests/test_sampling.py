@@ -335,3 +335,97 @@ def test_token_budget_select_all_one_score_and_zero_weights(spark):
         ).collect()
     }
     assert got2b == got2
+
+
+def _temp_reference(rows, alpha, tf, salt=""):
+    """Pure-python twin of temperature_sample. rows = [(id, group)].
+    Mirrors the quantized-rate chain exactly (round = half-away-from-
+    zero, same association order)."""
+    import math
+    from collections import Counter
+
+    def _round(x):
+        return int(math.floor(x + 0.5))
+
+    n_by = Counter(g for _, g in rows)
+    s_by = {g: _round((n ** alpha) * 1e9) for g, n in n_by.items()}
+    N, S = sum(n_by.values()), sum(s_by.values())
+    thr = {
+        g: _round(min(1.0, tf * N / n_by[g] * s_by[g] / S) * BUCKETS)
+        for g in n_by
+    }
+    return {i for i, g in rows if _py_bucket(i, salt) < thr[g]}, thr
+
+
+def test_temperature_sample_matches_reference_and_reweights(spark):
+    from lieu_spark.functions.sampling import temperature_sample
+
+    # one dominant group, two rare ones (one tiny enough to clamp to 1)
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "fr") for i in range(50)]
+        + [(2000 + i, "io") for i in range(4)]
+        + [(3000 + i, None) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r.doc_id
+        for r in temperature_sample(
+            df, "lang", "doc_id", alpha=0.5, target_frac=0.4, salt="t"
+        ).collect()
+    }
+    ref, thr = _temp_reference(rows, 0.5, 0.4, "t")
+    assert got == ref
+    # alpha<1 upsamples rare groups: per-group rate ordering inverts size
+    assert thr["io"] > thr["fr"] > thr["en"]
+    # the 4-row group is clamped to keep-everything
+    assert thr["io"] == BUCKETS
+    assert all(1000 + i not in got or True for i in range(50))
+    # partition invariance
+    got13 = {
+        r.doc_id
+        for r in temperature_sample(
+            df.repartition(13), "lang", "doc_id", alpha=0.5, target_frac=0.4, salt="t"
+        ).collect()
+    }
+    assert got13 == got
+
+
+def test_temperature_sample_alpha_extremes_and_nesting(spark):
+    from lieu_spark.functions.sampling import temperature_sample
+
+    rows = [(i, "a") for i in range(300)] + [(500 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # alpha=1: plain proportional — every group keeps ~target_frac with
+    # the SAME threshold (round(0.5 * 1e6))
+    ref1, thr1 = _temp_reference(rows, 1.0, 0.5)
+    got1 = {
+        r.doc_id
+        for r in temperature_sample(df, "lang", "doc_id", 1.0, 0.5).collect()
+    }
+    assert got1 == ref1 and thr1["a"] == thr1["b"] == BUCKETS // 2
+    # alpha=0: equal EXPECTED counts per group -> thresholds inversely
+    # proportional to group size
+    ref0, thr0 = _temp_reference(rows, 0.0, 0.5)
+    got0 = {
+        r.doc_id
+        for r in temperature_sample(df, "lang", "doc_id", 0.0, 0.5).collect()
+    }
+    # b clamps to keep-all (0.5 * 400/100 * 1/2 = 1.0); a gets 1/3
+    assert got0 == ref0 and thr0["b"] == BUCKETS and thr0["a"] == 333333
+    # nesting in target_frac (thresholds are monotone in it)
+    small = {
+        r.doc_id
+        for r in temperature_sample(df, "lang", "doc_id", 0.5, 0.2).collect()
+    }
+    big = {
+        r.doc_id
+        for r in temperature_sample(df, "lang", "doc_id", 0.5, 0.6).collect()
+    }
+    assert small <= big
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_sample(df, "lang", "doc_id", 0.5, 1.5)
+    with _pytest.raises(ValueError):
+        temperature_sample(df, "lang", "doc_id", -0.1, 0.5)
