@@ -65,6 +65,10 @@ def main() -> None:
                          "'group=rate,group=rate' (e.g. 'en=0.9,de=1.0')")
     ap.add_argument("--mixture-group-col", default="lang")
     ap.add_argument("--mixture-default-rate", type=float, default=1.0)
+    ap.add_argument("--chunk-max-tokens", type=int, default=None,
+                    help="set to chunk kept docs into sliding windows "
+                         "of at most this many tokens before packing")
+    ap.add_argument("--chunk-overlap", type=int, default=0)
     ap.add_argument("--pack-capacity", type=int, default=2048)
     ap.add_argument("--pack-nshards", type=int, default=64)
     ap.add_argument("--split-salt", default="curate")
@@ -99,6 +103,8 @@ def main() -> None:
         ),
         mixture_group_col=args.mixture_group_col,
         mixture_default_rate=args.mixture_default_rate,
+        chunk_max_tokens=args.chunk_max_tokens,
+        chunk_overlap=args.chunk_overlap,
         pack_capacity=args.pack_capacity,
         pack_nshards=args.pack_nshards,
         split_salt=args.split_salt,

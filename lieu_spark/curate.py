@@ -6,7 +6,8 @@ actually runs before pretraining.
     [DSIR top-k selection vs a target corpus] ->
     decontaminate (vs a holdout/eval set) ->
     near-dup dedupe -> cluster representatives -> [per-group cap] ->
-    [mixture sampling] -> leakage-safe split -> sequence packing ->
+    [mixture sampling] -> leakage-safe split ->
+    [sliding-window chunking] -> sequence packing ->
     [training-order shuffle]
 
 Every stage flows through the same checkpoint/metrics recipe as
@@ -115,6 +116,13 @@ class CurateConfig:
     mixture_default_rate: float = 1.0
     mixture_salt: str = "mix"
     split_salt: str = "curate"
+    # sliding-window chunking of the kept docs BEFORE packing
+    # (operators/chunking.py, HF convention): docs longer than
+    # chunk_max_tokens are split into overlapping windows so no packed
+    # unit exceeds the model context — without it the packer gives an
+    # oversize doc its own (overflowing) bin. None = pack whole docs.
+    chunk_max_tokens: int | None = None
+    chunk_overlap: int = 0
     pack_capacity: int = 2048
     pack_nshards: int = 64
     # training-order shuffle of the PACKED SEQUENCES (sampling.
@@ -141,11 +149,15 @@ class CurateResult:
     kept: DataFrame  # scrubbed cluster reps; per-group-capped and/or
     #   mixture-sampled if configured
     packed: DataFrame  # (doc_id, split, shard, seq, n_tokens)
+    #   + chunk_idx when cfg.chunk_max_tokens is set (packed units are
+    #   then sliding-window chunks, each one context-bounded)
     #   + (order_shard, order_pos) when cfg.shuffle_salt is set: the
     #   reproducible training order of each packed sequence — read
     #   order_shard-major, order_pos ascending
     stage_wall: dict[str, float]
     funnel: dict[str, int] | None  # rows per stage; eager runs only
+    chunked: DataFrame | None = None  # (doc_id, chunk_idx, start_tok,
+    #   n_chunk_tokens, chunk_text) when cfg.chunk_max_tokens is set
 
 
 def _doc_shingles(docs: DataFrame, cfg: DedupeConfig, id_alias: str) -> DataFrame:
@@ -534,7 +546,61 @@ def curate(
 
         kept = stage("mixed", build_mixed, cache=True)
 
+    chunked: DataFrame | None = None
+    if cfg.chunk_max_tokens is not None:
+
+        def build_chunked() -> DataFrame:
+            from .operators.chunking import chunk_documents
+
+            # chunk AFTER selection/cap/mix (those reason about docs)
+            # and BEFORE packing (which must see context-bounded
+            # units). Chunks inherit the doc's cluster-level split, so
+            # leakage safety is preserved — every window of a doc lands
+            # on the doc's side of the train/test wall.
+            return chunk_documents(
+                kept.select("doc_id", "text"),
+                max_tokens=cfg.chunk_max_tokens,
+                overlap=cfg.chunk_overlap,
+            )
+
+        chunked = stage("chunked", build_chunked, cache=True)
+
     def build_packed() -> DataFrame:
+        if chunked is not None:
+            # pack chunks, not docs: the unit id is doc_id:chunk_idx
+            # (chunk_idx zero-padded so the packer's within-shard id
+            # order is well-defined lexicographically), re-split into
+            # columns after packing
+            units = (
+                chunked.join(splits.select("doc_id", "split"), "doc_id")
+                .select(
+                    F.format_string(
+                        "%d:%06d", F.col("doc_id"), F.col("chunk_idx")
+                    ).alias("unit_id"),
+                    "split",
+                    F.col("n_chunk_tokens").alias("n_tokens"),
+                )
+            )
+            # the packer keeps string ids as-is under the name doc_id;
+            # split the unit id back into (doc_id, chunk_idx) columns
+            return pack_sequences(
+                units,
+                capacity=cfg.pack_capacity,
+                nshards=cfg.pack_nshards,
+                id_col="unit_id",
+                group_cols=("split",),
+            ).select(
+                F.split(F.col("doc_id"), ":").getItem(0).cast("long").alias(
+                    "doc_id"
+                ),
+                F.split(F.col("doc_id"), ":").getItem(1).cast("long").alias(
+                    "chunk_idx"
+                ),
+                "split",
+                "shard",
+                "seq",
+                "n_tokens",
+            )
         return pack_sequences(
             kept.join(splits.select("doc_id", "split"), "doc_id").select(
                 "doc_id", "split", "n_tokens"
@@ -592,4 +658,5 @@ def curate(
         packed=packed,
         stage_wall=walls,
         funnel=funnel,
+        chunked=chunked,
     )

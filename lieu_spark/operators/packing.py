@@ -75,15 +75,21 @@ def pack_sequences(
     within a group is by id, so the output is partition-layout-
     independent."""
     gcols = list(group_cols)
-    schema = PACK_SCHEMA
+    # string ids pass through as strings (chunk/unit ids like
+    # "doc:000003"); anything else keeps the legacy cast-to-long
+    # contract. Ordering within a shard is then lexicographic — still a
+    # pure function of the id set, which is all determinism needs.
+    id_type = docs.schema[id_col].dataType.simpleString()
+    id_out = "string" if id_type == "string" else "long"
+    schema = f"doc_id {id_out}, shard int, seq long, n_tokens long"
     if gcols:
         gschema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
             for f in docs.select(*gcols).schema.fields
         )
-        schema = f"doc_id long, {gschema}, shard int, seq long, n_tokens long"
+        schema = f"doc_id {id_out}, {gschema}, shard int, seq long, n_tokens long"
     base = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast(id_out).alias("doc_id"),
         *gcols,
         F.col(tokens_col).cast("long").alias("n_tokens"),
     ).withColumn(

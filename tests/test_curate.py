@@ -404,7 +404,7 @@ def test_maximal_config_funnel_all_stages(spark):
     (persist-only plans double per stage because stages reference
     their predecessor 2-3x; with lm_gate + dsir both on, Catalyst
     ANALYSIS exhausted an 8g driver heap before any data moved).
-    Asserts the full 12-stage funnel builds, runs eager, and emits a
+    Asserts the full 13-stage funnel builds, runs eager, and emits a
     monotone funnel with every stage key present."""
     docs = _docs(spark)
     target = docs.filter(F.col("doc_id") < 5)
@@ -418,6 +418,8 @@ def test_maximal_config_funnel_all_stages(spark):
         group_cap=1000,
         group_cap_col="lang",
         mixture_rates={"en": 1.0},
+        chunk_max_tokens=8,
+        chunk_overlap=2,
         shuffle_salt="stress",
     )
     res = curate(
@@ -427,7 +429,7 @@ def test_maximal_config_funnel_all_stages(spark):
     expected = [
         "annotated", "filtered", "line_deduped", "lm_gate",
         "dsir_selected", "decontaminated", "splits", "kept",
-        "capped", "mixed", "packed", "ordered",
+        "capped", "mixed", "chunked", "packed", "ordered",
     ]
     assert [k for k in res.funnel if k in expected] == expected
     assert res.funnel["annotated"] == docs.count()
@@ -440,3 +442,39 @@ def test_maximal_config_funnel_all_stages(spark):
     assert res.funnel["ordered"] == res.funnel["packed"]
     cols = set(res.packed.columns)
     assert {"order_shard", "order_pos"} <= cols
+
+
+def test_chunk_stage_bounds_packed_units(spark):
+    """cfg.chunk_max_tokens: kept docs are sliding-window chunked
+    before packing, so every packed unit fits the model context, every
+    chunk inherits its doc's cluster-level split (leakage wall holds at
+    chunk granularity), and no bin overflows capacity (the whole point:
+    without chunking an oversize doc gets its own overflowing bin)."""
+    docs = _docs(spark)
+    cfg = CurateConfig(
+        pack_capacity=16, pack_nshards=2, chunk_max_tokens=8, chunk_overlap=2
+    )
+    res = curate(spark, docs, cfg, holdout=_holdout(spark), eager=True)
+    assert res.chunked is not None
+    chunks = res.chunked.collect()
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert {c.doc_id for c in chunks} == kept_ids
+    assert all(1 <= c.n_chunk_tokens <= 8 for c in chunks)
+    # multi-window docs exist (the fixture docs run ~12 tokens)
+    assert len(chunks) > len(kept_ids)
+    packed = res.packed.collect()
+    assert "chunk_idx" in res.packed.columns
+    assert {(r.doc_id, r.chunk_idx) for r in packed} == {
+        (c.doc_id, c.chunk_idx) for c in chunks
+    }
+    splits = {r.doc_id: r.split for r in res.splits.collect()}
+    fills: dict[tuple, int] = {}
+    for r in packed:
+        assert r.split == splits[r.doc_id]
+        assert r.n_tokens <= 8
+        key = (r.split, r.shard, r.seq)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+    # chunking bounds every unit, so NO bin exceeds capacity, ever
+    assert all(fill <= 16 for fill in fills.values())
+    assert res.funnel["chunked"] == len(chunks)
+    assert res.funnel["packed"] == len(chunks)
