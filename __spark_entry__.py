@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": Q.q_token_budget_select,
         "chunk_documents": Q.q_chunk_documents,
         "temperature_mixture": Q.q_temperature_mixture,
+        "ccnet_buckets": Q.q_ccnet_buckets,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

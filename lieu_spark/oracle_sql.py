@@ -1428,6 +1428,19 @@ SELECT doc_id,
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
+# CCNet head/middle/tail: perplexity terciles of the bigram-LM score —
+# composes the finished lm_quality twin; ntile() splits ties identically
+# in both engines under the same total order (score DESC, doc_id).
+ORACLE["ccnet_buckets"] = f"""
+WITH lmq AS ({ORACLE["lm_quality"]}),
+b AS (SELECT doc_id, lm_score6,
+             ntile(3) OVER (ORDER BY lm_score6 DESC, doc_id ASC) AS t
+      FROM lmq)
+SELECT doc_id, lm_score6,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id
+"""
+
 # C4-style line dedup: DuckDB re-derives the WHOLE chain from the raw
 # text — the 12-word chunking, the planted blank separator + per-
 # (doc_id % 7) footer line, first-occurrence ranking over (doc_id,

@@ -1072,6 +1072,37 @@ def q_temperature_mixture(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): docs
+    bucketed into perplexity terciles of the corpus-trained bigram LM
+    score — downstream pipelines keep 'head', sample 'middle', drop
+    'tail'. Exact ntile(3) over (lm_score6 DESC, doc_id) here so the
+    DuckDB twin is value-exact; at 100 TB the scale path is two
+    percentile cutpoints from approx_percentile + a stateless filter
+    (same documented trade as ntile_price_deciles — the exact global
+    window is the ORACLE shape, not the production shape). Scoreless
+    docs (< 2 tokens, no bigrams) drop out, mirroring the LM."""
+    from pyspark.sql import Window
+
+    from .functions.analysis import bigram_lm_scores
+
+    d = load(spark, sf_dir, "documents")
+    s = bigram_lm_scores(d).select("doc_id", "lm_score6")
+    w = Window.orderBy(F.desc("lm_score6"), F.asc("doc_id"))
+    return (
+        s.withColumn("t", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lm_score6",
+            F.when(F.col("t") == 1, "head")
+            .when(F.col("t") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def lined_docs(spark, sf_dir, words_per_line: int = 12, footer_mod: int = 7):
     """documents reshaped into a (doc_id, lines) view: the raw
     space-separated text chunked into 12-word lines, then one BLANK
