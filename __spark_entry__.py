@@ -211,6 +211,63 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def _q_semantic_decon(spark, sf_dir):
+    """Embedding-based (semantic) decontamination — the cosine analog
+    of the n-gram containment/verbatim rules: flag every TRAIN vector
+    whose embedding is >= 0.95 cosine to ANY EVAL vector. Scale shape
+    is the cross-corpus LSH bucket join (near-dup regime nbits=8 T=8,
+    identical vectors share every bucket so recall on true contamination
+    is 1.0 by construction) — never an eval x train cross join; exact
+    cosine verifies candidates only. Planted: eval = 50 natural vectors
+    (background cos ~0.5, none flag) + exact copies of train ids < 25
+    (+100000) — exactly the 25 copy sources flag at cos6 = 1e6. Oracle
+    via the exported two-sided bucket table: DuckDB re-derives the
+    eval->train collisions, every cosine, and the per-train-doc hit
+    aggregation."""
+    from lieu_spark.operators.ann import hyperplane_buckets
+    from lieu_spark.oracle_export import export_for_oracle
+
+    e = Q.load(spark, sf_dir, "embeddings")
+    train = e.filter(F.col("vec_id") < 500).select(
+        "vec_id", "embedding", F.lit("train").alias("side")
+    )
+    ev_nat = e.filter((F.col("vec_id") >= 500) & (F.col("vec_id") < 550)).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        "embedding",
+        F.lit("eval").alias("side"),
+    )
+    ev_cont = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding",
+        F.lit("eval").alias("side"),
+    )
+    both = train.unionByName(ev_nat).unionByName(ev_cont)
+    buckets = hyperplane_buckets(both, nbits=8, ntables=8).join(
+        both.select(F.col("vec_id").alias("id"), "side"), "id"
+    )
+    bk = export_for_oracle(spark, buckets, "decon_buckets")
+    cand = (
+        bk.filter(F.col("side") == "eval")
+        .alias("l")
+        .join(
+            bk.filter(F.col("side") == "train").alias("r"),
+            ["table", "bucket"],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = _cos6_rerank(both, cand)
+    return (
+        scored.filter(F.col("cos6") >= 950000)
+        .groupBy(F.col("id_b").alias("train_id"))
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("cos6").alias("max_cos6"),
+        )
+        .orderBy("train_id")
+    )
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN, oracle-checked via the exported cell-assignment table:
     the k-means quantizer (the only non-SQL kernel — ann.py:193) writes
@@ -546,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": Q.q_chunk_documents,
         "temperature_mixture": Q.q_temperature_mixture,
         "ccnet_buckets": Q.q_ccnet_buckets,
+        "semantic_decon": _q_semantic_decon,
         "semantic_dedup": _q_semantic_dedup,
         "ann_multiprobe_topk": _q_ann_multiprobe_topk,
         "copied_spans": _q_copied_spans,

@@ -1106,6 +1106,32 @@ SELECT id_a AS vec_id, rank, id_b AS nbr_id, cos6 FROM (
 
 # LSH near-dup runs over the AUGMENTED vectors (planted exact copies),
 # with its own bucket export; re-rank restricted to exported candidates
+# semantic decontamination: the exported two-sided bucket table gives
+# the eval->train candidate collisions; DuckDB re-derives every cosine
+# (shared _rerank_cpairs convention) and the per-train-doc hit counts.
+ORACLE["semantic_decon"] = f"""
+WITH emb AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+    UNION ALL
+    SELECT vec_id + 200000, embedding FROM embeddings
+    WHERE vec_id >= 500 AND vec_id < 550
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25
+),
+b AS (SELECT id, "table", bucket, side
+      FROM read_parquet('{_ep("decon_buckets")}/*.parquet')),
+cand AS (
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM b l JOIN b r ON l."table" = r."table" AND l.bucket = r.bucket
+    WHERE l.side = 'eval' AND r.side = 'train'
+),
+{_rerank_cpairs("emb")}
+SELECT id_b AS train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       CAST(max(cos6) AS BIGINT) AS max_cos6
+FROM cpairs WHERE cos6 >= 950000
+GROUP BY id_b ORDER BY train_id
+"""
+
 ORACLE["embedding_neardup_lsh"] = f"""
 WITH {_EMB_AUG},
 b AS (SELECT id, "table", bucket FROM read_parquet('{_ep("neardup_buckets")}/*.parquet')),
