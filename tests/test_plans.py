@@ -363,3 +363,53 @@ def test_multi_consumer_frames_are_cached_in_plan(spark):
             name,
             plan[:2000],
         )
+
+
+def test_token_budget_select_plan_no_global_sort(spark):
+    """Weighted boundary-bucket selection: NO rangepartitioning of data
+    anywhere (a global sort of the corpus is exactly what the recipe
+    avoids), no cartesian product, the boundary scalars attach as 1-row
+    broadcast cross joins (repo convention for lazy scalars), and the
+    aggregate cumulations are hash aggs + tiny single-partition
+    windows."""
+    from lieu_spark.functions.sampling import token_budget_select
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("score"),
+        (F.col("doc_id") % 20 + 1).alias("w"),
+    )
+    plan = plan_of(token_budget_select(docs, "doc_id", "score", "w", 5000))
+    assert "rangepartitioning" not in plan.lower(), "no global sort of data"
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # two boundary scalars (class + bucket), each a 1-row broadcast
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 2
+
+
+def test_temperature_sample_plan_broadcasts_rates(spark):
+    """Temperature mixture: rates attach via BroadcastHashJoin on the
+    group (never shuffling the corpus on the group key), totals are the
+    1-row lazy broadcast scalar, and there is no cartesian product or
+    range partitioning."""
+    from lieu_spark.functions.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(temperature_sample(docs, "lang", "doc_id", 0.5, 0.4))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    """Chunking is a staged-tokenize projection + one narrow Generate:
+    zero Exchanges of any kind."""
+    from lieu_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = plan_of(chunk_documents(docs, 32, 8))
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "Generate" in plan
