@@ -183,6 +183,46 @@ def geohash_cells(lat: Column, lon: Column, precision: int = 4) -> Column:
     return F.filter(F.array(*cells), lambda c: c.isNotNull())
 
 
+def geohash_cells_exploded(
+    df: DataFrame, lat: Column, lon: Column, precision: int = 4, out: str = "geo"
+) -> DataFrame:
+    """One row per blocking key (cell + up to 8 neighbors) — the
+    DataFrame-level form of :func:`geohash_cells`. The Column form
+    inlines the 5p-bit interleave + base32 encode once per neighbor
+    (9x); on small inputs the Catalyst analysis/codegen cost of that
+    tree dominates the data. Here the quantized indices are staged as
+    real columns, the 9 offsets are exploded FIRST, and the encode
+    runs once on the staged neighbor indices — same keys, ~9x smaller
+    expression tree. Pole rows are skipped and longitude wraps, exactly
+    like the Column form."""
+    lon_bits, lat_bits = _bits(precision)
+    lat_q, lon_q = quantize(lat, lon, precision)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
+            for dlat in (-1, 0, 1)
+            for dlon in (-1, 0, 1)
+        ]
+    )
+    staged = df.select(
+        "*",
+        lat_q.alias("__lat_q"),
+        lon_q.alias("__lon_q"),
+        F.explode(offsets).alias("__o"),
+    )
+    fanned = (
+        staged.withColumn("__nlat", F.col("__lat_q") + F.col("__o.dlat"))
+        .withColumn(
+            "__nlon",
+            F.pmod(F.col("__lon_q") + F.col("__o.dlon"), F.lit(1 << lon_bits)),
+        )
+        .filter((F.col("__nlat") >= 0) & (F.col("__nlat") < (1 << lat_bits)))
+    )
+    return fanned.withColumn(
+        out, geohash_from_ints(F.col("__nlat"), F.col("__nlon"), precision)
+    ).drop("__lat_q", "__lon_q", "__o", "__nlat", "__nlon")
+
+
 def total_docs_by_geo(
     docs: DataFrame, cells_col: str = "cells"
 ) -> DataFrame:

@@ -2043,7 +2043,7 @@ def q_geo_aliases(spark, sf_dir):
     every sf instead of the fixed threshold going vacuous as the
     corpus grows. DuckDB re-derives the grid, the fan-in counts, the
     normalization, and every alias choice."""
-    from .functions.geo import geo_aliases, geohash_cells, total_docs_by_geo
+    from .functions.geo import geo_aliases, geohash_cells_exploded
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     lat = F.lit(10.0) + F.pmod(F.col("doc_id"), F.lit(3)).cast("double") * F.lit(
@@ -2052,8 +2052,14 @@ def q_geo_aliases(spark, sf_dir):
     lon = F.lit(20.0) + F.pmod(F.col("doc_id"), F.lit(5)).cast("double") * F.lit(
         360.0 / 1024
     )
-    cells = d.select(geohash_cells(lat, lon, 4).alias("cells"))
-    by_geo = total_docs_by_geo(cells)
+    # DataFrame-level fan-out: explode the 9 offsets first, encode once
+    # (the Column-array form inlines the interleave+encode 9x and its
+    # analysis/codegen wall dominated this query at small sf)
+    by_geo = (
+        geohash_cells_exploded(d, lat, lon, 4)
+        .groupBy("geo")
+        .agg(F.count("*").alias("n_docs"))
+    )
     tot = by_geo.agg(
         F.coalesce(F.sum("n_docs"), F.lit(1)).cast("double").alias("_tot")
     )

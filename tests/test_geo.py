@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from lieu_spark.functions.geo import (
     geo_aliases,
     geohash_cells,
+    geohash_cells_exploded,
     geohash_encode,
     parse_latlon,
     total_docs_by_geo,
@@ -90,6 +91,32 @@ def test_geohash_cells_skip_past_pole(spark):
     df = spark.createDataFrame([(89.99, 10.0), (-89.99, 10.0)], ["lat", "lon"])
     ns = [r.n for r in df.select(F.size(geohash_cells(F.col("lat"), F.col("lon"), 4)).alias("n")).collect()]
     assert ns == [6, 6]  # top/bottom row: no cells beyond the pole
+
+
+def test_geohash_cells_exploded_matches_column_form(spark):
+    # the DataFrame-level fan-out (explode offsets, encode once) must
+    # produce exactly the Column form's key multiset per row — including
+    # pole skipping and the antimeridian wrap
+    pts = _pts(60, seed=13) + [(89.99, 10.0), (-89.99, 10.0), (0.0, 179.99)]
+    df = spark.createDataFrame(
+        [(i, lat, lon) for i, (lat, lon) in enumerate(pts)], ["id", "lat", "lon"]
+    )
+    col_form = {
+        r.id: sorted(r.cells)
+        for r in df.select(
+            "id", geohash_cells(F.col("lat"), F.col("lon"), 4).alias("cells")
+        ).collect()
+    }
+    exploded = (
+        geohash_cells_exploded(df, F.col("lat"), F.col("lon"), 4)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("geo")).alias("cells"))
+        .collect()
+    )
+    assert {r.id: list(r.cells) for r in exploded} == col_form
+    # carries the input columns through untouched
+    cols = geohash_cells_exploded(df, F.col("lat"), F.col("lon"), 4).columns
+    assert cols == ["id", "lat", "lon", "geo"]
 
 
 def test_parse_latlon_reference_cases(spark):
