@@ -2561,3 +2561,63 @@ SELECT tr.train_id,
 FROM tr JOIN ev USING (g)
 GROUP BY tr.train_id ORDER BY tr.train_id
 """
+
+# Bloom-prefiltered decontamination (operators/bloom.py): DuckDB
+# re-builds the m-bit bitmap word by word (the bit-63 CASE mirrors Java
+# shiftleft's two's-complement wrap, which DuckDB's << rejects as an
+# overflow), replays all k md5 probes per training gram, every
+# membership verdict, and the exact survivor join — so the oracle
+# re-derives the SAME false positives, not just the true hits.
+_BLOOM_M = 65536
+_BLOOM_K = 4
+_BLOOM_SHIFT = (
+    "CASE WHEN ({b}) = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+    "ELSE CAST(1 AS BIGINT) << CAST(({b}) AS INT) END"
+)
+
+ORACLE["bloom_decon"] = f"""
+WITH {_DOCS_AUG},
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(13, len(toks)),
+                     i -> substr(md5(array_to_string(toks[i-12:i], ' ')), 1, 16))
+           END)) AS g
+  FROM tok
+),
+ev AS MATERIALIZED (SELECT DISTINCT g FROM g WHERE doc_id < 25),
+tr AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id >= 100000),
+seeds AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS s),
+evp AS (
+  SELECT CAST(concat('0x', substr(md5('bloom' || s || ':' || g), 1, 15))
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM ev CROSS JOIN seeds
+),
+words AS MATERIALIZED (
+  SELECT pos // 64 AS word_idx,
+         bit_or({_BLOOM_SHIFT.format(b="pos % 64")}) AS word
+  FROM evp GROUP BY 1
+),
+trp AS (
+  SELECT train_id, g,
+         CAST(concat('0x', substr(md5('bloom' || s || ':' || g), 1, 15))
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM tr CROSS JOIN seeds
+),
+hit AS (
+  SELECT train_id, g,
+         bool_and((coalesce(w.word, CAST(0 AS BIGINT))
+                   & ({_BLOOM_SHIFT.format(b="pos % 64")})) <> 0) AS might
+  FROM trp LEFT JOIN words w ON w.word_idx = trp.pos // 64
+  GROUP BY train_id, g
+),
+surv AS (SELECT train_id, g FROM hit WHERE might)
+SELECT surv.train_id,
+       CAST(count(DISTINCT surv.g) AS BIGINT) AS n_bloom_grams,
+       CAST(count(DISTINCT CASE WHEN ev.g IS NOT NULL THEN surv.g END)
+            AS BIGINT) AS n_exact_grams
+FROM surv LEFT JOIN ev ON surv.g = ev.g
+GROUP BY surv.train_id ORDER BY surv.train_id
+"""

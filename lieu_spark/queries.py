@@ -2191,3 +2191,57 @@ def q_verbatim_13gram_decon(spark, sf_dir):
         )
         .orderBy("train_id")
     )
+
+
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+def q_bloom_decon(spark, sf_dir):
+    """Bloom-prefiltered verbatim decontamination (operators/bloom.py)
+    — the zero-shuffle screening shape of the 13-gram rule: the eval
+    corpus's gram keys fold into a fixed m-bit bitmap (<= m/64
+    relational words -> ONE broadcast map row), every training gram is
+    k closed-form md5-probe bit tests in codegen (no join, no shuffle
+    on the training side), and the exact equi-join runs ONLY on the
+    screened survivors. Output: per flagged training doc, the bloom-hit
+    distinct-gram count and the exactly-shared count — Bloom has no
+    false negatives, so n_exact_grams <= n_bloom_grams row by row and
+    every verbatim_13gram_decon doc must reappear here. DuckDB
+    re-derives the bitmap words, all k probes per gram, every
+    membership verdict, and the survivor join."""
+    from .operators.bloom import bloom_screen, bloom_words
+
+    aug = docs_aug(spark, sf_dir)
+    toks = aug.select("doc_id", T.tokenize(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(toks) < 13 THEN array() "
+                    "ELSE transform(sequence(13, size(toks)), "
+                    "i -> substring(md5(array_join(slice(toks, i-12, 13), ' ')), 1, 16)) END"
+                )
+            )
+        ).alias("g"),
+    )
+    ev = grams.filter(F.col("doc_id") < 25).select("g").distinct()
+    tr = grams.filter(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("train_id"), "g"
+    )
+    bloom = bloom_words(ev, "g", m=BLOOM_M, k=BLOOM_K)
+    survivors = bloom_screen(tr, bloom, "g", m=BLOOM_M, k=BLOOM_K).filter(
+        "might_contain"
+    )
+    exact = survivors.join(ev.withColumn("__x", F.lit(1)), "g", "left")
+    return (
+        exact.groupBy("train_id")
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_bloom_grams"),
+            F.countDistinct(F.when(F.col("__x") == 1, F.col("g")))
+            .cast("long")
+            .alias("n_exact_grams"),
+        )
+        .orderBy("train_id")
+    )
