@@ -81,6 +81,18 @@ class CurateConfig:
     # fixed-width md5-prefix keys (text.verbatim_ngram_keys), never on
     # the n-word strings. None = containment rule only.
     decon_verbatim_ngram: int | None = None
+    # Bloom prefilter for the verbatim rule's TRAINING side
+    # (operators/bloom.py): when set, the holdout's n-gram keys fold
+    # into an m-bit broadcast bitmap and every training gram is
+    # screened map-side BEFORE the equi-join, so the join's shuffle
+    # carries only the (rare) survivors instead of the whole training
+    # gram stream. Bloom has no false negatives — the decon OUTPUT is
+    # byte-identical with or without it; only the physical plan
+    # changes. Value = number of bits m (size it ~10x the expected
+    # distinct holdout grams; the broadcast is m/8 bytes regardless of
+    # corpus size). None = join all grams. Ignored unless
+    # decon_verbatim_ngram is set.
+    decon_bloom_m: int | None = None
     # model-based quality gate (the CCNet-style perplexity-proxy
     # filter): a bigram LM is trained on the scrubbed survivors
     # themselves and docs whose mean bigram log-likelihood
@@ -438,9 +450,22 @@ def curate(
                 )
 
             ev_keys = _keys(ho, "eval_id").select("g").distinct()
+            tr_keys = _keys(filtered, "train_id")
+            if cfg.decon_bloom_m is not None:
+                # zero-shuffle screen: the holdout keys fold into a
+                # fixed m-bit bitmap broadcast onto the training gram
+                # stream; only bloom survivors reach the exact join.
+                # No false negatives -> identical decon output.
+                from .operators.bloom import bloom_screen, bloom_words
+
+                bloom = bloom_words(ev_keys, "g", m=cfg.decon_bloom_m)
+                tr_keys = (
+                    bloom_screen(tr_keys, bloom, "g", m=cfg.decon_bloom_m)
+                    .filter("might_contain")
+                    .drop("might_contain")
+                )
             verbatim = (
-                _keys(filtered, "train_id")
-                .join(ev_keys, "g")
+                tr_keys.join(ev_keys, "g")
                 .select(F.col("train_id").alias("doc_id"))
                 .distinct()
             )

@@ -397,6 +397,19 @@ def test_verbatim_ngram_decon_stage(spark):
     # here, so just check the verbatim cfg removed exactly one more)
     assert d0 - d1 == {500}
 
+    # Bloom prefilter (operators/bloom.py) screens the training gram
+    # stream map-side before the exact join: no false negatives, so
+    # the decon output is IDENTICAL to the unscreened verbatim run.
+    bcfg = CurateConfig(
+        pack_capacity=64,
+        pack_nshards=2,
+        decon_verbatim_ngram=13,
+        decon_bloom_m=1 << 12,
+    )
+    res2 = curate(spark, docs, bcfg, holdout=holdout, eager=True)
+    d2 = {r.doc_id for r in res2.decon.select("doc_id").collect()}
+    assert d2 == d1
+
 
 def test_maximal_config_funnel_all_stages(spark):
     """Every optional stage enabled at once — the composition that
