@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": Q.q_bpe_token_counts,
         "verbatim_13gram_decon": Q.q_verbatim_13gram_decon,
         "bloom_decon": Q.q_bloom_decon,
+        "nb_quality": Q.q_nb_quality,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,
         "token_budget_select": Q.q_token_budget_select,

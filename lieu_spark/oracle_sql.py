@@ -2621,3 +2621,66 @@ SELECT surv.train_id,
 FROM surv LEFT JOIN ev ON surv.g = ev.g
 GROUP BY surv.train_id ORDER BY surv.train_id
 """
+
+# NB quality classifier (functions/classify.py): DuckDB re-derives the
+# heuristic seed labels from the proven quality twin, both
+# class-conditional hashed-bucket models (Laplace-smoothed, buckets
+# seen only in unlabeled docs included with np = nn = 0), the
+# doc-count prior, every per-bucket integer-scaled delta6, and every
+# per-doc score + verdict — exact integer math end to end.
+ORACLE["nb_quality"] = f"""
+WITH {_AUG_QUALITY.strip()},
+lab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN quality6 >= 620000 THEN 1
+              WHEN quality6 < 480000 THEN 0 END AS seed_label
+  FROM qual
+),
+fb AS (
+  SELECT t.doc_id,
+         CAST(concat('0x', substr(md5('nbq:' || u.tk), 1, 15)) AS BIGINT)
+           % 4096 AS b
+  FROM qtok t, unnest(t.toks) AS u(tk)
+),
+dbc AS MATERIALIZED (
+  SELECT fb.doc_id, b, lab.seed_label AS lbl, count(*) AS c
+  FROM fb JOIN lab USING (doc_id) GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT b,
+         sum(CASE WHEN lbl = 1 THEN c ELSE 0 END) AS np,
+         sum(CASE WHEN lbl = 0 THEN c ELSE 0 END) AS nn
+  FROM dbc GROUP BY b
+),
+tot AS (SELECT CAST(sum(np) AS DOUBLE) AS npt,
+               CAST(sum(nn) AS DOUBLE) AS nnt FROM cls),
+pri AS (
+  SELECT CAST(round(ln(
+           (sum(CASE WHEN seed_label = 1 THEN 1 ELSE 0 END) + 1.0)
+         / (sum(CASE WHEN seed_label = 0 THEN 1 ELSE 0 END) + 1.0)) * 1e6)
+         AS BIGINT) AS prior6
+  FROM lab
+),
+wt AS (
+  SELECT b,
+         CAST(round((ln((np + 1.0) / (npt + 4096.0))
+                   - ln((nn + 1.0) / (nnt + 4096.0))) * 1e6)
+              AS BIGINT) AS delta6
+  FROM cls CROSS JOIN tot
+),
+doc AS (
+  SELECT dbc.doc_id,
+         CAST(sum(c) AS BIGINT) AS n_feats,
+         CAST(sum(c * delta6) AS BIGINT) AS lik6
+  FROM dbc JOIN wt USING (b) GROUP BY 1
+)
+SELECT lab.doc_id,
+       lab.seed_label,
+       coalesce(doc.n_feats, 0) AS n_feats,
+       CAST(pri.prior6 + coalesce(doc.lik6, 0) AS BIGINT) AS score6,
+       CAST(round(CAST(pri.prior6 + coalesce(doc.lik6, 0) AS DOUBLE)
+                  / greatest(coalesce(doc.n_feats, 0), 1)) AS BIGINT) AS mean6,
+       CAST((pri.prior6 + coalesce(doc.lik6, 0)) > 0 AS INT) AS pred
+FROM lab LEFT JOIN doc USING (doc_id) CROSS JOIN pri
+ORDER BY lab.doc_id
+"""

@@ -2245,3 +2245,25 @@ def q_bloom_decon(spark, sf_dir):
         )
         .orderBy("train_id")
     )
+
+
+NB_SEED_HI = 620000
+NB_SEED_LO = 480000
+
+
+def q_nb_quality(spark, sf_dir):
+    """FastText-style model-based quality classifier (functions/
+    classify.nb_quality_scores — the CCNet/FineWeb-Edu filter stage):
+    the quality6 heuristic seeds labels on the tails of the corpus
+    (>= 620000 positive, < 480000 negative, middle unlabeled), a
+    multinomial Naive Bayes over md5-hashed unigram buckets fits on
+    the seeds only, and EVERY augmented doc gets an exact-integer
+    score6 and an int verdict. DuckDB re-derives the seed labels, the
+    class-conditional bucket models, the doc-count prior, every
+    per-bucket delta6, and every verdict."""
+    from .functions.classify import NB_BUCKETS, nb_quality_scores
+
+    aug = docs_aug(spark, sf_dir)
+    q6 = A.quality_score6(F.col("text"))
+    seed = F.when(q6 >= NB_SEED_HI, 1).when(q6 < NB_SEED_LO, 0)
+    return nb_quality_scores(aug, seed, m=NB_BUCKETS).orderBy("doc_id")
