@@ -599,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbatim_13gram_decon": Q.q_verbatim_13gram_decon,
         "bloom_decon": Q.q_bloom_decon,
         "nb_quality": Q.q_nb_quality,
+        "centroid_classify": Q.q_centroid_classify,
+        "snapshot_diff": Q.q_snapshot_diff,
+        "dedup_tiers": Q.q_dedup_tiers,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,
         "token_budget_select": Q.q_token_budget_select,

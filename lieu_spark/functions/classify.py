@@ -175,3 +175,90 @@ def nb_quality_scores(
         )
         .withColumn("pred", (F.col("score6") > 0).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) embedding classifier
+# ---------------------------------------------------------------------------
+#
+# The embedding-side sibling of the token-space NB above — the
+# DataComp/FineWeb-Edu pattern of scoring documents by proximity to a
+# labeled prototype in embedding space, rebuilt as exact integer math:
+# embeddings quantize to micro-units (round(x * 1e6) as long), per-label
+# centroids are half-away-from-zero-rounded integer means, and the
+# classifier assigns each vector to the label with the smallest integer
+# squared Euclidean distance (ties break to the smaller label). Every
+# step is reproducible bit-for-bit in SQL, so the DuckDB oracle
+# re-derives centroids and every assignment.
+#
+# Scale shape: fitting is ONE map-side-combinable agg over the
+# (label, dim) partials — output is labels x dims rows regardless of
+# corpus size; the fitted model collapses to a single broadcast row, so
+# classification is a zero-shuffle codegen map over the corpus
+# (zip_with + aggregate per candidate label). No per-vector explode, no
+# re-shuffle, no UDF.
+
+
+# round(s / n) in exact integer math, half away from zero (s any sign,
+# n > 0) — the `div` magnitude operands are non-negative, so Spark's
+# truncating `div` and DuckDB's flooring `//` agree bit-for-bit.
+_ROUND_DIV = (
+    "CAST(CASE WHEN s >= 0 THEN (2 * s + n) div (2 * n) "
+    "ELSE -((-2 * s + n) div (2 * n)) END AS LONG)"
+)
+
+
+def centroid_fit(
+    train: DataFrame, vec6_col: str = "v6", label_col: str = "label"
+) -> DataFrame:
+    """Fit per-label integer centroids over quantized vectors.
+
+    ``train``: (label, v6: array<long>) rows. Returns a ONE-row frame
+    ``models: array<struct<label:int, carr:array<long>>>`` sorted by
+    label — the broadcastable model."""
+    el = train.select(label_col, F.posexplode(F.col(vec6_col)).alias("pos", "x"))
+    cen = el.groupBy(label_col, "pos").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    cen = cen.select(label_col, "pos", F.expr(_ROUND_DIV).alias("cent6"))
+    per = cen.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cent6"))),
+            lambda t: t["cent6"],
+        ).alias("carr")
+    )
+    return per.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(label_col).alias("label"), F.col("carr")))
+        ).alias("models")
+    )
+
+
+def centroid_predict(
+    test: DataFrame, model: DataFrame, vec6_col: str = "v6"
+) -> DataFrame:
+    """Assign each test vector to the nearest centroid.
+
+    Adds (pred_label, d2) to ``test``: d2 is the exact integer squared
+    Euclidean distance to the winning centroid, ties to the smaller
+    label (struct ordering of (d2, label))."""
+    t = test.crossJoin(F.broadcast(model))
+    scores = F.transform(
+        F.col("models"),
+        lambda m: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec6_col), m["carr"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            m["label"].alias("label"),
+        ),
+    )
+    best = F.array_min(scores)
+    return t.withColumn("__best", best).select(
+        *test.columns,
+        F.col("__best.label").alias("pred_label"),
+        F.col("__best.d2").alias("d2"),
+    )

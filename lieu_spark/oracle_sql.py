@@ -2684,3 +2684,164 @@ SELECT lab.doc_id,
 FROM lab LEFT JOIN doc USING (doc_id) CROSS JOIN pri
 ORDER BY lab.doc_id
 """
+
+# nearest-centroid embedding classifier: micro-unit quantization,
+# half-away-from-zero integer centroid means (// on non-negative
+# magnitudes == Spark's div), exact integer squared distances, ties to
+# the smaller label.
+ORACLE["centroid_classify"] = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v6
+  FROM embeddings
+),
+tr AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+te AS MATERIALIZED (SELECT * FROM v WHERE vec_id % 5 = 0),
+el AS (
+  SELECT label, i AS pos, v6[i] AS x
+  FROM (SELECT label, v6, unnest(generate_series(1, len(v6))) AS i FROM tr)
+),
+cen AS MATERIALIZED (
+  SELECT label, pos,
+         CAST(CASE WHEN sum(x) >= 0
+              THEN (2 * sum(x) + count(*)) // (2 * count(*))
+              ELSE -((-2 * sum(x) + count(*)) // (2 * count(*)))
+         END AS BIGINT) AS cent6
+  FROM el GROUP BY 1, 2
+),
+sc AS (
+  SELECT te.vec_id, te.label AS true_label, cen.label AS cand,
+         CAST(sum((te.v6[cen.pos] - cen.cent6) * (te.v6[cen.pos] - cen.cent6))
+              AS BIGINT) AS d2
+  FROM te CROSS JOIN cen
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+  FROM sc
+)
+SELECT vec_id, true_label, cand AS pred_label, d2,
+       CAST(cand = true_label AS INT) AS correct
+FROM rk WHERE rn = 1 ORDER BY vec_id
+"""
+
+# snapshot CDC: the new snapshot re-derived by the same deterministic
+# edit, one full-outer id join, delta-side hash sets split moves from
+# true adds/removes.
+ORACLE["snapshot_diff"] = """
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+k AS (
+  SELECT CASE WHEN doc_id % 53 = 11 THEN doc_id + 700000 ELSE doc_id END AS nid,
+         CASE WHEN doc_id % 53 = 11 THEN text
+              WHEN doc_id % 31 = 7 THEN text || ' rev two'
+              ELSE text END AS ntext
+  FROM documents WHERE doc_id % 97 <> 3
+),
+neu AS (
+  SELECT nid AS doc_id, md5(ntext) AS h FROM k
+  UNION ALL
+  SELECT doc_id + 800000, md5('fresh snapshot doc ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id < 15
+),
+j AS MATERIALIZED (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.h AS oh, n.h AS nh
+  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+),
+rmh AS (SELECT DISTINCT oh AS h FROM j WHERE nh IS NULL),
+adh AS (SELECT DISTINCT nh AS h FROM j WHERE oh IS NULL)
+SELECT doc_id,
+       CASE WHEN oh IS NOT NULL AND nh IS NOT NULL AND oh = nh THEN 'unchanged'
+            WHEN oh IS NOT NULL AND nh IS NOT NULL THEN 'changed'
+            WHEN nh IS NULL THEN
+              CASE WHEN oh IN (SELECT h FROM adh) THEN 'moved_out'
+                   ELSE 'removed' END
+            ELSE
+              CASE WHEN nh IN (SELECT h FROM rmh) THEN 'moved_in'
+                   ELSE 'added' END
+       END AS status
+FROM j ORDER BY doc_id
+"""
+
+# tiered dedup budget report: the lined corpus + three plant families,
+# doc tiers re-aggregated from the (sha, norm_key) grain exactly like
+# the Spark plan, the line tier replaying the first-occurrence rule,
+# percentages by truncating integer division on both engines.
+ORACLE["dedup_tiers"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+built AS (
+  SELECT doc_id, list_concat(
+    list_transform(
+      generate_series(0, CAST(ceil(len(words) / 12.0) AS INT) - 1),
+      i -> array_to_string(words[12*i+1:12*i+12], ' ')),
+    ['', 'footer boilerplate ' || CAST(doc_id % 7 AS VARCHAR)]
+  ) AS lines FROM w
+),
+aug AS MATERIALIZED (
+  SELECT doc_id, lines FROM built
+  UNION ALL
+  SELECT doc_id + 100000, lines FROM built WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id + 200000, list_concat(lines, ['appended suffix line zz'])
+  FROM built WHERE doc_id >= 25 AND doc_id < 50
+  UNION ALL
+  SELECT doc_id + 300000, list_transform(lines, l -> upper(l))
+  FROM built WHERE doc_id % 3 = 0
+),
+doc AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS text FROM aug),
+bt AS (
+  SELECT doc_id,
+         md5(text) AS sha,
+         md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+             '[0-9]+', '', 'g'), '\\s+', ' ', 'g'))) AS nkey,
+         CAST(len({_TOKS}) AS BIGINT) AS ntok
+  FROM doc
+),
+g AS MATERIALIZED (
+  SELECT sha, nkey, CAST(count(*) AS BIGINT) AS cnt,
+         min(doc_id) AS mid, min(ntok) AS ntok
+  FROM bt GROUP BY 1, 2
+),
+raw AS MATERIALIZED (
+  SELECT '1_raw' AS tier, CAST(sum(cnt) AS BIGINT) AS n_units,
+         CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens FROM g
+),
+ex AS (
+  SELECT '2_exact' AS tier, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(t) AS BIGINT) AS n_tokens
+  FROM (SELECT sha, min(ntok) AS t FROM g GROUP BY sha)
+),
+nm AS (
+  SELECT '3_normalized' AS tier, CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(t) AS BIGINT) AS n_tokens
+  FROM (SELECT nkey, arg_min(ntok, mid) AS t FROM g GROUP BY nkey)
+),
+lined AS (
+  SELECT doc_id, i, lines[i] AS line
+  FROM (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS i
+        FROM aug)
+),
+keptall AS (
+  SELECT doc_id, line
+  FROM (SELECT doc_id, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+        FROM lined WHERE trim(line) <> '')
+  WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, line FROM lined WHERE trim(line) = ''
+),
+ln AS (
+  SELECT '4_line' AS tier, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, line AS text FROM keptall)
+),
+tiers AS (
+  SELECT * FROM raw UNION ALL SELECT * FROM ex
+  UNION ALL SELECT * FROM nm UNION ALL SELECT * FROM ln
+),
+rawt AS (SELECT n_tokens AS raw_tokens FROM raw)
+SELECT tier, n_units, n_tokens,
+       CAST((1000000 * n_tokens) // raw_tokens AS BIGINT) AS tokens_pct6
+FROM tiers CROSS JOIN rawt
+ORDER BY tier
+"""

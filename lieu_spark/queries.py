@@ -2267,3 +2267,103 @@ def q_nb_quality(spark, sf_dir):
     q6 = A.quality_score6(F.col("text"))
     seed = F.when(q6 >= NB_SEED_HI, 1).when(q6 < NB_SEED_LO, 0)
     return nb_quality_scores(aug, seed, m=NB_BUCKETS).orderBy("doc_id")
+
+
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) embedding classifier
+    (functions/classify.centroid_fit/centroid_predict) — the
+    embedding-space quality/domain classifier stage (FineWeb-Edu /
+    DataComp recipe: label a slice, fit prototypes, score the corpus).
+    vec_id % 5 == 0 holds out as the test split; centroids fit on the
+    rest in exact integer micro-units; every test vector is assigned to
+    the label with the smallest integer squared Euclidean distance
+    (ties to the smaller label). DuckDB re-derives the quantization,
+    every centroid coordinate, and every assignment."""
+    from .functions.classify import centroid_fit, centroid_predict
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
+        ).alias("v6"),
+    )
+    train = v.filter(F.col("vec_id") % 5 != 0)
+    test = v.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.col("label").alias("true_label"), "v6"
+    )
+    model = centroid_fit(train)
+    pred = centroid_predict(test, model)
+    return pred.select(
+        "vec_id",
+        "true_label",
+        "pred_label",
+        "d2",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    ).orderBy("vec_id")
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC (operators/diff.snapshot_diff): the new snapshot is
+    a deterministic edit of documents — doc_id % 97 == 3 dropped,
+    doc_id % 53 == 11 re-keyed (+700000, content identical: a move),
+    doc_id % 31 == 7 revised (suffix appended), doc_id < 15 spawn
+    brand-new +800000 rows. One full-outer id join classifies
+    unchanged/changed; the removed/added delta sides cross-check
+    content hashes to split renames (moved_out/moved_in) from true
+    removals/additions. DuckDB re-derives the edit, both joins, and
+    every verdict."""
+    from .operators.diff import snapshot_diff
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rm = F.col("doc_id") % 97 == 3
+    mv = F.col("doc_id") % 53 == 11
+    ch = F.col("doc_id") % 31 == 7
+    kept = d.filter(~rm)
+    new = kept.select(
+        F.when(mv, F.col("doc_id") + 700000).otherwise(F.col("doc_id")).alias(
+            "doc_id"
+        ),
+        F.when(mv, F.col("text"))
+        .when(ch, F.concat(F.col("text"), F.lit(" rev two")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        d.filter(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 800000).alias("doc_id"),
+            F.concat(
+                F.lit("fresh snapshot doc "), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+    )
+    return snapshot_diff(d, new).orderBy("doc_id")
+
+
+def q_dedup_tiers(spark, sf_dir):
+    """Tiered dedup budget report (operators/tiers.tier_report): doc and
+    token survival through raw -> exact-hash -> normalized-hash ->
+    corpus-wide line dedup over the lined corpus plus three plant
+    families (exact copies +100000, near copies with an extra shared
+    suffix line +200000 — survive both doc tiers, die at the line tier
+    — and upper-cased variants +300000 — survive exact, collapse under
+    normalization). tokens_pct6 is exact integer division, so every
+    cell is engine-exact."""
+    from .operators.tiers import tier_report
+
+    lined = lined_docs(spark, sf_dir)
+    exact = lined.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lines"
+    )
+    near = lined.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.col("lines"), F.array(F.lit("appended suffix line zz"))
+        ).alias("lines"),
+    )
+    upper = lined.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.transform("lines", lambda l: F.upper(l)).alias("lines"),
+    )
+    aug = lined.unionByName(exact).unionByName(near).unionByName(upper)
+    return tier_report(aug).orderBy("tier")

@@ -62,3 +62,64 @@ def test_nb_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid (Rocchio) classifier
+# ---------------------------------------------------------------------------
+
+
+def _fitpred(spark, train_rows, test_rows):
+    from lieu_spark.functions.classify import centroid_fit, centroid_predict
+
+    tr = spark.createDataFrame(train_rows, "label int, v6 array<long>")
+    te = spark.createDataFrame(test_rows, "vec_id long, v6 array<long>")
+    return centroid_predict(te, centroid_fit(tr)).collect()
+
+
+def test_centroid_exact_member_distance_zero(spark):
+    rows = _fitpred(
+        spark,
+        [(0, [10, 20]), (0, [10, 20]), (1, [90, -40]), (1, [90, -40])],
+        [(1, [10, 20]), (2, [90, -40])],
+    )
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[1]["pred_label"] == 0 and by_id[1]["d2"] == 0
+    assert by_id[2]["pred_label"] == 1 and by_id[2]["d2"] == 0
+
+
+def test_centroid_tie_breaks_to_smaller_label(spark):
+    # centroids at [0] and [4]; the test vector [2] is equidistant
+    rows = _fitpred(spark, [(3, [0]), (7, [4])], [(1, [2])])
+    assert rows[0]["pred_label"] == 3 and rows[0]["d2"] == 4
+
+
+def test_centroid_mean_rounds_half_away_from_zero(spark):
+    # label 0: mean -1.5 -> -2; label 1: mean 1.5 -> 2
+    rows = _fitpred(
+        spark,
+        [(0, [-1]), (0, [-2]), (1, [1]), (1, [2])],
+        [(1, [-2]), (2, [2])],
+    )
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[1]["pred_label"] == 0 and by_id[1]["d2"] == 0
+    assert by_id[2]["pred_label"] == 1 and by_id[2]["d2"] == 0
+
+
+def test_centroid_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    train = [
+        (i % 3, [rng.randrange(-1000, 1000) for _ in range(8)])
+        for i in range(60)
+    ]
+    test = [(i, [rng.randrange(-1000, 1000) for _ in range(8)]) for i in range(20)]
+    a = sorted(map(tuple, _fitpred(spark, train, test)))
+
+    from lieu_spark.functions.classify import centroid_fit, centroid_predict
+
+    tr = spark.createDataFrame(train, "label int, v6 array<long>").repartition(13)
+    te = spark.createDataFrame(test, "vec_id long, v6 array<long>").repartition(5)
+    b = sorted(map(tuple, centroid_predict(te, centroid_fit(tr)).collect()))
+    assert a == b

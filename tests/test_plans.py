@@ -413,3 +413,57 @@ def test_chunk_documents_plan_is_shuffle_free(spark):
     plan = plan_of(chunk_documents(docs, 32, 8))
     assert "Exchange" not in plan, "chunking must not shuffle"
     assert "Generate" in plan
+
+
+def test_centroid_predict_is_broadcast_only(spark):
+    """Nearest-centroid classification scale shape: with the fitted
+    model materialized, scoring the corpus is a single broadcast of the
+    1-row model plus codegen higher-order functions — every Exchange in
+    the plan is a BroadcastExchange (no shuffle touches the corpus
+    side)."""
+    from lieu_spark.functions.classify import centroid_fit, centroid_predict
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1e6).cast("long")
+        ).alias("v6"),
+    )
+    model = centroid_fit(v.filter(F.col("vec_id") % 5 != 0)).localCheckpoint()
+    pred = centroid_predict(v.filter(F.col("vec_id") % 5 == 0), model)
+    plan = plan_of(pred)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), (
+        "classification must not shuffle the corpus side"
+    )
+
+
+def test_snapshot_diff_plan_id_join_no_cartesian(spark):
+    """Snapshot CDC: one full-outer equi-join on the id; the delta-side
+    hash-set membership checks are equi-joins the optimizer may
+    broadcast — never a cartesian product."""
+    from lieu_spark.operators.diff import snapshot_diff
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 7 != 0)
+    plan = plan_of(snapshot_diff(d, new))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tier_report_caches_reduced_grain(spark):
+    """Tier report: the corpus reduces ONCE to the (sha, norm_key)
+    grain and the doc-level tiers re-aggregate the cached frame; the
+    only nested-loop is the 1-row raw-total percentage scalar."""
+    from lieu_spark.operators.tiers import tier_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.array(F.col("text")).alias("lines")
+    )
+    plan = plan_of(tier_report(docs))
+    assert "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
