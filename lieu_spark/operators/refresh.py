@@ -1,0 +1,321 @@
+"""Cross-snapshot dedupe refresh — incremental maintenance of the
+dedupe state (features, bands, verified pairs, cluster map) between two
+corpus snapshots.
+
+Web-scale corpora are rebuilt per crawl; re-running the full pipeline
+re-shingles 100 TB to process a 0.1 % delta. The streaming fold
+(streaming/ingest.py) solves the APPEND-only case; this operator solves
+the general snapshot-to-snapshot case — documents are also REMOVED,
+CHANGED, and RENAMED — and its output is a complete state for the next
+refresh, so snapshots chain.
+
+The invariant (asserted in tests/test_refresh.py): the refreshed
+cluster map equals a from-scratch run over the new snapshot, for every
+edit mix. Verified-pair sets may differ in which member of an
+identical-text (same text_sha) group carries an edge — rep-blocking
+picks different representatives on the two paths — but every such edge
+closes through the exact-sha star, so connected components agree
+exactly (the same closure argument the streaming parity test uses).
+
+What is incremental (the scale story):
+  - The unavoidable floor is assembling + content-hashing the NEW
+    snapshot (one scan, no shuffle beyond assembly) — CDC needs it.
+  - Shingling/MinHash (the expensive pass) runs ONLY on delta docs
+    whose text_sha is genuinely new: renamed/moved docs reuse the old
+    snapshot's feature row content-addressed by text_sha, so a mass
+    re-keying costs nothing.
+  - Old state is pruned by anti-joining the SMALL gone set (removed ∪
+    changed ids — broadcast anti-join, the corpus side never shuffles).
+  - Candidate generation joins the small incoming band/chunk tables
+    against the standing state tables; at production scale the state
+    tables are the pipeline's persisted stage tables, bucketed on the
+    join key (sources/io.write_bucketed) so the standing side is not
+    even shuffled.
+  - Connected components re-runs over the merged PAIR set — pairs are
+    a vanishing fraction of the corpus, so full CC is not the
+    bottleneck (it is linear in dup pairs, not in documents).
+
+Rep-blocking repair: the band state holds one representative per
+text_sha group (pipeline.py feat_reps). Removing a representative would
+silently unband its surviving group and drop the star edges that hang
+off the group minimum, splitting clusters. Both are repaired from the
+(small) set of sha groups that lost a member: the minimum surviving
+member is promoted — re-starred against the surviving members and
+re-banded on the incoming side. Promotion is computed ONLY for the
+shas of gone docs (broadcast semi-join), never by re-aggregating the
+corpus.
+
+No lieu analog (the reference dedupes one snapshot at a time); this is
+the beyond-reference incremental-corpus operator pairing with
+operators/diff.snapshot_diff (which classifies the delta; this one
+re-derives the dedupe state from it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupeConfig
+from .cluster import clusters_with_singletons, connected_components
+from .exact import exact_star_pairs
+from .lsh import band_table_dual, candidate_pairs, match_pairs
+from .verify import dupe_pairs, verify_pairs
+
+
+@dataclass
+class RefreshResult:
+    """Complete next-round state: feed ``features``/``bands``/
+    ``verified`` back into refresh_dedupe for the following snapshot."""
+
+    conversations: DataFrame  # the new snapshot, as passed in
+    features: DataFrame       # full new feature state (survivors ∪ delta)
+    bands: DataFrame          # full new band state (standing ∪ incoming)
+    verified: DataFrame       # full new verified pair set (kept ∪ fresh)
+    clusters: DataFrame       # (conv_id, cluster_id) over the new corpus
+    delta: DataFrame          # CDC ids: (conv_id, change ∈ {gone, delta})
+
+
+def _pair(u, v):
+    return [F.least(u, v).alias("id_a"), F.greatest(u, v).alias("id_b")]
+
+
+def refresh_dedupe(
+    new_conversations: DataFrame,
+    old_features: DataFrame,
+    old_bands: DataFrame,
+    old_verified: DataFrame,
+    cfg: DedupeConfig,
+    featurize: Callable[[DataFrame], DataFrame],
+    with_simhash_path: bool = False,
+    checkpoint_state: bool = True,
+) -> RefreshResult:
+    """Refresh the dedupe state onto a new snapshot.
+
+    ``new_conversations``: the new snapshot with at least (conv_id,
+    text_sha) plus whatever ``featurize`` needs (typically ``doc``).
+    ``old_features``/``old_bands``/``old_verified``: the previous run's
+    stage tables (run_pipeline's, or a previous RefreshResult's).
+    ``featurize`` maps a subset of ``new_conversations`` to feature
+    rows; its output must cover ``old_features``' columns (it is only
+    ever called on content the old snapshot has never seen).
+    """
+    idc = "conv_id"
+    if "text_sha" not in new_conversations.columns:
+        raise ValueError("new_conversations must carry text_sha")
+
+    # ---- CDC on (id, content hash) --------------------------------
+    new_keys = new_conversations.select(idc, "text_sha")
+    old_keys = old_features.select(idc, F.col("text_sha").alias("__osha"))
+    j = new_keys.join(old_keys, idc, "full_outer")
+    # gone = removed ∪ changed(old side); delta = added ∪ changed(new
+    # side). Both are the small sides at steady state — persisted, they
+    # drive every state prune below as broadcast (anti-)joins.
+    gone = (
+        j.filter(
+            F.col("__osha").isNotNull()
+            & (F.col("text_sha").isNull() | (F.col("text_sha") != F.col("__osha")))
+        )
+        .select(idc)
+        .persist()
+    )
+    delta = (
+        j.filter(
+            F.col("text_sha").isNotNull()
+            & (F.col("__osha").isNull() | (F.col("text_sha") != F.col("__osha")))
+        )
+        .select(idc)
+        .persist()
+    )
+
+    surv_feats = old_features.join(F.broadcast(gone), idc, "left_anti")
+    standing_bands = old_bands.join(
+        F.broadcast(gone.select(F.col(idc).alias("id"))), "id", "left_anti"
+    )
+
+    # ---- delta features: content-addressed reuse, then featurize --
+    delta_convs = new_conversations.join(F.broadcast(delta), idc, "left_semi")
+    reuse_src = old_features.dropDuplicates(["text_sha"])
+    # a renamed doc's similarity columns are pure functions of its text
+    # — copy the old row, swap the id (n_turns, if present, is advisory
+    # on reused rows: same text can assemble from different turn splits)
+    reused = delta_convs.select(idc, "text_sha").join(
+        reuse_src.drop(idc), "text_sha", "inner"
+    )
+    fresh_convs = delta_convs.join(reuse_src.select("text_sha"), "text_sha", "left_anti")
+    fresh_feats = featurize(fresh_convs)
+    cols = old_features.columns
+    delta_feats = (
+        reused.select(*cols).unionByName(fresh_feats.select(*cols)).persist()
+    )
+
+    # ---- repair sha groups that lost a member ---------------------
+    # Only shas of gone docs can need repair — everything is a
+    # broadcast semi-join off that small set, never a corpus agg.
+    gone_shas = (
+        old_features.join(F.broadcast(gone), idc, "left_semi")
+        .select("text_sha")
+        .distinct()
+    )
+    touched = old_features.join(F.broadcast(gone_shas), "text_sha", "left_semi").select(
+        idc, "text_sha", (F.size("shingle_hashes") > 0).alias("__content")
+    )
+    surv_touched = touched.join(F.broadcast(gone), idc, "left_anti")
+    o_cent = touched.groupBy("text_sha").agg(
+        F.min(idc).alias("__o_star"),
+        F.min(F.when(F.col("__content"), F.col(idc))).alias("__o_rep"),
+    )
+    s_cent = surv_touched.groupBy("text_sha").agg(
+        F.min(idc).alias("__s_star"),
+        F.min(F.when(F.col("__content"), F.col(idc))).alias("__s_rep"),
+    )
+    cent = o_cent.join(s_cent, "text_sha").persist()
+    # star repair: the group minimum (exact_star center) is gone but
+    # members survive — re-star the survivors onto the new minimum
+    star_repair = (
+        surv_touched.join(
+            F.broadcast(
+                cent.filter(F.col("__o_star") != F.col("__s_star")).select(
+                    "text_sha", "__s_star"
+                )
+            ),
+            "text_sha",
+        )
+        .filter(F.col(idc) != F.col("__s_star"))
+        .select(*_pair(F.col("__s_star"), F.col(idc)))
+    )
+    # band repair: the banded representative (min CONTENT member) is
+    # gone but a content survivor exists — promote it onto the incoming
+    # side so its group keeps colliding with the standing state
+    promoted = cent.filter(
+        F.col("__s_rep").isNotNull() & (F.col("__o_rep") != F.col("__s_rep"))
+    ).select("text_sha", F.col("__s_rep").alias(idc))
+    promoted_feats = old_features.join(F.broadcast(promoted), [idc, "text_sha"], "left_semi")
+
+    # ---- incoming side: delta reps ∪ promoted reps ----------------
+    delta_content = delta_feats.filter(F.size("shingle_hashes") > 0)
+    d_rep = delta_content.groupBy("text_sha").agg(F.min(idc).alias(idc))
+    delta_reps = delta_content.join(d_rep, [idc, "text_sha"], "left_semi")
+    incoming_feats = delta_reps.select(*cols).unionByName(
+        promoted_feats.select(*cols)
+    ).persist()
+    incoming_bands = band_table_dual(incoming_feats, cfg)
+
+    # ---- candidates ------------------------------------------------
+    within = candidate_pairs(incoming_bands, cfg).select("id_a", "id_b")
+    cross = match_pairs(standing_bands, incoming_bands, cfg).select(
+        *_pair(F.col("canonical_id"), F.col("incoming_id"))
+    )
+    star_delta = exact_star_pairs(delta_feats.select(idc, "text_sha")).select(
+        "id_a", "id_b"
+    )
+    # delta docs joining an EXISTING identical-text group: one edge to
+    # the minimum surviving member of the shared sha (connectivity —
+    # the survivors' own stars do the rest)
+    delta_shas = delta_feats.select("text_sha").distinct()
+    surv_sha_min = (
+        surv_feats.join(F.broadcast(delta_shas), "text_sha", "left_semi")
+        .groupBy("text_sha")
+        .agg(F.min(idc).alias("__sid"))
+    )
+    cross_sha = delta_feats.select(idc, "text_sha").join(surv_sha_min, "text_sha").select(
+        *_pair(F.col(idc), F.col("__sid"))
+    )
+    cand = (
+        within.unionByName(cross)
+        .unionByName(star_delta)
+        .unionByName(cross_sha)
+        .unionByName(star_repair)
+    )
+    if with_simhash_path:
+        from .simhash_path import simhash_candidate_pairs, simhash_chunk_table
+        from ..functions.simhash import hamming64
+
+        sim_within = simhash_candidate_pairs(incoming_feats, cfg).select("id_a", "id_b")
+        standing_rep_ids = standing_bands.select("id").distinct()
+        standing_rep_feats = old_features.join(
+            standing_rep_ids.withColumnRenamed("id", idc), idc, "left_semi"
+        )
+        sc = simhash_chunk_table(standing_rep_feats, cfg).withColumnRenamed("id", "__ca")
+        ic = simhash_chunk_table(incoming_feats, cfg).withColumnRenamed("id", "__cb")
+        sim_cross_raw = (
+            sc.join(ic, ["chunk", "chunk_bits"])
+            .select("__ca", "__cb")
+            .dropDuplicates(["__ca", "__cb"])
+        )
+        ha = standing_rep_feats.select(
+            F.col(idc).alias("__ca"), F.col("simhash").alias("__ha")
+        )
+        hb = incoming_feats.select(
+            F.col(idc).alias("__cb"), F.col("simhash").alias("__hb")
+        )
+        sim_cross = (
+            sim_cross_raw.join(ha, "__ca")
+            .join(hb, "__cb")
+            .filter(hamming64(F.col("__ha"), F.col("__hb")) <= cfg.simhash_hamming_max)
+            .select(*_pair(F.col("__ca"), F.col("__cb")))
+        )
+        cand = cand.unionByName(sim_within).unionByName(sim_cross)
+    cand = (
+        cand.filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .persist()
+    )
+
+    # ---- verify fresh candidates, merge with kept pairs -----------
+    cand_ids = (
+        cand.select(F.col("id_a").alias(idc))
+        .unionByName(cand.select(F.col("id_b").alias(idc)))
+        .distinct()
+    )
+    feats_for_verify = delta_feats.unionByName(
+        surv_feats.join(cand_ids, idc, "left_semi").select(*cols)
+    )
+    fresh_verified = verify_pairs(
+        cand, feats_for_verify, cfg, method=f"refresh_{cfg.verify_mode}"
+    )
+    kept = old_verified.join(
+        F.broadcast(gone.select(F.col(idc).alias("id_a"))), "id_a", "left_anti"
+    ).join(F.broadcast(gone.select(F.col(idc).alias("id_b"))), "id_b", "left_anti")
+    common = [c for c in old_verified.columns if c in fresh_verified.columns]
+    verified_new = kept.select(*common).unionByName(
+        fresh_verified.join(kept.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .select(*common)
+    )
+
+    # State-boundary lineage truncation (the curate stage() recipe —
+    # see CLAUDE.md): the next refresh references each returned state
+    # frame several times, so without a checkpoint here a CHAIN of
+    # refreshes nests every prior refresh's full plan inside the next
+    # one's — Catalyst analysis (plan-string materialization) OOMs on
+    # the second link. Production callers write state to stage tables
+    # (parquet round-trip truncates the same way); checkpoint_state
+    # covers the in-memory chaining path.
+    features_new = surv_feats.select(*cols).unionByName(delta_feats.select(*cols))
+    bands_new = standing_bands.unionByName(incoming_bands).dropDuplicates(
+        ["id", "band", "band_hash"]
+    )
+    if checkpoint_state:
+        features_new = features_new.localCheckpoint()
+        bands_new = bands_new.localCheckpoint()
+        verified_new = verified_new.localCheckpoint()
+    else:
+        verified_new = verified_new.persist()
+
+    clusters = clusters_with_singletons(
+        new_conversations, connected_components(dupe_pairs(verified_new))
+    )
+    delta_map = gone.select(idc, F.lit("gone").alias("change")).unionByName(
+        delta.select(idc, F.lit("delta").alias("change"))
+    )
+    return RefreshResult(
+        conversations=new_conversations,
+        features=features_new,
+        bands=bands_new,
+        verified=verified_new,
+        clusters=clusters,
+        delta=delta_map,
+    )

@@ -1,0 +1,166 @@
+"""Cross-snapshot dedupe refresh (operators/refresh.py).
+
+The contract under test: for ANY edit mix (remove / change / rename /
+add — including removing a sha group's star center and its banded
+representative), the refreshed cluster map equals a from-scratch run
+over the new snapshot, and only genuinely-new content is featurized.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lieu_spark.config import DedupeConfig
+from lieu_spark.functions import text as T
+from lieu_spark.functions.minhash import with_minhash
+from lieu_spark.operators.cluster import clusters_with_singletons, connected_components
+from lieu_spark.operators.exact import exact_star_pairs
+from lieu_spark.operators.lsh import band_table, candidate_pairs
+from lieu_spark.operators.refresh import refresh_dedupe
+from lieu_spark.operators.verify import dupe_pairs, verify_pairs
+
+CFG = DedupeConfig()
+
+# texts long enough that a one-token edit keeps shingle Jaccard >= 0.9
+A = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(25))
+B = " ".join(f"delta{i} eps{i} zeta{i}" for i in range(25))
+C = " ".join(f"unique{i} words{i} here{i}" for i in range(25))
+A_NEAR = A + " tailtok"
+B_NEAR = B + " othertail"
+C2 = C.replace("here3", "HERE3x")  # changed doc, still nothing's near-dup
+
+
+def _convs(spark, rows):
+    df = spark.createDataFrame(rows, "conv_id long, doc string")
+    return df.withColumn("text_sha", F.sha2(F.col("doc"), 256))
+
+
+def _featurize(df):
+    out = df.select("conv_id", "doc", "text_sha")
+    out = out.withColumn("tokens", T.tokenize(F.col("doc")))
+    out = out.withColumn("token_hashes", T.token_hashes(F.col("tokens")))
+    out = out.withColumn(
+        "shingle_hashes", T.shingle_hash_set(F.col("token_hashes"), CFG.shingle_k)
+    )
+    return with_minhash(out, CFG)
+
+
+def _scratch(convs):
+    """From-scratch state over one snapshot: the parity target and the
+    old-state builder (bands over ALL content rows — the stateless
+    shape; refresh must also hold for rep-blocked band states, which
+    the pipeline parity path covers via promotion)."""
+    feats = _featurize(convs)
+    content = feats.filter(F.size("shingle_hashes") > 0)
+    bands = band_table(content, CFG)
+    cand = (
+        candidate_pairs(bands, CFG)
+        .unionByName(exact_star_pairs(feats.select("conv_id", "text_sha")))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = verify_pairs(cand, feats, CFG)
+    clusters = clusters_with_singletons(
+        convs, connected_components(dupe_pairs(verified))
+    )
+    return feats, bands, verified, clusters
+
+
+def _cluster_map(df):
+    return sorted((r.conv_id, r.cluster_id) for r in df.collect())
+
+
+SNAP1 = [
+    (1, A), (2, A), (3, A),       # exact group, star center = 1
+    (4, B), (5, B_NEAR),          # near-dup pair
+    (6, C),                       # singleton
+]
+# snapshot 2: remove the group's star center AND banded rep (1);
+# rename 5 -> 50 (same text); change 6; add a near-dup of A (7, must
+# cluster with the orphaned survivors {2,3} — band repair) and an exact
+# copy of B (8, joins {4, 50} via the shared sha)
+SNAP2 = [
+    (2, A), (3, A),
+    (4, B), (50, B_NEAR),
+    (6, C2),
+    (7, A_NEAR), (8, B),
+]
+# snapshot 3: remove 2 (promoted rep of the A-group), add another A
+SNAP3 = [
+    (3, A),
+    (4, B), (50, B_NEAR),
+    (6, C2),
+    (7, A_NEAR), (8, B), (9, A),
+]
+
+
+def _refresh(spark, old_rows, new_rows, state=None):
+    old = _convs(spark, old_rows)
+    new = _convs(spark, new_rows)
+    if state is None:
+        feats, bands, verified, _ = _scratch(old)
+    else:
+        feats, bands, verified = state
+    return refresh_dedupe(new, feats, bands, verified, CFG, _featurize)
+
+
+def test_refresh_matches_scratch(spark):
+    res = _refresh(spark, SNAP1, SNAP2)
+    _, _, _, want = _scratch(_convs(spark, SNAP2))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
+    # the critical repairs actually happened: 7 (new near-dup of A)
+    # clusters with the orphaned survivors, 8 with the B group
+    got = dict(_cluster_map(res.clusters))
+    assert got[7] == got[2] == got[3] == 2
+    assert got[8] == got[4] == got[50] == 4
+    assert got[6] == 6
+
+
+def test_refresh_chains(spark):
+    r2 = _refresh(spark, SNAP1, SNAP2)
+    r3 = refresh_dedupe(
+        _convs(spark, SNAP3), r2.features, r2.bands, r2.verified, CFG, _featurize
+    )
+    _, _, _, want = _scratch(_convs(spark, SNAP3))
+    assert _cluster_map(r3.clusters) == _cluster_map(want)
+    got = dict(_cluster_map(r3.clusters))
+    assert got[9] == got[3] == got[7] == 3
+
+
+def test_featurize_only_sees_new_content(spark):
+    seen = []
+
+    def spy(df):
+        seen.extend(r.conv_id for r in df.select("conv_id").collect())
+        return _featurize(df)
+
+    old = _convs(spark, SNAP1)
+    feats, bands, verified, _ = _scratch(old)
+    res = refresh_dedupe(_convs(spark, SNAP2), feats, bands, verified, CFG, spy)
+    res.clusters.count()
+    # 50 is a rename of 5 and 8 duplicates B — both reuse old features
+    # content-addressed; only the changed doc (6) and the brand-new
+    # text (7) are ever shingled again
+    assert sorted(seen) == [6, 7]
+
+
+def test_whole_group_removed(spark):
+    new_rows = [(4, B), (5, B_NEAR), (6, C)]
+    res = _refresh(spark, SNAP1, new_rows)
+    _, _, _, want = _scratch(_convs(spark, new_rows))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
+
+
+def test_empty_delta_is_identity(spark):
+    res = _refresh(spark, SNAP1, SNAP1)
+    _, _, _, want = _scratch(_convs(spark, SNAP1))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
+    assert res.delta.count() == 0
+
+
+def test_returned_state_is_complete(spark):
+    """features/bands in the result cover exactly the new corpus (the
+    state the NEXT refresh prunes from)."""
+    res = _refresh(spark, SNAP1, SNAP2)
+    ids = {r.conv_id for r in res.features.select("conv_id").collect()}
+    assert ids == {r[0] for r in SNAP2}
+    band_ids = {r.id for r in res.bands.select("id").distinct().collect()}
+    assert band_ids <= ids
