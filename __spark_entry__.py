@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": Q.q_nb_quality,
         "centroid_classify": Q.q_centroid_classify,
         "snapshot_diff": Q.q_snapshot_diff,
+        "refresh_clusters": Q.q_refresh_clusters,
         "dedup_tiers": Q.q_dedup_tiers,
         "group_cap": Q.q_group_cap,
         "global_cap": Q.q_global_cap,

@@ -112,15 +112,20 @@ def refresh_dedupe(
     old_keys = old_features.select(idc, F.col("text_sha").alias("__osha"))
     j = new_keys.join(old_keys, idc, "full_outer")
     # gone = removed ∪ changed(old side); delta = added ∪ changed(new
-    # side). Both are the small sides at steady state — persisted, they
-    # drive every state prune below as broadcast (anti-)joins.
+    # side). Both are the small sides at steady state. Every multiply-
+    # consumed internal frame here is EAGERLY localCheckpointed, not
+    # persisted: each is referenced by several downstream subtrees, and
+    # persist-only lineage nests the full upstream plan into every
+    # consumer — Catalyst's plan-string materialization OOMs on the
+    # composition (the curate stage() lesson, see CLAUDE.md). All of
+    # them are delta-scale, so the eager materialization is cheap.
     gone = (
         j.filter(
             F.col("__osha").isNotNull()
             & (F.col("text_sha").isNull() | (F.col("text_sha") != F.col("__osha")))
         )
         .select(idc)
-        .persist()
+        .localCheckpoint()
     )
     delta = (
         j.filter(
@@ -128,7 +133,7 @@ def refresh_dedupe(
             & (F.col("__osha").isNull() | (F.col("text_sha") != F.col("__osha")))
         )
         .select(idc)
-        .persist()
+        .localCheckpoint()
     )
 
     surv_feats = old_features.join(F.broadcast(gone), idc, "left_anti")
@@ -138,18 +143,31 @@ def refresh_dedupe(
 
     # ---- delta features: content-addressed reuse, then featurize --
     delta_convs = new_conversations.join(F.broadcast(delta), idc, "left_semi")
-    reuse_src = old_features.dropDuplicates(["text_sha"])
+    # reuse candidates = old rows whose sha appears in the delta — the
+    # broadcast semi-join keeps this a scan of the state, never a
+    # corpus-wide shuffle of the wide feature rows (delta shas are small)
+    reuse_src = (
+        old_features.join(
+            F.broadcast(delta_convs.select("text_sha").distinct()),
+            "text_sha",
+            "left_semi",
+        )
+        .dropDuplicates(["text_sha"])
+        .localCheckpoint()
+    )
     # a renamed doc's similarity columns are pure functions of its text
     # — copy the old row, swap the id (n_turns, if present, is advisory
     # on reused rows: same text can assemble from different turn splits)
     reused = delta_convs.select(idc, "text_sha").join(
         reuse_src.drop(idc), "text_sha", "inner"
     )
-    fresh_convs = delta_convs.join(reuse_src.select("text_sha"), "text_sha", "left_anti")
+    fresh_convs = delta_convs.join(
+        F.broadcast(reuse_src.select("text_sha")), "text_sha", "left_anti"
+    )
     fresh_feats = featurize(fresh_convs)
     cols = old_features.columns
     delta_feats = (
-        reused.select(*cols).unionByName(fresh_feats.select(*cols)).persist()
+        reused.select(*cols).unionByName(fresh_feats.select(*cols)).localCheckpoint()
     )
 
     # ---- repair sha groups that lost a member ---------------------
@@ -172,7 +190,7 @@ def refresh_dedupe(
         F.min(idc).alias("__s_star"),
         F.min(F.when(F.col("__content"), F.col(idc))).alias("__s_rep"),
     )
-    cent = o_cent.join(s_cent, "text_sha").persist()
+    cent = o_cent.join(s_cent, "text_sha").localCheckpoint()
     # star repair: the group minimum (exact_star center) is gone but
     # members survive — re-star the survivors onto the new minimum
     star_repair = (
@@ -201,7 +219,7 @@ def refresh_dedupe(
     delta_reps = delta_content.join(d_rep, [idc, "text_sha"], "left_semi")
     incoming_feats = delta_reps.select(*cols).unionByName(
         promoted_feats.select(*cols)
-    ).persist()
+    ).localCheckpoint()
     incoming_bands = band_table_dual(incoming_feats, cfg)
 
     # ---- candidates ------------------------------------------------
@@ -262,7 +280,7 @@ def refresh_dedupe(
     cand = (
         cand.filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .persist()
+        .localCheckpoint()
     )
 
     # ---- verify fresh candidates, merge with kept pairs -----------

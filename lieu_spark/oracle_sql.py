@@ -2845,3 +2845,47 @@ SELECT tier, n_units, n_tokens,
 FROM tiers CROSS JOIN rawt
 ORDER BY tier
 """
+
+# cross-snapshot refresh parity: the refreshed cluster map must equal a
+# from-scratch dedupe of the EDITED corpus, which DuckDB re-derives
+# directly (exact shingle-Jaccard >= 0.9 pairs ∪ sha star edges,
+# recursive-CTE connected components, component-min cluster ids) —
+# the same recipe as the driver-green dedupe_clusters twin, over the
+# deterministic snapshot edit instead of the raw aug corpus.
+ORACLE["refresh_clusters"] = f"""
+WITH RECURSIVE {_DOCS_AUG.strip().rstrip()},
+ed AS MATERIALIZED (
+    SELECT CASE WHEN doc_id % 13 = 5 THEN doc_id + 500000 ELSE doc_id END AS doc_id,
+           CASE WHEN doc_id % 17 = 3 THEN text || ' rev tail qq' ELSE text END AS text
+    FROM aug WHERE doc_id % 11 <> 2
+    UNION ALL
+    SELECT doc_id + 900000, text || ' zz yy xx qq ww' FROM aug WHERE doc_id < 12
+),
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM ed),
+shl AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shs FROM tok),
+ex AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM shl),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           max(a.n_sh) AS na, max(b.n_sh) AS nb, count(*) AS inter
+    FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jpairs AS (
+    SELECT id_a, id_b FROM inter WHERE 10 * inter >= 9 * (na + nb - inter)
+),
+g AS (SELECT doc_id, sha256(text) AS sha FROM ed),
+reps AS (SELECT sha, min(doc_id) AS rep FROM g GROUP BY sha),
+epairs AS (
+    SELECT r.rep AS id_a, g.doc_id AS id_b
+    FROM g JOIN reps r USING (sha) WHERE g.doc_id != r.rep
+),
+allp AS (SELECT * FROM jpairs UNION SELECT * FROM epairs),
+edges AS (SELECT id_a AS u, id_b AS v FROM allp
+          UNION SELECT id_b, id_a FROM allp),
+walk(id, comp) AS (
+    SELECT doc_id, doc_id FROM ed
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id ORDER BY doc_id
+"""

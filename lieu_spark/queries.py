@@ -2367,3 +2367,61 @@ def q_dedup_tiers(spark, sf_dir):
     )
     aug = lined.unionByName(exact).unionByName(near).unionByName(upper)
     return tier_report(aug).orderBy("tier")
+
+
+def q_refresh_clusters(spark, sf_dir):
+    """Cross-snapshot dedupe refresh (operators/refresh.refresh_dedupe):
+    the old snapshot is docs_aug with its full dedupe state (the
+    memoized feature table, its band table, and the verified pair set);
+    the new snapshot is a deterministic edit — doc_id % 11 == 2 removed
+    (orphaning some exact groups' star centers and banded reps, the
+    promotion/repair path), % 13 == 5 re-keyed (+500000 — exercises
+    content-addressed feature reuse: renames are never re-shingled),
+    % 17 == 3 revised (' rev tail qq' appended, re-featurized), and
+    doc_id < 12 spawning +900000 near-copies (the near-plant suffix
+    recipe, joining their originals' clusters). Only the delta is
+    re-shingled/re-banded; the refreshed cluster map must equal a
+    from-scratch run, which DuckDB re-derives directly over the edited
+    corpus (exact shingle-Jaccard pairs ∪ sha star, recursive-CTE CC)."""
+    from .operators.refresh import refresh_dedupe
+
+    feats = feats_minhash(spark, sf_dir)
+    bands = band_table(feats.filter(F.size("shingle_hashes") > 0), CFG)
+    cand = (
+        candidate_pairs(bands, CFG)
+        .unionByName(exact_star_pairs(feats.select("conv_id", "text_sha")))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = verify_pairs(cand, feats, CFG)
+
+    d = docs_aug(spark, sf_dir).select("doc_id", "text")
+    edited = d.filter(F.col("doc_id") % 11 != 2).select(
+        F.when(F.col("doc_id") % 13 == 5, F.col("doc_id") + 500000)
+        .otherwise(F.col("doc_id"))
+        .alias("conv_id"),
+        F.when(
+            F.col("doc_id") % 17 == 3, F.concat(F.col("text"), F.lit(" rev tail qq"))
+        )
+        .otherwise(F.col("text"))
+        .alias("doc"),
+    ).unionByName(
+        d.filter(F.col("doc_id") < 12).select(
+            (F.col("doc_id") + 900000).alias("conv_id"),
+            F.concat(F.col("text"), F.lit(" zz yy xx qq ww")).alias("doc"),
+        )
+    )
+    new_convs = edited.withColumn("text_sha", F.sha2(F.col("doc"), 256))
+
+    def featurize(df):
+        out = df.select("conv_id", "doc", "text_sha")
+        out = out.withColumn("tokens", T.tokenize(F.col("doc")))
+        out = out.withColumn("token_hashes", T.token_hashes(F.col("tokens")))
+        out = out.withColumn(
+            "shingle_hashes", T.shingle_hash_set(F.col("token_hashes"), K)
+        )
+        return with_minhash(out, CFG)
+
+    res = refresh_dedupe(new_convs, feats, bands, verified, CFG, featurize)
+    return res.clusters.select(
+        F.col("conv_id").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")

@@ -467,3 +467,48 @@ def test_tier_report_caches_reduced_grain(spark):
     assert "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_refresh_dedupe_plan_shape(spark):
+    """Cross-snapshot refresh scale shape: the state prunes anti-join
+    the small gone set as BROADCAST anti-joins (the corpus side never
+    shuffles for CDC), and nothing in the refreshed pair plan is a
+    cartesian product."""
+    from lieu_spark.functions import text as T
+    from lieu_spark.functions.minhash import with_minhash
+    from lieu_spark.operators.exact import exact_star_pairs
+    from lieu_spark.operators.refresh import refresh_dedupe
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("text").alias("doc"),
+        F.sha2("text", 256).alias("text_sha"),
+    )
+
+    def featurize(df):
+        out = df.select("conv_id", "doc", "text_sha")
+        out = out.withColumn("tokens", T.tokenize(F.col("doc")))
+        out = out.withColumn("token_hashes", T.token_hashes(F.col("tokens")))
+        out = out.withColumn(
+            "shingle_hashes", T.shingle_hash_set(F.col("token_hashes"), CFG.shingle_k)
+        )
+        return with_minhash(out, CFG)
+
+    feats = featurize(docs)
+    bands = band_table(feats.filter(F.size("shingle_hashes") > 0), CFG)
+    cand = candidate_pairs(bands, CFG).unionByName(
+        exact_star_pairs(feats.select("conv_id", "text_sha"))
+    ).dropDuplicates(["id_a", "id_b"])
+    verified = verify_pairs(cand, feats, CFG)
+    new = docs.filter(F.col("conv_id") % 7 != 0)
+    res = refresh_dedupe(
+        new, feats, bands, verified, CFG, featurize, checkpoint_state=False
+    )
+    plan = plan_of(res.verified)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gone/reuse state prunes ride broadcasts; the ONLY sort-merge
+    # anti-join allowed is fresh-vs-kept pair dedup (pair-scale on both
+    # sides — a legitimate shuffle of the small pair tables)
+    assert plan.count("SortMergeJoin LeftAnti") <= 1
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
