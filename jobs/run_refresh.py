@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint for cross-snapshot dedupe refresh.
+
+Given a previous run's stage store (written by jobs/run_dedupe.py or a
+previous run of THIS job) and a NEW snapshot of the corpus, refresh the
+dedupe state incrementally — only the delta is re-shingled — and write
+a complete state for the next refresh (operators/refresh.py).
+
+    cd /root/repo && zip -r /tmp/lieu_spark.zip lieu_spark
+    spark-submit \
+      --master <cluster-or-local[N]> \
+      --py-files /tmp/lieu_spark.zip \
+      jobs/run_refresh.py \
+      --state-dir  /path/to/previous/stages \
+      --input      /path/to/new_snapshot(.parquet) \
+      --output     /path/to/refresh_out \
+      [--shingle-k 5] [--threshold 0.9] [--verify-mode shingles]
+      [--no-simhash]
+
+Config flags MUST match the run that produced --state-dir (pairs
+verified under different thresholds must never merge). Outputs under
+--output: clusters/, pairs/, delta/, and stages/ (features, bands,
+verified) — pass ``--output/stages`` as the next run's --state-dir to
+chain snapshots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--review-threshold", type=float, default=0.7)
+    ap.add_argument(
+        "--verify-mode",
+        choices=["shingles", "signatures", "soft_tfidf"],
+        default="shingles",
+    )
+    ap.add_argument("--no-simhash", action="store_true")
+    args = ap.parse_args()
+
+    from lieu_spark.checkpoint import StageStore, input_signature
+    from lieu_spark.config import DedupeConfig
+    from lieu_spark.operators.refresh import refresh_pipeline
+    from lieu_spark.session import attach_session
+
+    spark = attach_session("lieu_spark_refresh")
+    cfg = DedupeConfig(
+        shingle_k=args.shingle_k,
+        threshold_likely=args.threshold,
+        threshold_review=args.review_threshold,
+        verify_mode=args.verify_mode,
+    )
+    t0 = time.time()
+    store = StageStore(args.state_dir)
+    new_transcripts = spark.read.parquet(args.input)
+    res = refresh_pipeline(
+        spark,
+        store,
+        new_transcripts,
+        cfg,
+        with_simhash_path=not args.no_simhash,
+    )
+
+    out = args.output.rstrip("/")
+    res.clusters.write.mode("overwrite").parquet(f"{out}/clusters")
+    res.verified.write.mode("overwrite").parquet(f"{out}/pairs")
+    res.delta.write.mode("overwrite").parquet(f"{out}/delta")
+    # next-round state, addressed exactly like run_dedupe's stage store
+    fp = cfg.fingerprint()
+    sig = input_signature(new_transcripts)
+    if sig:
+        fp = f"{fp}-in{sig}"
+    next_store = StageStore(f"{out}/stages")
+    next_store.save(spark, "features", res.features, fp)
+    next_store.save(spark, "bands", res.bands, fp)
+    next_store.save(spark, "verified", res.verified, fp)
+
+    n_delta = res.delta.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    print(
+        json.dumps(
+            {
+                "wall_s": round(time.time() - t0, 1),
+                "delta_rows": n_delta,
+                "clusters": n_clusters,
+                "output": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

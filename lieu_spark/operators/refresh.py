@@ -337,3 +337,40 @@ def refresh_dedupe(
         clusters=clusters,
         delta=delta_map,
     )
+
+
+def refresh_pipeline(
+    spark,
+    store,
+    new_transcripts: DataFrame,
+    cfg: DedupeConfig,
+    with_simhash_path: bool = True,
+) -> RefreshResult:
+    """Refresh from a run_pipeline (or previous refresh job) StageStore.
+
+    Loads the previous run's ``features`` / ``bands`` / ``verified``
+    stage tables — the parquet round-trip already truncated their
+    lineage — assembles the new snapshot, and featurizes the fresh
+    delta with the full pipeline feature pass (``build_features``), so
+    the refreshed state is drop-in compatible with the pipeline's.
+    ``cfg`` must match the config the store was written with (the stage
+    fingerprints encode it; a mismatched config would merge pairs
+    verified under different thresholds)."""
+    from ..operators.assemble import assemble_conversations
+    from ..pipeline import build_features
+
+    old_features = store.load(spark, "features")
+    old_bands = store.load(spark, "bands")
+    old_verified = store.load(spark, "verified")
+    new_convs = assemble_conversations(
+        new_transcripts, max_turns=cfg.max_turns_per_conv
+    )
+    return refresh_dedupe(
+        new_convs,
+        old_features,
+        old_bands,
+        old_verified,
+        cfg,
+        lambda convs: build_features(convs, cfg),
+        with_simhash_path=with_simhash_path,
+    )

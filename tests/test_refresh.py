@@ -164,3 +164,52 @@ def test_returned_state_is_complete(spark):
     assert ids == {r[0] for r in SNAP2}
     band_ids = {r.id for r in res.bands.select("id").distinct().collect()}
     assert band_ids <= ids
+
+
+def test_refresh_pipeline_parity_with_rep_blocked_state(spark, tmp_path):
+    """Transcript-level parity against run_pipeline's REP-BLOCKED band
+    state (one banded representative per sha group — the state shape
+    where promotion repair is load-bearing): refresh from the stage
+    store must equal a from-scratch pipeline run on the edited
+    snapshot, through removals, renames, and changed conversations."""
+    from lieu_spark import corpus
+    from lieu_spark.checkpoint import StageStore
+    from lieu_spark.operators.refresh import refresh_pipeline
+    from lieu_spark.pipeline import run_pipeline
+
+    t1 = corpus.generate_df(spark, 42, 120)
+    store = StageStore(str(tmp_path / "s1"))
+    run_pipeline(spark, t1, CFG, store=store, with_spans=False).clusters.count()
+
+    bucket = F.abs(F.xxhash64("conv_id")) % 7
+    kept = t1.filter(bucket != 0)
+    renamed = kept.filter(bucket == 1).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_r"))
+    )
+    extra_turn = (
+        kept.filter(bucket == 2)
+        .groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("turn_idx"), F.max("ts").alias("ts"))
+        .select(
+            "conv_id",
+            (F.col("turn_idx") + 1).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("one appended follow-up turn").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            "ts",
+        )
+    )
+    t2 = (
+        kept.filter(bucket != 1)
+        .unionByName(renamed)
+        .unionByName(extra_turn.select(*kept.columns))
+    )
+
+    res = refresh_pipeline(spark, store, t2, CFG)
+    want = run_pipeline(spark, t2, CFG, with_spans=False).clusters
+    got_map = _cluster_map(res.clusters.select("conv_id", "cluster_id"))
+    want_map = _cluster_map(want.select("conv_id", "cluster_id"))
+    assert got_map == want_map
+    # the edit actually exercised every path
+    changes = {r.change for r in res.delta.select("change").distinct().collect()}
+    assert changes == {"gone", "delta"}
