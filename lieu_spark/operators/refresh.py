@@ -355,7 +355,15 @@ def refresh_pipeline(
     the refreshed state is drop-in compatible with the pipeline's.
     ``cfg`` must match the config the store was written with (the stage
     fingerprints encode it; a mismatched config would merge pairs
-    verified under different thresholds)."""
+    verified under different thresholds).
+
+    checkpoint_state is OFF on this path: the returned state frames are
+    shallow plans over the parquet state (one anti-join / one union),
+    and the caller's own parquet write is their materialization —
+    eagerly localCheckpointing them here would pay a second full
+    corpus-scale materialization for nothing (measured: it put the
+    refresh wall ABOVE the from-scratch wall at sf0.1). The in-memory
+    chaining default stays True on refresh_dedupe, where plans nest."""
     from ..operators.assemble import assemble_conversations
     from ..pipeline import build_features
 
@@ -373,4 +381,5 @@ def refresh_pipeline(
         cfg,
         lambda convs: build_features(convs, cfg),
         with_simhash_path=with_simhash_path,
+        checkpoint_state=False,
     )
