@@ -15,7 +15,7 @@ a complete state for the next refresh (operators/refresh.py).
       --input      /path/to/new_snapshot(.parquet) \
       --output     /path/to/refresh_out \
       [--shingle-k 5] [--threshold 0.9] [--verify-mode shingles]
-      [--no-simhash]
+      [--no-simhash] [--metrics-dir DIR]
 
 Config flags MUST match the run that produced --state-dir (pairs
 verified under different thresholds must never merge). Outputs under
@@ -49,10 +49,12 @@ def main() -> None:
         default="shingles",
     )
     ap.add_argument("--no-simhash", action="store_true")
+    ap.add_argument("--metrics-dir", default=None)
     args = ap.parse_args()
 
     from lieu_spark.checkpoint import StageStore, input_signature
     from lieu_spark.config import DedupeConfig
+    from lieu_spark.metrics import record_stages
     from lieu_spark.operators.refresh import refresh_pipeline
     from lieu_spark.session import attach_session
 
@@ -88,8 +90,28 @@ def main() -> None:
     next_store.save(spark, "bands", res.bands, fp)
     next_store.save(spark, "verified", res.verified, fp)
 
-    n_delta = res.delta.count()
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    # Lineage + counts rescan the WRITTEN tables (shallow parquet reads),
+    # never the refresh plans — re-running res.* here would recompute the
+    # CDC joins once per consumer.
+    wall = time.time() - t0
+    clusters_w = spark.read.parquet(f"{out}/clusters")
+    pairs_w = spark.read.parquet(f"{out}/pairs")
+    delta_w = spark.read.parquet(f"{out}/delta")
+    metrics_dir = args.metrics_dir or os.path.join(out, "metrics")
+    record_stages(
+        spark,
+        metrics_dir,
+        run_id=f"refresh-{int(t0)}",
+        entries=[
+            ("refresh_clusters", clusters_w, wall),
+            ("refresh_pairs", pairs_w, 0.0),
+            ("refresh_delta", delta_w, 0.0),
+        ],
+        fingerprint=fp,
+    )
+
+    n_delta = delta_w.count()
+    n_clusters = clusters_w.select("cluster_id").distinct().count()
     print(
         json.dumps(
             {
