@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": Q.q_token_budget_select,
         "chunk_documents": Q.q_chunk_documents,
         "temperature_mixture": Q.q_temperature_mixture,
+        "unimax_mixture": Q.q_unimax_mixture,
         "ccnet_buckets": Q.q_ccnet_buckets,
         "semantic_decon": _q_semantic_decon,
         "semantic_dedup": _q_semantic_dedup,

@@ -422,3 +422,102 @@ def deterministic_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     return df.filter(hash_bucket(F.col(id_col), salt) < int(round(rate * BUCKETS)))
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    epochs_cap: int = 2,
+) -> DataFrame:
+    """UniMax language/budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): split a total token ``budget`` across
+    groups (languages, sources) so every group gets an equal share of
+    the budget EXCEPT groups too small to absorb it, which are capped
+    at ``epochs_cap`` repetitions of their available tokens and return
+    the unused mass to the pool. Temperature sampling
+    (``temperature_sample``) trades a single alpha between head and
+    tail; UniMax instead maximizes the minimum share subject to the
+    repetition cap — the water-filling solution.
+
+    Closed form instead of the paper's sequential greedy: with groups
+    sorted ascending by cap_g = epochs_cap * n_g, the greedy's
+    equal-share watermark is CONSTANT once the first group exceeds it
+    (allocating exactly the fair share leaves the per-remaining-group
+    share unchanged), so "capped" is a sorted PREFIX — group i is
+    capped iff cap_i * (L - i + 1) + cumcap_{i-1} <= budget, and the
+    LHS is non-decreasing in i. One window pass finds the boundary;
+    everyone past it splits the remaining budget equally. Exact-integer
+    LHS, so the boundary test is engine-portable; the only floating
+    step is the final remainder division (single IEEE op, bit-identical
+    cross-engine).
+
+    Scale shape: one map-side-combinable agg collapses the corpus to
+    the GROUP table (#languages rows); every window below runs on that
+    tiny table (unpartitioned window — deliberate and safe at any
+    corpus size, the frame is #groups, never #docs). Output is the
+    allocation table (group, n_docs, n_tokens, alloc_tokens, epochs6);
+    downstream sampling broadcast-joins it back, the corpus never
+    reshuffles. epochs6 = round(alloc / n_tokens * 1e6) can exceed 1e6:
+    capped groups sit exactly at epochs_cap * 1e6 (repetition), the
+    uncapped remainder share is below it by construction of the sort.
+
+    No lieu analog — beyond-reference training-mixture operator, same
+    family as temperature_sample / token_budget_select.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if epochs_cap <= 0:
+        raise ValueError(f"epochs_cap must be positive, got {epochs_cap}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(weight_col).cast("long")).alias("n_tokens"),
+    )
+    capd = counts.withColumn(
+        "__cap", (F.lit(int(epochs_cap)) * F.col("n_tokens")).cast("long")
+    )
+    w_ord = Window.orderBy(F.asc("__cap"), F.asc(group_col))
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()  # whole (tiny) group table
+    b = F.lit(int(budget)).cast("long")
+    stepped = (
+        capd.withColumn("__i", F.row_number().over(w_ord))
+        .withColumn("__cum", F.sum("__cap").over(w_run))
+        .withColumn("__L", F.count("*").over(w_all))
+    ).withColumn(
+        "__capped",
+        (
+            F.col("__cap") * (F.col("__L") - F.col("__i") + F.lit(1))
+            + (F.col("__cum") - F.col("__cap"))
+        )
+        <= b,
+    )
+    scal = stepped.withColumn(
+        "__kcum",
+        F.coalesce(
+            F.max(F.when(F.col("__capped"), F.col("__cum"))).over(w_all),
+            F.lit(0).cast("long"),
+        ),
+    ).withColumn(
+        "__nun",
+        F.col("__L")
+        - F.coalesce(
+            F.max(F.when(F.col("__capped"), F.col("__i"))).over(w_all),
+            F.lit(0),
+        ),
+    )
+    alloc = F.when(F.col("__capped"), F.col("__cap").cast("double")).otherwise(
+        (b - F.col("__kcum")).cast("double") / F.col("__nun")
+    )
+    return (
+        scal.withColumn("alloc_tokens", F.round(alloc).cast("long"))
+        .withColumn(
+            "epochs6",
+            F.round(alloc / F.col("n_tokens") * F.lit(1e6)).cast("long"),
+        )
+        .select(group_col, "n_docs", "n_tokens", "alloc_tokens", "epochs6")
+        .orderBy(group_col)
+    )

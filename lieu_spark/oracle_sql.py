@@ -2889,3 +2889,39 @@ walk(id, comp) AS (
 )
 SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id ORDER BY doc_id
 """
+
+# UniMax water-filling allocation: the closed form's boundary test is
+# exact-integer (cap * remaining + cumprev <= budget over the cap-sorted
+# group table), so the capped prefix is engine-portable; the two final
+# divisions (remainder share, epochs) are single IEEE ops evaluated in
+# the same association order on exact integer inputs — bit-identical.
+ORACLE["unimax_mixture"] = f"""
+WITH tok AS (SELECT lang, {_TOKS} AS toks FROM documents),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY lang),
+k AS (SELECT lang, n_docs, n_tokens,
+             CAST(2 * n_tokens AS BIGINT) AS cap FROM c),
+w AS (SELECT *,
+             CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+             CAST(sum(cap) OVER (ORDER BY cap, lang
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(count(*) OVER () AS BIGINT) AS nl
+      FROM k),
+f AS (SELECT *,
+             (cap * (nl - i + 1) + (cum - cap) <= 40000) AS capped FROM w),
+s AS (SELECT *,
+             CAST(coalesce(max(CASE WHEN capped THEN cum END) OVER (), 0)
+                  AS BIGINT) AS kcum,
+             CAST(nl - coalesce(max(CASE WHEN capped THEN i END) OVER (), 0)
+                  AS BIGINT) AS nun
+      FROM f)
+SELECT lang, n_docs, n_tokens,
+       CAST(round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                       ELSE CAST(40000 - kcum AS DOUBLE) / nun END)
+            AS BIGINT) AS alloc_tokens,
+       CAST(round((CASE WHEN capped THEN CAST(cap AS DOUBLE)
+                        ELSE CAST(40000 - kcum AS DOUBLE) / nun END)
+                  / n_tokens * 1e6) AS BIGINT) AS epochs6
+FROM s ORDER BY lang
+"""

@@ -2425,3 +2425,26 @@ def q_refresh_clusters(spark, sf_dir):
     return res.clusters.select(
         F.col("conv_id").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")
+
+
+def q_unimax_mixture(spark, sf_dir):
+    """UniMax budget allocation (Chung et al. 2023) over documents.lang:
+    split a 40k-token budget equally across languages, capping each at
+    2 epochs of its available tokens — the water-filling answer to the
+    mixture question temperature_mixture trades off with one alpha.
+    At sf0.01 the four non-en languages cap at 2 epochs (7.1-8.3k
+    tokens each) and en absorbs the 9.2k remainder at ~0.78 epochs, so
+    both branches of the closed form are exercised. One agg collapses
+    the corpus to 5 rows; every window runs on that tiny table. DuckDB
+    re-derives the whole chain — tokenize, per-lang totals, sorted-
+    prefix boundary, remainder split — from the raw text."""
+    from .functions.sampling import unimax_allocation
+    from .functions.text import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    weighted = d.select(
+        "lang", F.size(tokenize(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return unimax_allocation(
+        weighted, "lang", "n_toks", budget=40000, epochs_cap=2
+    )

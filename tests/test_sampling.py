@@ -429,3 +429,66 @@ def test_temperature_sample_alpha_extremes_and_nesting(spark):
         temperature_sample(df, "lang", "doc_id", 0.5, 1.5)
     with _pytest.raises(ValueError):
         temperature_sample(df, "lang", "doc_id", -0.1, 0.5)
+
+
+def _unimax_greedy(avail, budget, epochs_cap):
+    """The paper's sequential greedy (UniMax Alg. 1), pure python:
+    ascending by cap, each group takes min(fair share, cap)."""
+    order = sorted(avail, key=lambda g: (epochs_cap * avail[g], g))
+    left, nleft, out = float(budget), len(order), {}
+    for g in order:
+        fair = left / nleft
+        out[g] = min(fair, float(epochs_cap * avail[g]))
+        left -= out[g]
+        nleft -= 1
+    return out
+
+
+def test_unimax_allocation_matches_greedy_and_conserves_budget(spark):
+    from lieu_spark.functions.sampling import unimax_allocation
+
+    avail = {"a": 100, "b": 350, "c": 4000, "d": 9000, "e": 120}
+    # one row per group carrying the full weight, plus a split row to
+    # prove the agg sums weights (not counts)
+    data = [("a", 60), ("a", 40), ("b", 350), ("c", 4000),
+            ("d", 9000), ("e", 120)]
+    df = spark.createDataFrame(data, "grp string, w long")
+    got = {
+        r["grp"]: r
+        for r in unimax_allocation(df, "grp", "w", budget=5000,
+                                   epochs_cap=2).collect()
+    }
+    want = _unimax_greedy(avail, 5000, 2)
+    assert set(got) == set(avail)
+    for g, r in got.items():
+        assert r["n_tokens"] == avail[g]
+        assert r["alloc_tokens"] == round(want[g])
+        assert r["epochs6"] == round(want[g] / avail[g] * 1e6)
+        # repetition never exceeds the cap
+        assert r["epochs6"] <= 2_000_000
+    # small groups cap at exactly 2 epochs, big ones split the rest
+    assert got["a"]["epochs6"] == 2_000_000
+    assert got["e"]["epochs6"] == 2_000_000
+    assert got["c"]["epochs6"] < 1_000_000
+    # full budget spent (not everything capped)
+    assert sum(r["alloc_tokens"] for r in got.values()) == 5000
+
+
+def test_unimax_allocation_degenerate_branches(spark):
+    from lieu_spark.functions.sampling import unimax_allocation
+
+    # budget above total capacity: every group capped, budget unspent
+    df = spark.createDataFrame([("a", 10), ("b", 20)], "grp string, w long")
+    got = {r["grp"]: r for r in
+           unimax_allocation(df, "grp", "w", budget=10_000,
+                             epochs_cap=3).collect()}
+    assert got["a"]["alloc_tokens"] == 30 and got["b"]["alloc_tokens"] == 60
+    # budget far below any cap: nobody capped, equal split
+    got = {r["grp"]: r for r in
+           unimax_allocation(df, "grp", "w", budget=10,
+                             epochs_cap=3).collect()}
+    assert got["a"]["alloc_tokens"] == 5 and got["b"]["alloc_tokens"] == 5
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "grp", "w", budget=0)
+    with pytest.raises(ValueError):
+        unimax_allocation(df, "grp", "w", budget=10, epochs_cap=0)
