@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": Q.q_chunk_documents,
         "temperature_mixture": Q.q_temperature_mixture,
         "unimax_mixture": Q.q_unimax_mixture,
+        "unimax_sample": Q.q_unimax_sample,
         "ccnet_buckets": Q.q_ccnet_buckets,
         "semantic_decon": _q_semantic_decon,
         "semantic_dedup": _q_semantic_dedup,

@@ -521,3 +521,45 @@ def unimax_allocation(
         .select(group_col, "n_docs", "n_tokens", "alloc_tokens", "epochs6")
         .orderBy(group_col)
     )
+
+def unimax_expand(
+    df: DataFrame,
+    alloc: DataFrame,
+    group_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize a ``unimax_allocation`` table into the training
+    mixture itself: every row appears ``floor(epochs)`` times, plus one
+    more time for a deterministic ``frac(epochs)``-rate subset of its
+    group (the md5-bucket recipe — epochs6 is quantized to the same 1e6
+    grid as ``hash_bucket``, so the fractional epoch IS a bucket
+    threshold, no further rounding). Output adds an ``epoch`` column
+    (1-based copy index) so downstream shuffling/packing can keep
+    repeats apart.
+
+    In expectation each group contributes alloc_tokens exactly; the
+    realized count is the usual deterministic-hash binomial. Scale
+    shape: the allocation table is #groups rows — broadcast join, the
+    corpus never shuffles; the expansion is a narrow explode of a
+    when-guarded sequence (Spark's sequence(1, 0) is a DESCENDING
+    2-element array, never an empty one — the guard is load-bearing).
+    """
+    a = alloc.select(group_col, "epochs6")
+    n_full = F.expr("CAST(epochs6 DIV 1000000 AS BIGINT)")
+    frac = F.col("epochs6") % F.lit(1_000_000)
+    extra = (hash_bucket(F.col(id_col), salt) < frac).cast("long")
+    return (
+        df.join(F.broadcast(a), group_col)
+        .withColumn("__copies", n_full + extra)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    F.col("__copies") >= 1,
+                    F.sequence(F.lit(1).cast("long"), F.col("__copies")),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        .drop("epochs6", "__copies")
+    )

@@ -2925,3 +2925,21 @@ SELECT lang, n_docs, n_tokens,
                   / n_tokens * 1e6) AS BIGINT) AS epochs6
 FROM s ORDER BY lang
 """
+
+# unimax_expand twin: composes the finished allocation chain, then
+# replays the expansion — floor(epochs) integer copies via
+# generate_series plus one more when the doc's md5 bucket clears the
+# fractional-epoch threshold (epochs6 % 1e6, the shared 1e6 grid).
+ORACLE["unimax_sample"] = f"""
+WITH alloc AS ({ORACLE["unimax_mixture"]}),
+c AS (SELECT d.doc_id, d.lang,
+             CAST(a.epochs6 // 1000000 AS BIGINT)
+             + CASE WHEN CAST(concat('0x', substr(md5('umx' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 1000000 < a.epochs6 % 1000000
+                    THEN 1 ELSE 0 END AS copies
+      FROM documents d JOIN alloc a ON d.lang IS NOT DISTINCT FROM a.lang)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+FROM c WHERE copies >= 1
+ORDER BY doc_id, epoch
+"""

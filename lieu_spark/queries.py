@@ -2448,3 +2448,27 @@ def q_unimax_mixture(spark, sf_dir):
     return unimax_allocation(
         weighted, "lang", "n_toks", budget=40000, epochs_cap=2
     )
+
+
+def q_unimax_sample(spark, sf_dir):
+    """unimax_mixture made actionable: the allocation is expanded into
+    the mixture itself — capped languages (epochs exactly 2.0 at
+    sf0.01) appear twice per doc, en's fractional 0.78 epochs becomes a
+    deterministic md5-bucket subset appearing once. (doc_id, lang,
+    epoch) rows; DuckDB re-derives the allocation chain then replays
+    the expansion with generate_series + the same bucket threshold."""
+    from .functions.sampling import unimax_allocation, unimax_expand
+    from .functions.text import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id", "lang",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    alloc = unimax_allocation(weighted, "lang", "n_toks", budget=40000,
+                              epochs_cap=2)
+    return (
+        unimax_expand(weighted, alloc, "lang", "doc_id", salt="umx")
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )

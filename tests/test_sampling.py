@@ -492,3 +492,32 @@ def test_unimax_allocation_degenerate_branches(spark):
         unimax_allocation(df, "grp", "w", budget=0)
     with pytest.raises(ValueError):
         unimax_allocation(df, "grp", "w", budget=10, epochs_cap=0)
+
+
+def test_unimax_expand_copies_and_guard(spark):
+    from lieu_spark.functions.sampling import unimax_allocation, unimax_expand
+
+    # group a: capped at 2 epochs exactly (integer copies, frac = 0);
+    # group b: fractional epochs < 1 (exercises the sequence(1,0) guard
+    # — docs whose bucket misses the threshold must emit ZERO rows,
+    # never a descending [1,0] sequence)
+    data = [(i, "a", 10) for i in range(5)] + [
+        (100 + i, "b", 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, grp string, w long")
+    alloc = unimax_allocation(df, "grp", "w", budget=300, epochs_cap=2)
+    got = unimax_expand(df, alloc, "grp", "doc_id", salt="t").collect()
+    a_rows = [r for r in got if r["grp"] == "a"]
+    b_rows = [r for r in got if r["grp"] == "b"]
+    # a: cap = 100 <= fair 150 -> capped, exactly 2 copies of all 5 docs
+    assert len(a_rows) == 10
+    assert sorted(r["epoch"] for r in a_rows if r["doc_id"] == 0) == [1, 2]
+    # b: 200 remaining over 500 tokens -> 0.4 epochs; every kept doc
+    # appears exactly once, a strict subset of the 50
+    assert all(r["epoch"] == 1 for r in b_rows)
+    assert 0 < len(b_rows) < 50
+    # determinism incl. under repartition
+    again = unimax_expand(
+        df.repartition(7), alloc, "grp", "doc_id", salt="t"
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
