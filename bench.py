@@ -416,6 +416,105 @@ def run_one(
     Path(out_json).write_text(json.dumps(payload))
 
 
+def run_refresh_probe(cores: int, corpus_parquet: str, out_json: str) -> None:
+    """Committed evidence for the incremental-refresh story: snapshot 1
+    -> stage store (setup, excluded from the ratio), a deterministic
+    ~4% conv-atomic CDC delta -> snapshot 2, then FROM-SCRATCH vs
+    refresh_pipeline timed ADJACENTLY in this process — same co-tenant
+    window, both arms on the JVM the setup run warmed — with a full
+    cluster-set parity check (the test_refresh invariant, re-asserted
+    at bench scale). Spans off in both arms: refresh maintains
+    features/bands/verified/clusters, so that is the like-for-like."""
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from lieu_spark.checkpoint import StageStore
+    from lieu_spark.config import DedupeConfig
+    from lieu_spark.operators.refresh import refresh_pipeline
+    from lieu_spark.pipeline import run_pipeline
+    from lieu_spark.session import build_session
+
+    cfg = DedupeConfig()
+    spark = build_session(f"lieu_spark_refresh_probe_{cores}", cores=cores)
+    t = spark.read.parquet(corpus_parquet)
+
+    store_dir = Path(out_json).with_suffix(".store")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    store = StageStore(str(store_dir))
+    t0 = time.time()
+    run_pipeline(spark, t, cfg, store=store, with_spans=False)
+    setup_wall = time.time() - t0
+
+    # snapshot 2: ~1% each removed / changed / renamed / added, all
+    # conv-atomic (hash on conv_id, never turn-level divergence)
+    h = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(101))
+    edited = t.filter(h != 7).select(
+        F.when(h == 5, F.concat(F.lit("r-"), F.col("conv_id")))
+        .otherwise(F.col("conv_id"))
+        .alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.when(
+            (h == 3) & (F.col("turn_idx") == 0),
+            F.concat(F.col("text"), F.lit(" refreshed suffix qq")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "tool",
+        "ts",
+    )
+    added = t.filter(h == 11).select(
+        F.concat(F.lit("n-"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.concat(F.col("text"), F.lit(" novel zz yy")).alias("text"),
+        "tool",
+        "ts",
+    )
+    snap2_path = Path(out_json).with_suffix(".snap2.parquet")
+    edited.unionByName(added).write.mode("overwrite").parquet(str(snap2_path))
+    snap2 = spark.read.parquet(str(snap2_path))
+    n_turns = snap2.count()
+
+    t0 = time.time()
+    res = run_pipeline(spark, snap2, cfg, with_spans=False)
+    scratch_rows = res.clusters.select("conv_id", "cluster_id").collect()
+    scratch_wall = time.time() - t0
+
+    t0 = time.time()
+    ref = refresh_pipeline(spark, store, snap2, cfg)
+    refresh_rows = ref.clusters.select("conv_id", "cluster_id").collect()
+    refresh_wall = time.time() - t0
+    n_delta = ref.delta.count()
+
+    def canon(rows):
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(r["cluster_id"], set()).add(r["conv_id"])
+        return {frozenset(v) for v in groups.values()}
+
+    clusters_equal = canon(scratch_rows) == canon(refresh_rows)
+    spark.stop()
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(snap2_path, ignore_errors=True)
+    Path(out_json).write_text(
+        json.dumps(
+            {
+                "cores": cores,
+                "turns": n_turns,
+                "setup_wall_sec": round(setup_wall, 3),
+                "scratch_wall_sec": round(scratch_wall, 3),
+                "refresh_wall_sec": round(refresh_wall, 3),
+                "refresh_speedup": round(scratch_wall / refresh_wall, 3)
+                if refresh_wall
+                else None,
+                "delta_rows": n_delta,
+                "clusters_equal": clusters_equal,
+            }
+        )
+    )
+
+
 def submit(
     cores: int,
     sf_dir: str,
@@ -425,6 +524,7 @@ def submit(
     stream_parity: bool = False,
     verify_mode: str = "shingles",
     pipeline_only: bool = False,
+    refresh_probe: bool = False,
 ) -> dict:
     """Launch one measured run via spark-submit --py-files (falls back to
     plain python if spark-submit is unavailable). repeats>1: rerun and
@@ -445,7 +545,7 @@ def submit(
         shutil.make_archive(pyfiles[:-4], "zip", REPO, "lieu_spark")
     args = [
         str(REPO / "bench.py"),
-        "--run-one",
+        "--refresh-probe" if refresh_probe else "--run-one",
         "--cores", str(cores),
         "--sf-dir", sf_dir,
         "--corpus", corpus_parquet,
@@ -491,8 +591,12 @@ def main() -> None:
     ap.add_argument("--verify-mode", default="shingles")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--store-dir", default=None)
+    ap.add_argument("--refresh-probe", action="store_true")
     args = ap.parse_args()
 
+    if args.refresh_probe:
+        run_refresh_probe(args.cores, args.corpus, args.out)
+        return
     if args.run_one:
         run_one(
             args.cores, args.sf_dir, args.corpus, args.out,
@@ -676,6 +780,16 @@ def main() -> None:
             ],
         }
 
+    # incremental-refresh probe: from-scratch vs refresh_pipeline on a
+    # ~4% CDC delta, adjacent arms, cluster-set parity asserted at bench
+    # scale. ~2-3 min; SPARK_GRAFT_BENCH_REFRESH=0 opts out.
+    refresh_probe = None
+    if os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "1") == "1":
+        refresh_probe = submit(
+            native, args.sf_dir, corpus_parquet,
+            str(CACHE / "run_refresh_probe.json"), refresh_probe=True,
+        )
+
     queries = {"pipeline_total": round(r2["pipeline_wall_sec"], 3)}
     queries.update({k: round(v, 3) for k, v in r2["stage_sec"].items()})
     out = {
@@ -700,6 +814,7 @@ def main() -> None:
         "stream_fold_walls": r2.get("stream_fold_walls"),
         "ann_recall": r2.get("ann_recall"),
         "verify_mode_ab": soft_ab,
+        "refresh_probe": refresh_probe,
         "scaling": scaling,
     }
     print(json.dumps(out))
