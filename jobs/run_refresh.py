@@ -89,6 +89,9 @@ def main() -> None:
     next_store.save(spark, "features", res.features, fp)
     next_store.save(spark, "bands", res.bands, fp)
     next_store.save(spark, "verified", res.verified, fp)
+    # clusters in the chained store keep the NEXT refresh's connected
+    # components incremental (affected-subgraph only)
+    next_store.save(spark, "clusters", res.clusters, fp)
 
     # Lineage + counts rescan the WRITTEN tables (shallow parquet reads),
     # never the refresh plans — re-running res.* here would recompute the

@@ -92,6 +92,7 @@ def refresh_dedupe(
     featurize: Callable[[DataFrame], DataFrame],
     with_simhash_path: bool = False,
     checkpoint_state: bool = True,
+    old_clusters: DataFrame | None = None,
 ) -> RefreshResult:
     """Refresh the dedupe state onto a new snapshot.
 
@@ -102,6 +103,17 @@ def refresh_dedupe(
     ``featurize`` maps a subset of ``new_conversations`` to feature
     rows; its output must cover ``old_features``' columns (it is only
     ever called on content the old snapshot has never seen).
+
+    ``old_clusters`` (optional, (conv_id, cluster_id) over the OLD
+    corpus incl. singletons — run_pipeline's clusters stage table):
+    enables INCREMENTAL connected components. Clusters untouched by the
+    delta keep their assignment; CC re-runs only over the affected
+    subgraph. Sound because components are closed under edges: an old
+    pair's endpoints share an old cluster, so "affected" (= old cluster
+    of any gone doc or fresh-pair endpoint) is closed too — an
+    unaffected cluster keeps its exact member set and edge set, hence
+    its component and its min-id. Without it (None), CC re-runs over
+    the full merged pair set (still linear in dup pairs, not docs).
     """
     idc = "conv_id"
     if "text_sha" not in new_conversations.columns:
@@ -299,10 +311,10 @@ def refresh_dedupe(
         F.broadcast(gone.select(F.col(idc).alias("id_a"))), "id_a", "left_anti"
     ).join(F.broadcast(gone.select(F.col(idc).alias("id_b"))), "id_b", "left_anti")
     common = [c for c in old_verified.columns if c in fresh_verified.columns]
-    verified_new = kept.select(*common).unionByName(
-        fresh_verified.join(kept.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-        .select(*common)
-    )
+    fresh_part = fresh_verified.join(
+        kept.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).select(*common)
+    verified_new = kept.select(*common).unionByName(fresh_part)
 
     # State-boundary lineage truncation (the curate stage() recipe —
     # see CLAUDE.md): the next refresh references each returned state
@@ -323,9 +335,46 @@ def refresh_dedupe(
     else:
         verified_new = verified_new.persist()
 
-    clusters = clusters_with_singletons(
-        new_conversations, connected_components(dupe_pairs(verified_new))
-    )
+    if old_clusters is None:
+        comp = connected_components(dupe_pairs(verified_new))
+    else:
+        # ---- incremental CC over the affected subgraph only --------
+        # fresh edges are delta-scale by construction (they all touch a
+        # delta/promoted doc); everything driven off them broadcasts.
+        fresh_dupes = (
+            dupe_pairs(fresh_part).select("id_a", "id_b").localCheckpoint()
+        )
+        touched_ids = (
+            gone.select(idc)
+            .unionByName(fresh_dupes.select(F.col("id_a").alias(idc)))
+            .unionByName(fresh_dupes.select(F.col("id_b").alias(idc)))
+            .distinct()
+        )
+        oc = old_clusters.select(idc, "cluster_id")
+        affected = (
+            oc.join(F.broadcast(touched_ids), idc, "left_semi")
+            .select("cluster_id")
+            .distinct()
+            .localCheckpoint()
+        )
+        # members of affected clusters: NOT force-broadcast — one
+        # pathological mega-cluster in the delta's blast radius would
+        # OOM a hinted broadcast; the optimizer picks per run
+        members = oc.join(F.broadcast(affected), "cluster_id", "left_semi").select(
+            F.col(idc).alias("id_a")
+        )
+        # an old pair's endpoints share an old cluster => id_a ∈ members
+        # iff id_b ∈ members; one semi-join selects the whole subgraph
+        kept_affected = dupe_pairs(kept).join(members, "id_a", "left_semi")
+        comp_aff = connected_components(
+            kept_affected.select("id_a", "id_b").unionByName(fresh_dupes)
+        )
+        unaffected = oc.join(F.broadcast(affected), "cluster_id", "left_anti")
+        comp = unaffected.select(idc, "cluster_id").unionByName(
+            comp_aff.select(idc, "cluster_id")
+        )
+
+    clusters = clusters_with_singletons(new_conversations, comp)
     delta_map = gone.select(idc, F.lit("gone").alias("change")).unionByName(
         delta.select(idc, F.lit("delta").alias("change"))
     )
@@ -370,6 +419,12 @@ def refresh_pipeline(
     old_features = store.load(spark, "features")
     old_bands = store.load(spark, "bands")
     old_verified = store.load(spark, "verified")
+    try:
+        # run_pipeline stores the clusters stage; a chained refresh
+        # store may lack it — fall back to full CC (still correct)
+        old_clusters = store.load(spark, "clusters")
+    except Exception:
+        old_clusters = None
     new_convs = assemble_conversations(
         new_transcripts, max_turns=cfg.max_turns_per_conv
     )
@@ -382,4 +437,5 @@ def refresh_pipeline(
         lambda convs: build_features(convs, cfg),
         with_simhash_path=with_simhash_path,
         checkpoint_state=False,
+        old_clusters=old_clusters,
     )

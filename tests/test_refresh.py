@@ -213,3 +213,66 @@ def test_refresh_pipeline_parity_with_rep_blocked_state(spark, tmp_path):
     # the edit actually exercised every path
     changes = {r.change for r in res.delta.select("change").distinct().collect()}
     assert changes == {"gone", "delta"}
+
+
+def _refresh_incr(spark, old_rows, new_rows):
+    """refresh with old_clusters supplied -> incremental CC path."""
+    old = _convs(spark, old_rows)
+    feats, bands, verified, old_clusters = _scratch(old)
+    return refresh_dedupe(
+        _convs(spark, new_rows), feats, bands, verified, CFG, _featurize,
+        old_clusters=old_clusters.select("conv_id", "cluster_id"),
+    )
+
+
+def test_incremental_cc_matches_scratch(spark):
+    res = _refresh_incr(spark, SNAP1, SNAP2)
+    _, _, _, want = _scratch(_convs(spark, SNAP2))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
+    got = dict(_cluster_map(res.clusters))
+    assert got[7] == got[2] == got[3] == 2
+    assert got[8] == got[4] == got[50] == 4
+
+
+def test_incremental_cc_chains_and_whole_group_removed(spark):
+    r2 = _refresh_incr(spark, SNAP1, SNAP2)
+    r3 = refresh_dedupe(
+        _convs(spark, SNAP3), r2.features, r2.bands, r2.verified, CFG,
+        _featurize, old_clusters=r2.clusters.select("conv_id", "cluster_id"),
+    )
+    _, _, _, want = _scratch(_convs(spark, SNAP3))
+    assert _cluster_map(r3.clusters) == _cluster_map(want)
+    # whole-group removal through the incremental path
+    new_rows = [(4, B), (5, B_NEAR), (6, C)]
+    res = _refresh_incr(spark, SNAP1, new_rows)
+    _, _, _, want = _scratch(_convs(spark, new_rows))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
+
+
+def test_incremental_cc_empty_delta_identity(spark):
+    res = _refresh_incr(spark, SNAP1, SNAP1)
+    _, _, _, want = _scratch(_convs(spark, SNAP1))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
+
+
+def test_incremental_cc_unaffected_clusters_skip_recompute(spark):
+    """The point of the feature: an edit far from a cluster must keep
+    that cluster OUT of the recomputed subgraph (assignment comes from
+    the old map, bit-identical)."""
+    old_rows = SNAP1
+    new_rows = [
+        (1, A), (2, A), (3, A),
+        (4, B), (5, B_NEAR),
+        (6, C2),            # only the singleton changes
+    ]
+    old = _convs(spark, old_rows)
+    feats, bands, verified, old_clusters = _scratch(old)
+    res = refresh_dedupe(
+        _convs(spark, new_rows), feats, bands, verified, CFG, _featurize,
+        old_clusters=old_clusters.select("conv_id", "cluster_id"),
+    )
+    _, _, _, want = _scratch(_convs(spark, new_rows))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
+    got = dict(_cluster_map(res.clusters))
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
