@@ -276,3 +276,35 @@ def test_incremental_cc_unaffected_clusters_skip_recompute(spark):
     got = dict(_cluster_map(res.clusters))
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == got[5] == 4
+
+
+def test_incremental_cc_subgraph_excludes_unaffected_pairs(spark, monkeypatch):
+    """Behavioral guard for the scale claim: when the delta touches no
+    dup cluster (only the singleton changes, producing no pairs), the
+    incremental path must hand connected_components an EMPTY edge set —
+    the A-group and B-group pairs stay out of the recompute entirely."""
+    import lieu_spark.operators.refresh as R
+
+    seen_counts = []
+    real_cc = R.connected_components
+
+    def spy(pairs):
+        seen_counts.append(pairs.count())
+        return real_cc(pairs)
+
+    monkeypatch.setattr(R, "connected_components", spy)
+    old_rows = SNAP1
+    new_rows = [
+        (1, A), (2, A), (3, A),
+        (4, B), (5, B_NEAR),
+        (6, C2),
+    ]
+    old = _convs(spark, old_rows)
+    feats, bands, verified, old_clusters = _scratch(old)
+    res = R.refresh_dedupe(
+        _convs(spark, new_rows), feats, bands, verified, CFG, _featurize,
+        old_clusters=old_clusters.select("conv_id", "cluster_id"),
+    )
+    got = dict(_cluster_map(res.clusters))
+    assert seen_counts == [0]
+    assert got[1] == got[2] == got[3] == 1 and got[4] == got[5] == 4
