@@ -582,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-deriving per query."""
     base = {
         # --- group A: never driver-green / new / changed this round ---
+        "image_neardup": Q.q_image_neardup,
+        "image_dedup_groups": Q.q_image_dedup_groups,
         "line_dedup": Q.q_line_dedup,
         "normalized_exact_dup": Q.q_normalized_exact_dup,
         "top_ngrams": Q.q_top_ngrams,

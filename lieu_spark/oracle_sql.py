@@ -2943,3 +2943,52 @@ SELECT doc_id, lang, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
 FROM c WHERE copies >= 1
 ORDER BY doc_id, epoch
 """
+
+# --- image perceptual dedup (functions/imagehash.py) -----------------------
+# Arithmetic twin of the synthetic_photo_payloads fixture: bit j of the
+# aHash is the Walsh-16 parity bit_count((doc_id%16) & (j%16)) % 2 XOR
+# up to doc_id%3 single-bit flips at (doc_id*7)%64 / (doc_id*13)%64 —
+# XOR written as sum % 2. The Spark side derives the SAME bits from a
+# REAL container decode (zlib/LZW/Huffman -> luma -> NN resize -> mean
+# threshold), so a value match proves the whole codec+hash chain. The
+# pairs oracle brute-forces ALL pairs (no blocking assumption): with 8
+# pigeonhole chunks the engine's guarantee covers hamming <= 7 > the
+# 6 threshold, so the engine must equal the brute-force answer exactly.
+_IMG_BITS = """
+ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 480),
+grid AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS j),
+bits AS (
+    SELECT doc_id, j,
+        (bit_count((doc_id % 16) & (j % 16))
+         + CASE WHEN doc_id % 3 >= 1 AND j = (doc_id * 7) % 64 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 >= 2 AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
+        ) % 2 AS bit
+    FROM ids, grid
+)"""
+
+ORACLE["image_neardup"] = f"""
+WITH {_IMG_BITS},
+ham AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+    FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 6
+ORDER BY id_a, id_b
+"""
+
+ORACLE["image_dedup_groups"] = f"""
+WITH {_IMG_BITS},
+sig AS (
+    SELECT doc_id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY j) AS sig
+    FROM bits GROUP BY doc_id
+)
+SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT CASE CAST((doc_id // 16) % 4 AS INT)
+                 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                 WHEN 2 THEN 'jpeg' ELSE 'gif' END) AS BIGINT) AS n_formats
+FROM sig GROUP BY sig HAVING count(*) > 1
+ORDER BY rep_id
+"""

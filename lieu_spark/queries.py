@@ -2472,3 +2472,64 @@ def q_unimax_sample(spark, sf_dir):
         .select("doc_id", "lang", "epoch")
         .orderBy("doc_id", "epoch")
     )
+
+
+def _image_hashes(spark, sf_dir):
+    """Shared perceptual-hash table over the deterministic photo
+    fixture (functions/imagehash.synthetic_photo_payloads): 480 real
+    BMP/PNG/JPEG/GIF payloads decoded at the PIXEL level and hashed
+    (aHash + dHash). Memoized — both image queries reuse one decode
+    pass per session."""
+    from .functions.imagehash import perceptual_hash_table, synthetic_photo_payloads
+
+    def build():
+        d = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 480)
+        )
+        return perceptual_hash_table(synthetic_photo_payloads(d))
+
+    return _memo(spark, sf_dir, "image_hashes", build)
+
+
+def q_image_neardup(spark, sf_dir):
+    """Multimodal near-dup: perceptual aHash over REAL pixel decodes of
+    all four native containers, pigeonhole chunk blocking (8 chunks =>
+    exact recall for hamming <= 7), JVM-side bit_count verify. The
+    fixture's planted groups span containers AND resolutions (the same
+    8x8 master tile NN-upscaled 1-4x into BMP/PNG/GIF and 8x into a
+    REAL entropy-coded JPEG), so only resize-invariant perceptual
+    hashing finds them. DuckDB re-derives every pair's hamming distance
+    from doc_id arithmetic alone (Walsh-code tiles + per-doc bit
+    flips) — a match proves container encode -> zlib/LZW/Huffman pixel
+    decode -> luma -> NN resize -> aHash -> blocking -> verify end to
+    end."""
+    from .functions.imagehash import image_neardup_pairs
+
+    hashes = _image_hashes(spark, sf_dir)
+    return image_neardup_pairs(hashes, hamming_max=6, chunks=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_image_dedup_groups(spark, sf_dir):
+    """Perceptual-EXACT image dedup groups: group by the aHash value —
+    members collapse across container formats and pixel sizes (the
+    unflipped tile of each Walsh group renders as BMP, PNG,
+    entropy-coded JPEG, AND GIF at several resolutions and hashes
+    identically: n_formats = 4 on those groups). DuckDB re-derives the
+    group structure from the fixture's bit arithmetic, grouping on the
+    64-bit pattern string."""
+    hashes = _image_hashes(spark, sf_dir)
+    return (
+        hashes.groupBy("ahash")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("format").alias("n_formats"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("rep_id", "n_docs", "n_formats")
+        .orderBy("rep_id")
+    )

@@ -1,0 +1,108 @@
+"""Perceptual image hashing + image near-dup (functions/imagehash.py).
+
+The fixture arithmetic (Walsh tiles + per-doc flips) is the DuckDB
+oracle's twin; these tests pin the kernel side: the REAL container
+decode chain (BMP / PNG zlib / GIF LZW / JPEG Huffman) must recover the
+expected bit pattern exactly, across containers, resolutions, and the
+lossy arm, and the blocked pair pipeline must equal brute force.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lieu_spark.functions.imagehash import (
+    PHOTO_GROUPS,
+    _decode_pixels,
+    _luma,
+    _walsh16,
+    ahash64,
+    dhash64,
+    expected_ahash,
+    image_neardup_pairs,
+    perceptual_hash_table,
+    photo_payload,
+    synthetic_photo_payloads,
+)
+
+
+def test_walsh_code_separation():
+    words = [_walsh16(g) for g in range(PHOTO_GROUPS)]
+    dists = [
+        bin(a ^ b).count("1")
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+    ]
+    assert min(dists) == 8  # repeated 4x in the tile -> 32-bit separation
+
+
+def test_ahash_known_pattern():
+    # hand-built image: top half 200, bottom half 40 -> bits 0..31 set
+    img = np.full((8, 8), 40, np.uint8)
+    img[:4] = 200
+    assert ahash64(img) == (1 << 32) - 1
+
+
+def test_dhash_known_pattern():
+    # strictly increasing rows -> every right neighbor larger -> all 64 set
+    img = np.tile(np.arange(16, dtype=np.uint8) * 10, (8, 1))
+    assert dhash64(img) == -1  # all 64 bits -> signed -1
+
+
+@pytest.mark.parametrize("doc_id", list(range(0, 48)) + [101, 202, 303, 404, 479])
+def test_real_decode_recovers_expected_bits(doc_id):
+    fmt, img = _decode_pixels(photo_payload(doc_id))
+    assert fmt == ["bmp", "png", "jpeg", "gif"][(doc_id // 16) % 4]
+    assert ahash64(_luma(img, fmt)) == expected_ahash(doc_id)
+
+
+def test_cross_container_cross_size_invariance():
+    # same group (i % 16 == 5), no flips (i % 3 == 0): BMP/PNG/JPEG/GIF at
+    # different sizes must agree on BOTH hashes exactly
+    ids = [i for i in range(480) if i % 16 == 5 and i % 3 == 0][:8]
+    assert len({(i // 16) % 4 for i in ids}) == 4  # all four containers
+    hashes = set()
+    for i in ids:
+        fmt, img = _decode_pixels(photo_payload(i))
+        gray = _luma(img, fmt)
+        hashes.add((ahash64(gray), dhash64(gray)))
+    assert len(hashes) == 1
+
+
+def test_cross_group_separation_exceeds_threshold():
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = list(range(32))  # two full group cycles with flips
+    for i in ids:
+        for j in ids:
+            if i < j and i % 16 != j % 16:
+                assert ham(expected_ahash(i), expected_ahash(j)) >= 20
+
+
+def test_neardup_pipeline_equals_brute_force(spark):
+    ids = spark.range(0, 128).select(F.col("id").alias("doc_id"))
+    hashes = perceptual_hash_table(synthetic_photo_payloads(ids))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_neardup_pairs(hashes, hamming_max=6, chunks=8).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    exp = set()
+    for a in range(128):
+        for b in range(a + 1, 128):
+            d = ham(expected_ahash(a), expected_ahash(b))
+            if d <= 6:
+                exp.add((a, b, d))
+    assert got == exp
+    assert len(exp) > 0  # non-vacuous: planted groups produced pairs
+
+
+def test_hamming_max_must_fit_pigeonhole(spark):
+    ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    hashes = perceptual_hash_table(synthetic_photo_payloads(ids))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(hashes, hamming_max=8, chunks=8)
