@@ -584,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- group A: never driver-green / new / changed this round ---
         "image_neardup": Q.q_image_neardup,
         "image_dedup_groups": Q.q_image_dedup_groups,
+        "video_neardup": Q.q_video_neardup,
+        "audio_neardup": Q.q_audio_neardup,
         "line_dedup": Q.q_line_dedup,
         "normalized_exact_dup": Q.q_normalized_exact_dup,
         "top_ngrams": Q.q_top_ngrams,

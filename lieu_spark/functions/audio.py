@@ -290,3 +290,92 @@ def audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(featurize, AUDIO_FEATURE_SCHEMA)
+
+
+def synthetic_track_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_windows: int = 4,
+    win: int = 256,
+    groups: int = 12,
+) -> DataFrame:
+    """Deterministic near-dup track fixture: track ``i`` is mono 16 kHz
+    PCM of ``n_windows`` windows of ``win`` samples; window ``w``'s
+    content belongs to group ``g = (i + w) % groups`` with sample
+    ``t`` (within the window) = (g*31 + t*17) % 65536 - 32768. Tracks
+    with nearby bases share a cyclic interval of windows — the same
+    overlap structure as the video clip fixture, re-derivable from
+    doc_id arithmetic in SQL."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                t = np.arange(win, dtype=np.int64)
+                parts = []
+                for w in range(n_windows):
+                    g = (i + w) % groups
+                    parts.append((g * 31 + t * 17) % 65536 - 32768)
+                samples = np.concatenate(parts)[:, None].astype("<i2")
+                payloads.append(encode_wav(samples, 16000))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, schema
+    )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("fp", LongType())]
+)
+
+
+def audio_fingerprint_table(
+    df: DataFrame,
+    win: int = 256,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL decode -> per-window exact fingerprints: 16-bit PCM samples
+    (channel-0) fold into one 48-bit value per non-overlapping window of
+    ``win`` samples — sample t contributes its uint16 at bit lane
+    16*(t%3), xor-accumulated (lanes stop at 47 so the value is exact
+    signed-64 in BOTH engines; no sign-bit wrap to reason about).
+    Trailing partial windows are dropped (their fold would depend on
+    length, breaking cross-length matches). Production would use
+    spectral landmark hashes (float FFT — not cross-engine exact); the
+    xor-lane fold keeps the SAME set-Jaccard dedup shape while staying
+    integer-exact for the oracle. Output: distinct (doc_id, fp)."""
+    import numpy as np
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples = _wav_samples(bytes(payload))[:, 0].astype(np.uint16)
+                n_full = len(samples) // win
+                lanes = (np.arange(win, dtype=np.int64) % 3) * 16
+                for w in range(n_full):
+                    chunk = samples[w * win : (w + 1) * win].astype(np.int64)
+                    fp = np.bitwise_xor.reduce(chunk << lanes)
+                    ids.append(int(doc_id))
+                    fps.append(int(fp))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "fp": pd.array(fps, dtype="int64"),
+                }
+            )
+
+    return (
+        df.select(id_col, payload_col)
+        .mapInPandas(fingerprint, AUDIO_FP_SCHEMA)
+        .distinct()
+    )

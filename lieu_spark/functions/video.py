@@ -307,3 +307,66 @@ def extract_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+def synthetic_clip_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 4
+) -> DataFrame:
+    """Deterministic near-dup clip fixture: clip ``i``'s frame ``f`` is
+    the Walsh-16 master tile of group ``(i + f) % 16`` (no flips),
+    8x-upscaled to 64x64 and q90-JPEG'd inside a real AVI — every
+    entropy-coded block is constant (DC-only), so the frame's
+    perceptual aHash recovers the tile bits exactly (the
+    functions/imagehash.py argument). Clips whose bases are close share
+    a cyclic-interval overlap of frames: base offset 0 -> Jaccard 1,
+    offset 1 -> 3/5, offset 2 -> 1/3, offset 3 -> 1/7, >= n_frames ->
+    disjoint — the oracle re-derives all of it from doc_id arithmetic."""
+    import numpy as np
+
+    from .imagehash import _PHOTO_HI, _PHOTO_LO, _walsh16
+    from .jpeg import encode_jpeg_baseline
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                frames = []
+                for f in range(n_frames):
+                    bits = _walsh16((i + f) % 16) * 0x0001000100010001
+                    flat = np.array(
+                        [(bits >> j) & 1 for j in range(64)], dtype=np.uint8
+                    )
+                    tile = np.where(flat == 1, _PHOTO_HI, _PHOTO_LO).astype(
+                        np.uint8
+                    ).reshape(8, 8)
+                    big = np.repeat(np.repeat(tile, 8, axis=0), 8, axis=1)
+                    frames.append(encode_jpeg_baseline(big, quality=90))
+                payloads.append(encode_avi_mjpeg(frames, 64, 64, 33333))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, schema
+    )
+
+
+def video_frame_hashes(
+    clips: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """AVI clips -> distinct (doc_id, fp) per-frame perceptual
+    fingerprints: real '00dc' JPEG frames fanned out by
+    ``extract_frames``, each entropy-decoded and aHash'd by the image
+    kernel. Feeds operators/mediadedup.fingerprint_jaccard_pairs."""
+    from .imagehash import perceptual_hash_table
+
+    frames = extract_frames(clips, id_col=id_col, payload_col=payload_col)
+    return (
+        perceptual_hash_table(frames, id_col="doc_id", payload_col="frame")
+        .select("doc_id", F.col("ahash").alias("fp"))
+        .distinct()
+    )

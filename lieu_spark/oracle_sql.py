@@ -2992,3 +2992,80 @@ SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs,
 FROM sig GROUP BY sig HAVING count(*) > 1
 ORDER BY rep_id
 """
+
+# --- video near-dup (frame-fingerprint set Jaccard) -------------------------
+# Arithmetic twin of video.synthetic_clip_payloads + imagehash aHash:
+# clip i's frame f carries the Walsh tile of group (i+f)%16, so the
+# frame's 64-bit perceptual hash is derivable bit-by-bit (bit j =
+# bit_count(grp & (j%16)) % 2) and packed into the SIGNED value via a
+# hi/lo split (DuckDB's << errors at bit 63; (hi - 2^32 when the sign
+# bit is set) * 2^32 + lo reconstructs Spark's long exactly). fp_xor
+# puts the hash VALUES in the verified output, so the match proves the
+# AVI demux + per-frame Huffman decode + aHash values themselves.
+ORACLE["video_neardup"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 160),
+gbits AS (
+    SELECT grp, j, bit_count(grp & (j % 16)) % 2 AS bit
+    FROM (SELECT CAST(unnest(range(16)) AS BIGINT) AS grp),
+         (SELECT CAST(unnest(range(64)) AS BIGINT) AS j)
+),
+gh AS (
+    SELECT grp,
+           CAST(sum(CASE WHEN j < 32 AND bit = 1
+                    THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN j >= 32 AND bit = 1
+                    THEN (1::BIGINT << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+    FROM gbits GROUP BY grp
+),
+ghv AS (
+    SELECT grp,
+           (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+           * 4294967296 + lo AS fp
+    FROM gh
+),
+fh AS (
+    SELECT DISTINCT w.doc_id, g.fp
+    FROM (SELECT doc_id, (doc_id + CAST(unnest(range(4)) AS BIGINT)) % 16 AS grp
+          FROM ids) w
+    JOIN ghv g USING (grp)
+),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fp, bit_xor(a.fp) AS fp_xor
+    FROM fh a JOIN fh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp, fp_xor,
+       CAST(round(1e6 * shared_fp / (8 - shared_fp)) AS BIGINT) AS jaccard6
+FROM shared WHERE round(1e6 * shared_fp / (8 - shared_fp)) >= 300000
+ORDER BY id_a, id_b
+"""
+
+# --- audio near-dup (window-fingerprint set Jaccard) ------------------------
+# The fingerprints are re-derived VALUE-exactly: stored int16 sample
+# (g*31 + t*17) % 65536 - 32768 reads back as uint16
+# (g*31 + t*17 + 32768) % 65536, xor-folded at bit lane 16*(t%3)
+# (lanes stop at 47 — exact signed-64 in both engines). fp_xor carries
+# the values into the verified output.
+ORACLE["audio_neardup"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 120),
+fpw AS (
+    SELECT doc_id, w,
+           bit_xor(((((doc_id + w) % 12) * 31 + t * 17 + 32768) % 65536)
+                   << CAST(16 * (t % 3) AS INT)) AS fp
+    FROM (SELECT doc_id, CAST(unnest(range(4)) AS BIGINT) AS w FROM ids),
+         (SELECT CAST(unnest(range(256)) AS BIGINT) AS t)
+    GROUP BY doc_id, w
+),
+fh AS (SELECT DISTINCT doc_id, fp FROM fpw),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fp, bit_xor(a.fp) AS fp_xor
+    FROM fh a JOIN fh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp, fp_xor,
+       CAST(round(1e6 * shared_fp / (8 - shared_fp)) AS BIGINT) AS jaccard6
+FROM shared WHERE round(1e6 * shared_fp / (8 - shared_fp)) >= 300000
+ORDER BY id_a, id_b
+"""

@@ -2533,3 +2533,59 @@ def q_image_dedup_groups(spark, sf_dir):
         .select("rep_id", "n_docs", "n_formats")
         .orderBy("rep_id")
     )
+
+
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup via frame-fingerprint sets: real AVI/MJPEG clips
+    are fanned out to their '00dc' JPEG frames (functions/video.py),
+    every frame is entropy-decoded and perceptually hashed
+    (functions/imagehash.py), and clips pair up through an equi-join on
+    the frame hash — the media analog of the LSH band join; Jaccard of
+    the distinct frame-hash sets clears 0.3. The clip fixture plants
+    cyclic-interval overlaps (offset 1 -> 3/5, offset 2 -> 1/3), so
+    partial similarity is exercised, not just identity. DuckDB
+    re-derives every pair's shared count and jaccard6 from doc_id
+    arithmetic — a match proves container demux -> per-frame Huffman
+    decode -> luma -> aHash -> set-Jaccard end to end."""
+    from .functions.video import synthetic_clip_payloads, video_frame_hashes
+    from .operators.mediadedup import fingerprint_jaccard_pairs
+
+    def build():
+        d = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 160)
+        )
+        return video_frame_hashes(synthetic_clip_payloads(d))
+
+    fps = _memo(spark, sf_dir, "video_frame_hashes", build)
+    return fingerprint_jaccard_pairs(fps, min_jaccard6=300000).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup via window fingerprints: real RIFF/PCM tracks
+    decode (functions/audio.py), each 256-sample window folds into a
+    48-bit xor-lane fingerprint, and tracks pair through the same
+    fingerprint equi-join + set-Jaccard operator the video path uses
+    (operators/mediadedup.py). The track fixture plants the same
+    cyclic-interval overlap structure as the clip fixture. DuckDB
+    re-derives the fingerprints THEMSELVES (bit_xor over the sample
+    formula's shifted lanes) and every pair — the full decode + fold
+    chain is value-verified, not just the group structure."""
+    from .functions.audio import audio_fingerprint_table, synthetic_track_payloads
+    from .operators.mediadedup import fingerprint_jaccard_pairs
+
+    def build():
+        d = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 120)
+        )
+        return audio_fingerprint_table(synthetic_track_payloads(d))
+
+    fps = _memo(spark, sf_dir, "audio_fingerprints", build)
+    return fingerprint_jaccard_pairs(fps, min_jaccard6=300000).orderBy(
+        "id_a", "id_b"
+    )

@@ -1,0 +1,131 @@
+"""Media near-dup: fingerprint-set Jaccard (operators/mediadedup.py)
+over real video frame hashes (functions/video.py + imagehash) and real
+audio window fingerprints (functions/audio.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lieu_spark.functions.audio import (
+    audio_fingerprint_table,
+    encode_wav,
+    synthetic_track_payloads,
+)
+from lieu_spark.functions.video import (
+    synthetic_clip_payloads,
+    video_frame_hashes,
+)
+from lieu_spark.operators.mediadedup import fingerprint_jaccard_pairs
+
+
+def _mkfps(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, fp long")
+
+
+def test_jaccard_pairs_exact_values(spark):
+    # A={1,2,3,4}, B={3,4,5,6} -> shared 2, union 6 -> 333333
+    # A vs C={1,2,3,4} -> 1e6 ; B vs C -> 333333
+    rows = [(1, f) for f in (1, 2, 3, 4)]
+    rows += [(2, f) for f in (3, 4, 5, 6)]
+    rows += [(3, f) for f in (1, 2, 3, 4)]
+    got = {
+        (r.id_a, r.id_b): (r.shared_fp, r.fp_xor, r.jaccard6)
+        for r in fingerprint_jaccard_pairs(
+            _mkfps(spark, rows), min_jaccard6=300000
+        ).collect()
+    }
+    assert got == {
+        (1, 2): (2, 3 ^ 4, 333333),
+        (1, 3): (4, 1 ^ 2 ^ 3 ^ 4, 1000000),
+        (2, 3): (2, 3 ^ 4, 333333),
+    }
+
+
+def test_jaccard_threshold_excludes(spark):
+    rows = [(1, f) for f in (1, 2, 3, 4)] + [(2, f) for f in (4, 5, 6, 7)]
+    # shared 1 / union 7 -> 142857 < 300000
+    assert (
+        fingerprint_jaccard_pairs(_mkfps(spark, rows), min_jaccard6=300000).count()
+        == 0
+    )
+
+
+def test_duplicate_fp_rows_collapse(spark):
+    # (id, fp) multiplicity must not inflate shared counts or sizes
+    rows = [(1, 7), (1, 7), (1, 8), (2, 7), (2, 7), (2, 9)]
+    [r] = fingerprint_jaccard_pairs(_mkfps(spark, rows), min_jaccard6=1).collect()
+    assert (r.id_a, r.id_b, r.shared_fp, r.jaccard6) == (1, 2, 1, 333333)
+
+
+def test_stop_fingerprint_cap(spark):
+    # fp 99 appears in 3 ids (> cap 2): excluded from candidates, but
+    # sizes stay full-set so the reported jaccard for survivors is
+    # unbiased; the pair whose ONLY overlap was fp 99 disappears.
+    rows = [(1, 99), (1, 5), (2, 99), (2, 5), (3, 99), (3, 6)]
+    got = {
+        (r.id_a, r.id_b): (r.shared_fp, r.jaccard6)
+        for r in fingerprint_jaccard_pairs(
+            _mkfps(spark, rows), min_jaccard6=1, max_fp_df=2
+        ).collect()
+    }
+    # (1,2) survive via fp 5: shared counts only joinable fps -> 1 of
+    # union 3 -> 333333; (1,3)/(2,3) shared only the hot fp -> gone
+    assert got == {(1, 2): (1, 333333)}
+
+
+def test_video_clip_overlap_structure(spark):
+    ids = spark.range(0, 48).select(F.col("id").alias("doc_id"))
+    fps = video_frame_hashes(synthetic_clip_payloads(ids))
+    # every clip has exactly 4 distinct frame hashes
+    sizes = {r.doc_id: r.n for r in fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes.values()) == {4}
+    pairs = {
+        (r.id_a, r.id_b): (r.shared_fp, r.jaccard6)
+        for r in fingerprint_jaccard_pairs(fps, min_jaccard6=1).collect()
+    }
+    # same base (0, 16): full overlap; offset 1 (0, 1): 3 shared; offset
+    # 3 (0, 3): 1 shared; offset 4 (0, 4): no pair at all
+    assert pairs[(0, 16)] == (4, 1000000)
+    assert pairs[(0, 1)] == (3, 600000)
+    assert pairs[(0, 3)] == (1, 142857)
+    assert (0, 4) not in pairs
+    # offsets wrap cyclically: bases 15 and 0 are adjacent
+    assert pairs[(0, 15)] == (3, 600000)
+
+
+def test_audio_fingerprint_kernel_exact(spark):
+    # handcrafted track: one full window of a known ramp + a partial
+    # window that must be DROPPED
+    win = 256
+    t = np.arange(win, dtype=np.int64)
+    vals = ((5 * 31 + t * 17) % 65536 - 32768).astype("<i2")[:, None]
+    partial = np.zeros((100, 1), dtype="<i2")
+    payload = encode_wav(np.concatenate([vals, partial]), 16000)
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    rows = audio_fingerprint_table(df, win=win).collect()
+    assert len(rows) == 1  # partial window dropped
+    expected = 0
+    for tt in range(win):
+        u = (5 * 31 + tt * 17 + 32768) % 65536
+        expected ^= u << (16 * (tt % 3))
+    assert rows[0].fp == expected
+
+
+def test_audio_group_fingerprints_injective(spark):
+    # 12 distinct content groups -> 12 distinct fingerprints
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    fps = audio_fingerprint_table(synthetic_track_payloads(ids))
+    assert fps.select("fp").distinct().count() == 12
+
+
+def test_audio_track_overlap_structure(spark):
+    ids = spark.range(0, 36).select(F.col("id").alias("doc_id"))
+    fps = audio_fingerprint_table(synthetic_track_payloads(ids))
+    pairs = {
+        (r.id_a, r.id_b): (r.shared_fp, r.jaccard6)
+        for r in fingerprint_jaccard_pairs(fps, min_jaccard6=1).collect()
+    }
+    assert pairs[(0, 12)] == (4, 1000000)  # same base mod 12
+    assert pairs[(0, 1)] == (3, 600000)
+    assert pairs[(0, 2)] == (2, 333333)
+    assert (0, 4) not in pairs
