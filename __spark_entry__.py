@@ -586,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_groups": Q.q_image_dedup_groups,
         "video_neardup": Q.q_video_neardup,
         "audio_neardup": Q.q_audio_neardup,
+        "image_dedup_reps": Q.q_image_dedup_reps,
         "line_dedup": Q.q_line_dedup,
         "normalized_exact_dup": Q.q_normalized_exact_dup,
         "top_ngrams": Q.q_top_ngrams,

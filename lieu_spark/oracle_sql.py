@@ -3069,3 +3069,32 @@ SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp, fp_xor,
 FROM shared WHERE round(1e6 * shared_fp / (8 - shared_fp)) >= 300000
 ORDER BY id_a, id_b
 """
+
+# Clusters of the image fixture are its Walsh groups (cliques under
+# hamming<=6; cross-group distance >= 20 — tests/test_imagehash.py), so
+# cluster_id = min(doc_id) = the group index, and the representative's
+# dimensions replay the fixture's member-index arithmetic: the JPEG arm
+# ((doc_id//16)%4 == 2) is fixed 64x64, lossless arms 8k with
+# k = 1 + ((doc_id//16)//4) % 4. The Spark side RUNS real CC over the
+# decoded-pixel pair set; any transitivity or ranking bug diverges.
+ORACLE["image_dedup_reps"] = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 480),
+dims AS (
+    SELECT doc_id, doc_id % 16 AS grp,
+           CASE WHEN (doc_id // 16) % 4 = 2 THEN 64
+                ELSE 8 * (1 + ((doc_id // 16) // 4) % 4) END AS w
+    FROM ids
+),
+ranked AS (
+    SELECT doc_id, grp, w,
+           row_number() OVER (PARTITION BY grp ORDER BY w * w DESC, doc_id) AS rk,
+           count(*) OVER (PARTITION BY grp) AS n_members,
+           min(doc_id) OVER (PARTITION BY grp) AS cluster_id
+    FROM dims
+)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS rep_id, CAST(w AS INTEGER) AS rep_width,
+       CAST(w AS INTEGER) AS rep_height
+FROM ranked WHERE rk = 1
+ORDER BY cluster_id
+"""

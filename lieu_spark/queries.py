@@ -2589,3 +2589,43 @@ def q_audio_neardup(spark, sf_dir):
     return fingerprint_jaccard_pairs(fps, min_jaccard6=300000).orderBy(
         "id_a", "id_b"
     )
+
+
+def q_image_dedup_reps(spark, sf_dir):
+    """Media dedup composed end-to-end: perceptual near-dup pairs ->
+    connected components (the same large-star/small-star contraction
+    the text pipeline uses, operators/cluster.py) -> per-cluster
+    BEST-QUALITY representative (max pixel area, doc_id tie-break) —
+    the keep-the-best-copy policy of image corpus dedup. The fixture's
+    16 Walsh groups are cliques under hamming<=6, so clusters, sizes,
+    and each rep's dimensions are pure doc_id arithmetic for DuckDB; a
+    match proves pairs -> CC transitive closure -> quality ranking."""
+    from .functions.imagehash import image_neardup_pairs
+    from .operators.cluster import connected_components
+
+    hashes = _image_hashes(spark, sf_dir)
+    pairs = image_neardup_pairs(hashes, hamming_max=6, chunks=8)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    joined = comp.join(
+        hashes.select(
+            F.col("doc_id").alias("conv_id"), "width", "height"
+        ),
+        "conv_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        (F.col("width").cast("long") * F.col("height")).desc(), F.col("conv_id")
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w))
+    sizes = joined.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("conv_id").alias("rep_id"),
+            F.col("width").alias("rep_width"),
+            F.col("height").alias("rep_height"),
+        )
+        .join(sizes, "cluster_id")
+        .select("cluster_id", "n_members", "rep_id", "rep_width", "rep_height")
+        .orderBy("cluster_id")
+    )
