@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": Q.q_video_neardup,
         "audio_neardup": Q.q_audio_neardup,
         "image_dedup_reps": Q.q_image_dedup_reps,
+        "hard_negatives": Q.q_hard_negatives,
         "line_dedup": Q.q_line_dedup,
         "normalized_exact_dup": Q.q_normalized_exact_dup,
         "top_ngrams": Q.q_top_ngrams,

@@ -3098,3 +3098,17 @@ SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
 FROM ranked WHERE rk = 1
 ORDER BY cluster_id
 """
+
+# hard negatives = ann_topk with a label-mismatch filter before ranking
+ORACLE["hard_negatives"] = f"""
+{_COS_PAIRS}
+SELECT id_a AS vec_id, rank, id_b AS neg_id, neg_label, cos6 FROM (
+    SELECT c.id_a, c.id_b, lb.label AS neg_label, c.cos6,
+           row_number() OVER (PARTITION BY c.id_a
+                              ORDER BY c.cos6 DESC, c.id_b ASC) AS rank
+    FROM cpairs c
+    JOIN embeddings la ON la.vec_id = c.id_a
+    JOIN embeddings lb ON lb.vec_id = c.id_b
+    WHERE la.label != lb.label
+) WHERE rank <= 3 ORDER BY vec_id, rank
+"""

@@ -2629,3 +2629,34 @@ def q_image_dedup_reps(spark, sf_dir):
         .select("cluster_id", "n_members", "rep_id", "rep_width", "rep_height")
         .orderBy("cluster_id")
     )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training: for
+    each vector, the top-3 most-similar vectors carrying a DIFFERENT
+    label — the nearest points across the decision boundary, i.e. the
+    negatives a contrastive loss learns most from. Brute cosine over
+    the bounded eval set (the LSH/IVF paths in operators/ann.py are the
+    scale substrate — hard-negative mining at corpus scale is exactly
+    an ANN query with a label-mismatch post-filter); rank on the
+    ROUNDED cos6 with id tie-break so ordering is engine-portable."""
+    pairs = _cosine_pairs(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"))
+    lb = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cos6").desc(), F.col("id_b").asc())
+    return (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .filter(F.col("label_a") != F.col("label_b"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            "rank",
+            F.col("id_b").alias("neg_id"),
+            F.col("label_b").alias("neg_label"),
+            "cos6",
+        )
+        .orderBy("vec_id", "rank")
+    )
