@@ -44,37 +44,42 @@ def fingerprint_jaccard_pairs(
     set, fingerprints appearing in more than that many ids are dropped
     from the join side only (the window count reuses the self-join's
     hash exchange — same move as the winnow stop-filter)."""
-    base = fps.select(
-        F.col(id_col).cast("long").alias("id"), F.col(fp_col).alias("fp")
-    ).distinct()
-    sizes = base.groupBy("id").agg(F.count("*").alias("nfp"))
-    joinable = base
+    # Set sizes ride WITH the rows (window count per id on the one
+    # distinct frame) instead of a separate groupBy + two post-agg
+    # joins: naively that shape re-derived the distinct 4x with zero
+    # ReusedExchange (differently-pruned consumers never unify — the
+    # repo-wide Catalyst lesson), i.e. 4 input scans at corpus scale.
+    # Here each self-join side is the SAME projected plan, which DOES
+    # get exchange reuse, and the stop-filter's fp-window exchange is
+    # exactly the join's required partitioning (the winnow move).
+    base = (
+        fps.select(F.col(id_col).cast("long").alias("id"), F.col(fp_col).alias("fp"))
+        .distinct()
+        .withColumn("nfp", F.count("*").over(Window.partitionBy("id")))
+    )
     if max_fp_df is not None:
-        joinable = (
-            base.withColumn("fp_df", F.count("*").over(Window.partitionBy("fp")))
-            .filter(F.col("fp_df") <= max_fp_df)
-            .drop("fp_df")
-        )
-    a = joinable.select(F.col("id").alias("id_a"), "fp")
-    b = joinable.select(F.col("id").alias("id_b"), "fp")
+        # full-set sizes are already attached, so dropping hot
+        # fingerprints here only prunes CANDIDATE generation
+        base = base.withColumn(
+            "fp_df", F.count("*").over(Window.partitionBy("fp"))
+        ).filter(F.col("fp_df") <= max_fp_df).drop("fp_df")
+    a = base.select(F.col("id").alias("id_a"), "fp", F.col("nfp").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), "fp", F.col("nfp").alias("nb"))
     # fp_xor makes the fingerprint VALUES part of the verified output
     # (an oracle that re-derives fingerprints independently must match
-    # the xor-fold of the shared ones, not just the equality classes)
+    # the xor-fold of the shared ones, not just the equality classes);
+    # na/nb are constant per id so they join the grouping key for free.
     shared = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(
             F.count("*").alias("shared_fp"),
             F.expr("bit_xor(fp)").alias("fp_xor"),
         )
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("nfp").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("nfp").alias("nb"))
     return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard6",
             F.round(
                 F.lit(1e6)

@@ -129,3 +129,22 @@ def test_audio_track_overlap_structure(spark):
     assert pairs[(0, 1)] == (3, 600000)
     assert pairs[(0, 2)] == (2, 333333)
     assert (0, 4) not in pairs
+
+
+def test_jaccard_plan_single_join_no_cartesian(spark):
+    # sizes ride the rows via the id-window, so the whole operator is
+    # ONE self-join on the fingerprint key — not 1 pair join + 2 size
+    # joins re-deriving the distinct frame per consumer
+    import re
+
+    fps = spark.range(0, 100).select(
+        (F.col("id") % 7).alias("doc_id"), (F.col("id") % 5).alias("fp")
+    )
+    q = fingerprint_jaccard_pairs(fps, min_jaccard6=1)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    joins = re.findall(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", plan
+    )
+    assert len(joins) == 1
