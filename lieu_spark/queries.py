@@ -2483,10 +2483,14 @@ def _image_hashes(spark, sf_dir):
     from .functions.imagehash import perceptual_hash_table, synthetic_photo_payloads
 
     def build():
+        # explicit repartition: the source is one small parquet file
+        # (1 scan partition) and AQE coalesces by BYTES — without this
+        # every pure-python container decode serializes on one core
         d = (
             load(spark, sf_dir, "documents")
             .select("doc_id")
             .filter(F.col("doc_id") < 480)
+            .repartition(max(spark.sparkContext.defaultParallelism, 8))
         )
         return perceptual_hash_table(synthetic_photo_payloads(d))
 
@@ -2555,6 +2559,7 @@ def q_video_neardup(spark, sf_dir):
             load(spark, sf_dir, "documents")
             .select("doc_id")
             .filter(F.col("doc_id") < 160)
+            .repartition(max(spark.sparkContext.defaultParallelism, 8))
         )
         return video_frame_hashes(synthetic_clip_payloads(d))
 
@@ -2582,6 +2587,7 @@ def q_audio_neardup(spark, sf_dir):
             load(spark, sf_dir, "documents")
             .select("doc_id")
             .filter(F.col("doc_id") < 120)
+            .repartition(max(spark.sparkContext.defaultParallelism, 8))
         )
         return audio_fingerprint_table(synthetic_track_payloads(d))
 

@@ -20,7 +20,7 @@ TABLES = [
 # quadratic DuckDB oracles, plus ivf (its unnest-join re-rank is ~4 min
 # in DuckDB at sf0.1 — verified matching once by hand; sf0.01 covers it
 # every run)
-SKIP = {"ann_topk", "embedding_neardup", "ann_ivf_topk"}
+SKIP = {"ann_topk", "embedding_neardup", "ann_ivf_topk", "hard_negatives"}
 
 
 @pytest.fixture(scope="module")
