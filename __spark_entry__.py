@@ -588,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": Q.q_audio_neardup,
         "image_dedup_reps": Q.q_image_dedup_reps,
         "hard_negatives": Q.q_hard_negatives,
+        "image_decon": Q.q_image_decon,
         "line_dedup": Q.q_line_dedup,
         "normalized_exact_dup": Q.q_normalized_exact_dup,
         "top_ngrams": Q.q_top_ngrams,

@@ -285,3 +285,65 @@ def synthetic_photo_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(gen, schema)
+
+
+def image_decon_keep(
+    train_hashes: DataFrame,
+    eval_hashes: DataFrame,
+    hamming_max: int = 6,
+    chunks: int = 8,
+) -> DataFrame:
+    """Visual decontamination: drop every training image whose aHash is
+    within ``hamming_max`` of ANY eval-set image — the media analog of
+    the verbatim/semantic text decon stages. Cross-table pigeonhole
+    blocking (each side's hash splits into ``chunks`` slices; a
+    train-eval pair within hamming <= chunks-1 must collide on >= 1
+    slice, so recall is exact for hamming_max < chunks), hamming
+    confirmed JVM-side, then a left-anti join keeps the clean rows.
+    The eval side is small by construction but NOT force-broadcast —
+    the optimizer chooses (a forced hint on a data-dependent set is the
+    OOM trap the boilerplate anti-join already closed)."""
+    from ..config import DedupeConfig
+    from ..operators.simhash_path import simhash_chunk_table
+
+    if hamming_max >= chunks:
+        raise ValueError(
+            f"hamming_max={hamming_max} needs chunks > hamming_max for the "
+            f"pigeonhole guarantee (got chunks={chunks})"
+        )
+    cfg = DedupeConfig(simhash_chunks=chunks, simhash_hamming_max=hamming_max)
+
+    def chunked(hashes: DataFrame) -> DataFrame:
+        return simhash_chunk_table(
+            hashes.select(
+                F.col("doc_id").alias("conv_id"), F.col("ahash").alias("simhash")
+            ),
+            cfg,
+        )
+
+    cand = (
+        chunked(train_hashes)
+        .withColumnRenamed("id", "doc_id")
+        .join(
+            chunked(eval_hashes).withColumnRenamed("id", "eval_id"),
+            ["chunk", "chunk_bits"],
+        )
+        .select("doc_id", "eval_id")
+        .dropDuplicates(["doc_id", "eval_id"])
+    )
+    ta = train_hashes.select("doc_id", F.col("ahash").alias("ahash_t"))
+    ea = eval_hashes.select(
+        F.col("doc_id").alias("eval_id"), F.col("ahash").alias("ahash_e")
+    )
+    contaminated = (
+        cand.join(ta, "doc_id")
+        .join(ea, "eval_id")
+        .filter(
+            F.bit_count(
+                F.col("ahash_t").bitwiseXOR(F.col("ahash_e"))
+            ) <= hamming_max
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return train_hashes.join(contaminated, "doc_id", "left_anti")

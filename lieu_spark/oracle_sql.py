@@ -3112,3 +3112,34 @@ SELECT id_a AS vec_id, rank, id_b AS neg_id, neg_label, cos6 FROM (
     WHERE la.label != lb.label
 ) WHERE rank <= 3 ORDER BY vec_id, rank
 """
+
+# Visual decon: same tile-bit arithmetic as image_neardup, extended to
+# the eval ids (480..487); a train row survives iff NO eval image is
+# within hamming 6. The oracle derives that from first principles — it
+# does NOT assume the group structure the fixture happens to plant.
+ORACLE["image_decon"] = """
+WITH allids AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 488),
+grid AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS j),
+bits AS (
+    SELECT doc_id, j,
+        (bit_count((doc_id % 16) & (j % 16))
+         + CASE WHEN doc_id % 3 >= 1 AND j = (doc_id * 7) % 64 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 >= 2 AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
+        ) % 2 AS bit
+    FROM allids, grid
+),
+cont AS (
+    SELECT DISTINCT t.doc_id
+    FROM bits t JOIN bits e ON t.j = e.j
+    WHERE t.doc_id < 480 AND e.doc_id >= 480
+    GROUP BY t.doc_id, e.doc_id
+    HAVING sum(CASE WHEN t.bit <> e.bit THEN 1 ELSE 0 END) <= 6
+)
+SELECT doc_id,
+       CASE CAST((doc_id // 16) % 4 AS INT)
+            WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format
+FROM allids
+WHERE doc_id < 480 AND doc_id NOT IN (SELECT doc_id FROM cont)
+ORDER BY doc_id
+"""

@@ -2666,3 +2666,34 @@ def q_hard_negatives(spark, sf_dir):
         )
         .orderBy("vec_id", "rank")
     )
+
+
+def q_image_decon(spark, sf_dir):
+    """Visual decontamination (the media analog of the verbatim /
+    semantic text decon stages): training images whose perceptual aHash
+    lands within hamming 6 of ANY eval-set image are dropped via
+    cross-table pigeonhole blocking + a left-anti join
+    (functions/imagehash.image_decon_keep). Eval set = docs 480..487
+    (Walsh groups 0-7), so exactly the trains in groups 8-15 survive —
+    but the ORACLE assumes none of that: DuckDB re-derives every
+    train-eval hamming distance from doc_id arithmetic and keeps the
+    complement."""
+    from .functions.imagehash import (
+        image_decon_keep,
+        perceptual_hash_table,
+        synthetic_photo_payloads,
+    )
+
+    train = _image_hashes(spark, sf_dir)
+    ev_ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") >= 480) & (F.col("doc_id") < 488))
+        .repartition(8)
+    )
+    ev = perceptual_hash_table(synthetic_photo_payloads(ev_ids))
+    return (
+        image_decon_keep(train, ev, hamming_max=6, chunks=8)
+        .select("doc_id", "format")
+        .orderBy("doc_id")
+    )

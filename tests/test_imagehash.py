@@ -106,3 +106,37 @@ def test_hamming_max_must_fit_pigeonhole(spark):
     hashes = perceptual_hash_table(synthetic_photo_payloads(ids))
     with pytest.raises(ValueError, match="pigeonhole"):
         image_neardup_pairs(hashes, hamming_max=8, chunks=8)
+
+
+def test_image_decon_keep_exact(spark):
+    from lieu_spark.functions.imagehash import image_decon_keep
+
+    train = spark.createDataFrame(
+        [(1, 0), (2, 7), (3, 63), (4, -1)], "doc_id long, ahash long"
+    )
+    ev = spark.createDataFrame([(100, 1)], "doc_id long, ahash long")
+    # hamming to eval 1: id1 -> 1, id2 -> 2, id3 -> 5 (all dropped at
+    # max 6); id4 (-1 = all 64 bits) -> 63 (kept)
+    kept = {r.doc_id for r in image_decon_keep(train, ev, 6, 8).collect()}
+    assert kept == {4}
+
+
+def test_image_decon_boundary_hamming(spark):
+    from lieu_spark.functions.imagehash import image_decon_keep
+
+    # exactly 6 bits apart -> dropped; exactly 7 -> kept (verify bound,
+    # even though pigeonhole candidates cover <= 7)
+    train = spark.createDataFrame(
+        [(1, 0b111111), (2, 0b1111111)], "doc_id long, ahash long"
+    )
+    ev = spark.createDataFrame([(100, 0)], "doc_id long, ahash long")
+    kept = {r.doc_id for r in image_decon_keep(train, ev, 6, 8).collect()}
+    assert kept == {2}
+
+
+def test_image_decon_rejects_bad_pigeonhole(spark):
+    from lieu_spark.functions.imagehash import image_decon_keep
+
+    t = spark.createDataFrame([(1, 0)], "doc_id long, ahash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_decon_keep(t, t, hamming_max=8, chunks=8)
