@@ -171,14 +171,27 @@ def perceptual_hash_table(
 
 
 def image_neardup_pairs(
-    hashes: DataFrame, hamming_max: int = 6, chunks: int = 8
+    hashes: DataFrame,
+    hamming_max: int = 6,
+    chunks: int = 8,
+    hot_chunk_cap: int | None = None,
 ) -> DataFrame:
     """(doc_id, ahash) -> (id_a, id_b, hamming) for all pairs within
     ``hamming_max``. Reuses the SimHash pigeonhole blocking operator on
     the aHash column: with ``chunks`` slices the collision guarantee
     covers hamming <= chunks - 1, so for hamming_max < chunks the
     result is EXACTLY the set of qualifying pairs (no recall loss), at
-    chunk-equi-join cost instead of all-pairs."""
+    chunk-equi-join cost instead of all-pairs.
+
+    ``hot_chunk_cap`` is the corpus-scale skew guard: image corpora
+    have pathological perceptual buckets (near-black frames, solid
+    logos — millions of images sharing chunk bits), and one such bucket
+    goes quadratic in the self-join. With the cap set, oversized chunk
+    groups are salt-split (operators/lsh.salted_groups) — bounded
+    buckets, but the pigeonhole guarantee degrades to probabilistic for
+    SPLIT groups (a pair whose only colliding chunk was split can be
+    missed; identical-hash pairs across sub-splits are the visible
+    case). Default None keeps exact semantics for oracle-sized runs."""
     from ..config import DedupeConfig
     from ..operators.simhash_path import simhash_candidate_pairs
 
@@ -187,7 +200,11 @@ def image_neardup_pairs(
             f"hamming_max={hamming_max} needs chunks > hamming_max for the "
             f"pigeonhole guarantee (got chunks={chunks})"
         )
-    cfg = DedupeConfig(simhash_chunks=chunks, simhash_hamming_max=hamming_max)
+    cfg = DedupeConfig(
+        simhash_chunks=chunks,
+        simhash_hamming_max=hamming_max,
+        simhash_hot_chunk_cap=hot_chunk_cap,
+    )
     feats = hashes.select(
         F.col("doc_id").alias("conv_id"), F.col("ahash").alias("simhash")
     )

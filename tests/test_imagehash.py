@@ -140,3 +140,26 @@ def test_image_decon_rejects_bad_pigeonhole(spark):
     t = spark.createDataFrame([(1, 0)], "doc_id long, ahash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         image_decon_keep(t, t, hamming_max=8, chunks=8)
+
+
+def test_hot_chunk_cap_bounds_buckets_subset_semantics(spark):
+    from lieu_spark.functions.imagehash import image_neardup_pairs
+
+    # pathological perceptual bucket: 40 identical hashes + 2 outliers
+    rows = [(i, 12345) for i in range(40)] + [(100, -1), (101, -2)]
+    hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(hashes, 6, 8).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(hashes, 6, 8, hot_chunk_cap=8).collect()
+    }
+    # documented trade: salting only ever DROPS pairs (bounded buckets),
+    # never invents them; the mega-bucket still yields within-sub pairs
+    assert capped <= exact
+    assert len(capped) > 0
+    # outlier pair at hamming((-1)^(-2)) unaffected by the split
+    exp_out = {(100, 101)} & exact
+    assert exp_out <= capped or not exp_out
