@@ -137,20 +137,42 @@ def dhash64(gray) -> int:
 
 
 def perceptual_hash_table(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """mapInPandas: binary image payloads -> (doc_id, format, width,
     height, ahash, dhash). Real pixel decode for all four native
-    containers; raises loudly on anything else (production would route
-    unknowns through an imaging library, same contract as
-    multimodal.decode_image_real)."""
+    containers.
+
+    ``on_error``: ``"raise"`` (default — fixture/oracle contract: a bad
+    payload is a bug, fail loudly) or ``"quarantine"`` — the corpus-
+    scale policy: ONE corrupt payload among billions must not kill the
+    stage, so undecodable rows come back with format='error' and null
+    dims/hashes instead (filter or route them to a quarantine sink; the
+    null hashes can never join a chunk group, so downstream pair/decon
+    results over the survivors are unchanged)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fmt, w, h, ah, dh = [], [], [], [], []
             for payload in pdf[payload_col]:
-                f, img = _decode_pixels(bytes(payload))
-                gray = _luma(img, f)
+                try:
+                    f, img = _decode_pixels(bytes(payload))
+                    gray = _luma(img, f)
+                except (ValueError, NotImplementedError):
+                    if not quarantine:
+                        raise
+                    fmt.append("error")
+                    w.append(None)
+                    h.append(None)
+                    ah.append(None)
+                    dh.append(None)
+                    continue
                 fmt.append(f)
                 h.append(int(gray.shape[0]))
                 w.append(int(gray.shape[1]))
@@ -160,10 +182,10 @@ def perceptual_hash_table(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "format": fmt,
-                    "width": pd.array(w, dtype="int32"),
-                    "height": pd.array(h, dtype="int32"),
-                    "ahash": pd.array(ah, dtype="int64"),
-                    "dhash": pd.array(dh, dtype="int64"),
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "ahash": pd.array(ah, dtype="Int64"),
+                    "dhash": pd.array(dh, dtype="Int64"),
                 }
             )
 

@@ -163,3 +163,52 @@ def test_hot_chunk_cap_bounds_buckets_subset_semantics(spark):
     # outlier pair at hamming((-1)^(-2)) unaffected by the split
     exp_out = {(100, 101)} & exact
     assert exp_out <= capped or not exp_out
+
+
+def test_quarantine_on_error_isolates_corrupt_payloads(spark):
+    from lieu_spark.functions.imagehash import (
+        image_neardup_pairs,
+        perceptual_hash_table,
+        synthetic_photo_payloads,
+    )
+
+    ids = spark.range(0, 32).select(F.col("id").alias("doc_id"))
+    good = synthetic_photo_payloads(ids)
+    bad = spark.createDataFrame(
+        [(900, bytearray(b"not an image")), (901, bytearray(b"\x89PNG\r\n\x1a\nXX"))],
+        "doc_id long, payload binary",
+    )
+    mixed = good.unionByName(bad)
+
+    # default contract: corrupt payload fails the stage loudly
+    with pytest.raises(Exception):
+        perceptual_hash_table(mixed).collect()
+
+    hashes = perceptual_hash_table(mixed, on_error="quarantine")
+    rows = {r.doc_id: r for r in hashes.collect()}
+    assert rows[900].format == "error" and rows[900].ahash is None
+    assert rows[901].format == "error" and rows[901].width is None
+    # survivors hash exactly as without the corrupt rows
+    assert rows[5].ahash == expected_ahash(5)
+    # null hashes never form pairs: same pair set as the clean run
+    clean = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(
+            perceptual_hash_table(good), 6, 8
+        ).collect()
+    }
+    quarantined = {
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(
+            hashes.filter(F.col("format") != "error"), 6, 8
+        ).collect()
+    }
+    assert clean == quarantined
+
+
+def test_on_error_rejects_unknown_policy(spark):
+    from lieu_spark.functions.imagehash import perceptual_hash_table
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="on_error"):
+        perceptual_hash_table(df, on_error="ignore")
