@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--metrics-dir", default=None)
     ap.add_argument("--hamming-max", type=int, default=6)
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument(
+        "--on-error",
+        choices=["raise", "quarantine"],
+        default="quarantine",
+        help="corrupt payloads: fail the stage, or emit format='error' "
+        "rows (production default — one bad image must not kill the job)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -71,8 +78,10 @@ def main() -> None:
     payloads = spark.read.parquet(args.input).repartition(
         max(spark.sparkContext.defaultParallelism, 8)
     )
-    hashes = perceptual_hash_table(payloads).persist()
+    hashes = perceptual_hash_table(payloads, on_error=args.on_error).persist()
     hashes.write.mode("overwrite").parquet(os.path.join(out, "hashes"))
+    n_quarantined = hashes.filter(F.col("format") == "error").count()
+    hashes = hashes.filter(F.col("format") != "error")
     t_hash = time.time()
 
     pairs = image_neardup_pairs(
@@ -135,6 +144,7 @@ def main() -> None:
         "clusters": clusters.select("cluster_id").distinct().count(),
         "reps": reps.count(),
         "kept_after_decon": kept_count,
+        "quarantined": n_quarantined,
         "fingerprint": fingerprint,
     }
     print(json.dumps(summary))
