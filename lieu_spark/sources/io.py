@@ -133,6 +133,36 @@ def read_transcripts_iceberg(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.format("iceberg").load(table)
 
 
+def read_transcripts_csv(
+    spark: SparkSession, path: str, sep: str = ",", header: bool = True
+) -> DataFrame:
+    """CSV/TSV ingest with the fixed schema (no sampling pass) and the
+    same malformed-row policy as the JSON paths: PERMISSIVE nulls on
+    unparseable fields, then rows missing conv_id or turn_idx dropped —
+    a null sort key would make the assembled doc (and every dedupe
+    verdict downstream) depend on which ingest path a conversation
+    arrived through. .gz/.bz2 transparent like every Spark text
+    source."""
+    df = (
+        spark.read.schema(TRANSCRIPT_SCHEMA)
+        .option("sep", sep)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+
+
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingest (typed at rest, schema enforced on read — the other
+    columnar format warehouses commonly hand over besides parquet)."""
+    return spark.read.schema(TRANSCRIPT_SCHEMA).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
