@@ -582,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-deriving per query."""
     base = {
         # --- group A: never driver-green / new / changed this round ---
+        "kmv_distinct": Q.q_kmv_distinct,
+        "cms_heavy_hitters": Q.q_cms_heavy_hitters,
+        "event_funnel": Q.q_event_funnel,
         "image_neardup": Q.q_image_neardup,
         "image_dedup_groups": Q.q_image_dedup_groups,
         "video_neardup": Q.q_video_neardup,

@@ -3143,3 +3143,98 @@ FROM allids
 WHERE doc_id < 480 AND doc_id NOT IN (SELECT doc_id FROM cont)
 ORDER BY doc_id
 """
+
+ORACLE["kmv_distinct"] = """
+WITH h AS (
+    SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                AS BIGINT) + 1 AS hv
+    FROM events
+),
+r AS (
+    SELECT event_type, day, hv,
+           row_number() OVER (PARTITION BY event_type, day ORDER BY hv) AS rn,
+           count(*) OVER (PARTITION BY event_type, day) AS nd
+    FROM h
+)
+SELECT event_type, day, nd AS n_exact, hv AS kth_min,
+       CASE WHEN nd < 32 THEN nd
+            ELSE (31 * 1099511627776) // hv END AS kmv_estimate
+FROM r
+WHERE rn <= 32 AND rn = LEAST(nd, 32)
+ORDER BY event_type, day
+"""
+
+ORACLE["cms_heavy_hitters"] = f"""
+WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
+tc AS (
+    SELECT token, count(*) AS true_tf
+    FROM (SELECT unnest(toks) AS token FROM tok)
+    GROUP BY token
+),
+grid AS (
+    SELECT d.r AS cms_row,
+           CAST(concat('0x', substr(md5(CAST(d.r AS VARCHAR) || ':' || token),
+                                    1, 15)) AS BIGINT) % 256 AS cms_bucket,
+           CAST(sum(true_tf) AS BIGINT) AS cms_count
+    FROM tc, (SELECT unnest([0, 1, 2, 3]) AS r) d
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT token, true_tf,
+           row_number() OVER (ORDER BY true_tf DESC, token) AS rank
+    FROM tc QUALIFY rank <= 20
+),
+probe AS (
+    SELECT t.rank, t.token, t.true_tf, d.r AS cms_row,
+           CAST(concat('0x', substr(md5(CAST(d.r AS VARCHAR) || ':' || t.token),
+                                    1, 15)) AS BIGINT) % 256 AS cms_bucket
+    FROM top t, (SELECT unnest([0, 1, 2, 3]) AS r) d
+)
+SELECT p.rank, p.token, p.true_tf, min(g.cms_count) AS cms_tf,
+       min(g.cms_count) - p.true_tf AS overcount
+FROM probe p JOIN grid g USING (cms_row, cms_bucket)
+GROUP BY p.rank, p.token, p.true_tf
+ORDER BY p.rank
+"""
+
+ORACLE["event_funnel"] = """
+WITH staged AS (
+    SELECT user_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+),
+staged2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM staged
+),
+staged3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM staged2
+),
+per_user AS (
+    SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+    FROM staged3 GROUP BY user_id
+),
+totals AS (
+    SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3,
+           CAST(sum(CASE WHEN t2 IS NOT NULL THEN
+                CAST(floor(epoch(t2)) AS BIGINT)
+                - CAST(floor(epoch(t1)) AS BIGINT) END) AS BIGINT) AS lag2,
+           CAST(sum(CASE WHEN t3 IS NOT NULL THEN
+                CAST(floor(epoch(t3)) AS BIGINT)
+                - CAST(floor(epoch(t2)) AS BIGINT) END) AS BIGINT) AS lag3
+    FROM per_user
+)
+SELECT stage, n_users, sum_lag_s FROM (
+    SELECT '1_view' AS stage, n1 AS n_users, CAST(NULL AS BIGINT) AS sum_lag_s
+    FROM totals
+    UNION ALL
+    SELECT '2_click', n2, lag2 FROM totals
+    UNION ALL
+    SELECT '3_purchase', n3, lag3 FROM totals
+) ORDER BY stage
+"""

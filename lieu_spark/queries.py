@@ -2697,3 +2697,93 @@ def q_image_decon(spark, sf_dir):
         .select("doc_id", "format")
         .orderBy("doc_id")
     )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch per (event_type, day) —
+    the brief's "novel sketch" operator class (the reference counts
+    exactly; lib/lieu has no sketch surface). k=32, estimate =
+    31 * 2^40 div h_32 over the md5 hash grid; cells with fewer than 32
+    distinct users report exactly, so both estimator branches are
+    exercised. Deterministic: DuckDB re-derives every hash, rank and
+    quotient from the same md5 arithmetic."""
+    from .functions.sketches import kmv_distinct
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    return (
+        kmv_distinct(e, ["event_type", "day"], "user_id", k=32)
+        .orderBy("event_type", "day")
+    )
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch frequency estimates for the corpus top-20 terms:
+    one tokenize pass feeds the exact term counts; the 4x256 CMS grid is
+    derived FROM those counts (no second scan) and broadcast for the
+    top-20 lookup. overcount = cms_tf - true_tf is the CMS invariant
+    (>= 0 always — min over rows never undercounts). DuckDB replays the
+    grid, the top-20 rank, and every min-of-4 estimate."""
+    from .functions.sketches import cms_lookup, cms_table
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("true_tf"))
+    )
+    cms = cms_table(tc, "token", "true_tf", depth=4, width=256)
+    # distributed sort-limit (TakeOrderedAndProject) first, THEN rank the
+    # surviving 20 rows — never a full-vocab single-partition window
+    top20 = tc.orderBy(F.col("true_tf").desc(), F.col("token").asc()).limit(20)
+    w = Window.orderBy(F.col("true_tf").desc(), F.col("token").asc())
+    top = top20.withColumn("rank", F.row_number().over(w))
+    return (
+        cms_lookup(top, cms, "token", depth=4, width=256)
+        .select(
+            "rank",
+            "token",
+            "true_tf",
+            F.col("cms_est").alias("cms_tf"),
+            (F.col("cms_est") - F.col("true_tf")).alias("overcount"),
+        )
+        .orderBy("rank")
+    )
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase in ONE
+    exchange: stage timestamps are nested conditional mins over the same
+    user partition (t2 = first click strictly after the first view, t3 =
+    first purchase strictly after that click — each window reuses the
+    prior's Exchange), then a singleton agg unpivoted to one row per
+    stage. n_users counts users reaching the stage in order; sum_lag_s
+    totals the floor-epoch seconds from the previous stage."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts = F.col("ts")
+    typ = F.col("event_type")
+    e2 = e.withColumn("t1", F.min(F.when(typ == "view", ts)).over(w))
+    e2 = e2.withColumn(
+        "t2", F.min(F.when((typ == "click") & (ts > F.col("t1")), ts)).over(w)
+    )
+    e2 = e2.withColumn(
+        "t3", F.min(F.when((typ == "purchase") & (ts > F.col("t2")), ts)).over(w)
+    )
+    per_user = e2.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    sec = lambda c: F.col(c).cast("timestamp_ltz").cast("long")  # noqa: E731
+    totals = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.sum(F.when(F.col("t2").isNotNull(), sec("t2") - sec("t1"))).alias("lag2"),
+        F.sum(F.when(F.col("t3").isNotNull(), sec("t3") - sec("t2"))).alias("lag3"),
+    )
+    return totals.selectExpr(
+        "stack(3, '1_view', n1, CAST(NULL AS BIGINT),"
+        " '2_click', n2, lag2,"
+        " '3_purchase', n3, lag3) AS (stage, n_users, sum_lag_s)"
+    ).orderBy("stage")

@@ -1,0 +1,121 @@
+"""Sketch-aggregate semantics (functions/sketches.py): KMV exact/estimate
+branches and error regime, CMS no-undercount invariant and
+collision-free exactness, event-funnel ordering logic. The cross-engine
+value parity of the driver queries rides test_queries_oracle.py; these
+pin the sketch MATH."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lieu_spark.functions.sketches import (
+    KMV_MAX,
+    cms_lookup,
+    cms_table,
+    kmv_distinct,
+)
+
+
+def test_kmv_exact_branch_below_k(spark):
+    # 10 distinct values, k=32 -> the sketch must report exactly 10
+    df = spark.createDataFrame(
+        [("g", i % 10) for i in range(100)], "grp string, v int"
+    )
+    out = kmv_distinct(df, ["grp"], "v", k=32).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_exact == 10
+    assert row.kmv_estimate == 10
+
+
+def test_kmv_estimate_branch_error_regime(spark):
+    # 5000 distinct values, k=64: standard error ~ 1/sqrt(k-2) ~ 12.7%;
+    # the md5 grid is deterministic, so this asserts the realised error
+    # of one fixed draw, bounded at 4 sigma.
+    n = 5000
+    df = spark.createDataFrame([(v,) for v in range(n)], "v int").withColumn(
+        "grp", F.lit("g")
+    )
+    row = kmv_distinct(df, ["grp"], "v", k=64).collect()[0]
+    assert row.n_exact == n
+    assert row.kmv_estimate != n  # it IS an estimate
+    assert abs(row.kmv_estimate - n) / n < 4 / (64 - 2) ** 0.5
+    # estimator formula holds exactly: (k-1) * M div h_k
+    assert row.kmv_estimate == (63 * KMV_MAX) // row.kth_min
+
+
+def test_kmv_insensitive_to_duplicates_and_grouping(spark):
+    # duplicates of the same value must not move the sketch
+    base = [("a", v) for v in range(200)] + [("b", v) for v in range(40)]
+    once = spark.createDataFrame(base, "grp string, v int")
+    thrice = spark.createDataFrame(base * 3, "grp string, v int")
+    r1 = {r.grp: (r.kth_min, r.kmv_estimate) for r in kmv_distinct(once, ["grp"], "v").collect()}
+    r3 = {r.grp: (r.kth_min, r.kmv_estimate) for r in kmv_distinct(thrice, ["grp"], "v").collect()}
+    assert r1 == r3
+    # group b has 40 distinct (> k=32): estimate branch, close to truth
+    assert abs(r1["b"][1] - 40) <= 10
+    assert set(r1) == {"a", "b"}
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    counts = spark.createDataFrame(
+        [(f"k{i}", i + 1) for i in range(300)], "key string, cnt long"
+    )
+    # narrow grid: collisions guaranteed (300 keys into 64 buckets)
+    cms = cms_table(counts, "key", "cnt", depth=3, width=64)
+    est = cms_lookup(counts, cms, "key", depth=3, width=64)
+    rows = est.collect()
+    assert len(rows) == 300
+    assert all(r.cms_est >= r.cnt for r in rows)
+    assert any(r.cms_est > r.cnt for r in rows)  # collisions really occur
+    # wide grid: 300 keys into 4x8192 -> every depth-row collision for a
+    # key must be dodged by at least one row; with d=4 the min is exact
+    # for this fixed md5 draw
+    cms_w = cms_table(counts, "key", "cnt", depth=4, width=8192)
+    exact = cms_lookup(counts, cms_w, "key", depth=4, width=8192).collect()
+    assert all(r.cms_est == r.cnt for r in exact)
+
+
+def test_cms_grid_is_bounded(spark):
+    counts = spark.createDataFrame(
+        [(f"k{i}", 1) for i in range(500)], "key string, cnt long"
+    )
+    grid = cms_table(counts, "key", "cnt", depth=4, width=32).collect()
+    assert len(grid) <= 4 * 32
+    total = sum(r.cms_count for r in grid)
+    assert total == 4 * 500  # mass conservation: each key lands once per row
+
+
+def test_event_funnel_ordering_logic(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel view(0) -> click(10) -> purchase(30)
+        (1, s(0), "view"), (1, s(10), "click"), (1, s(30), "purchase"),
+        # u2: click BEFORE view, purchase after view but no click after view
+        (2, s(0), "click"), (2, s(5), "view"), (2, s(9), "purchase"),
+        # u3: view only
+        (3, s(0), "view"),
+        # u4: purchase then click then view (nothing in order)
+        (4, s(0), "purchase"), (4, s(1), "click"), (4, s(2), "view"),
+        # u5: view -> click, no purchase; second click later (ignored: min)
+        (5, s(0), "view"), (5, s(4), "click"), (5, s(99), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    df.createOrReplaceTempView("funnel_events")
+    from lieu_spark.queries import q_event_funnel
+
+    # route through the same plan by monkey-loading: inline the logic via
+    # a temp sf_dir is overkill — call the query body against a stub load
+    import lieu_spark.queries as Q
+
+    orig = Q.load
+    Q.load = lambda spark, sf_dir, name: df
+    try:
+        out = {r.stage: (r.n_users, r.sum_lag_s) for r in q_event_funnel(spark, "x").collect()}
+    finally:
+        Q.load = orig
+    assert out["1_view"][0] == 5  # every user has a view
+    assert out["2_click"] == (2, 10 + 4)  # u1 (lag 10) and u5 (lag 4)
+    assert out["3_purchase"] == (1, 20)  # only u1, lag 30-10
