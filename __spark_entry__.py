@@ -585,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": Q.q_kmv_distinct,
         "cms_heavy_hitters": Q.q_cms_heavy_hitters,
         "event_funnel": Q.q_event_funnel,
+        "theta_sketch_ops": Q.q_theta_sketch_ops,
+        "histogram_quantiles": Q.q_histogram_quantiles,
         "image_neardup": Q.q_image_neardup,
         "image_dedup_groups": Q.q_image_dedup_groups,
         "video_neardup": Q.q_video_neardup,

@@ -133,3 +133,169 @@ def cms_lookup(
         .groupBy(*others)
         .agg(F.min("cms_count").alias("cms_est"))
     )
+
+
+def theta_sketches(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group theta sketch (the KMV synopsis with its threshold made
+    explicit — Dasgupta et al. 2016): retained hashes are {h < theta}
+    where theta = the k-th smallest hash (or domain+1 when the group has
+    fewer than k distinct values, i.e. the sketch is exact). Output one
+    row per retained hash: (group, hv, theta, n_exact). Set-operation
+    estimates between groups then run entirely on these synopses —
+    O(k) rows per group regardless of group size."""
+    hashes = df.select(group_col, kmv_hash(F.col(value_col)).alias("hv")).distinct()
+    w = Window.partitionBy(group_col).orderBy("hv")
+    ranked = hashes.select(
+        group_col,
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("n_exact"),
+    ).filter(F.col("rn") <= F.lit(k))
+    theta = F.when(
+        F.col("n_exact") >= F.lit(k),
+        F.max(F.when(F.col("rn") == F.lit(k), F.col("hv"))).over(
+            Window.partitionBy(group_col)
+        ),
+    ).otherwise(F.lit(KMV_MAX + 1))
+    return (
+        ranked.withColumn("theta", theta.cast("long"))
+        .filter(F.col("hv") < F.col("theta"))
+        .select(group_col, "hv", "theta", "n_exact")
+    )
+
+
+def theta_pair_ops(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise union/intersection estimates between every two groups'
+    theta sketches: for a pair, theta = min of the two thresholds, both
+    retained sets are cut back to {h < theta}, and |S| * M div theta
+    estimates the true cardinality (exact when both sketches are exact,
+    theta = M+1). Quadratic in #groups (audience-overlap workloads have
+    few segments); every join side is a k-row synopsis."""
+    g = group_col
+    th = sketches.select(g, "theta", "n_exact").distinct()
+    pairs = (
+        th.select(
+            F.col(g).alias("grp_a"),
+            F.col("theta").alias("th_a"),
+            F.col("n_exact").alias("nd_a"),
+        )
+        .join(
+            th.select(
+                F.col(g).alias("grp_b"),
+                F.col("theta").alias("th_b"),
+                F.col("n_exact").alias("nd_b"),
+            ),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+        .withColumn("th", F.least("th_a", "th_b"))
+    )
+    ra = sketches.select(F.col(g).alias("grp_a"), "hv")
+    rb = sketches.select(F.col(g).alias("grp_b"), F.col("hv").alias("hv_b"))
+    na = (
+        pairs.join(F.broadcast(ra), "grp_a")
+        .filter(F.col("hv") < F.col("th"))
+        .groupBy("grp_a", "grp_b", "th", "nd_a", "nd_b")
+        .agg(F.count("*").alias("ka"))
+    )
+    nb = (
+        pairs.join(F.broadcast(rb), "grp_b")
+        .filter(F.col("hv_b") < F.col("th"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("kb"))
+    )
+    rb2 = rb.withColumnRenamed("grp_b", "grp_b2")
+    ni = (
+        pairs.join(F.broadcast(ra), "grp_a")
+        .join(
+            F.broadcast(rb2),
+            (F.col("grp_b") == F.col("grp_b2")) & (F.col("hv") == F.col("hv_b")),
+        )
+        .filter(F.col("hv") < F.col("th"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("ki"))
+    )
+    est = (
+        na.join(nb, ["grp_a", "grp_b"])
+        .join(ni, ["grp_a", "grp_b"], "left")
+        .withColumn("ki", F.coalesce("ki", F.lit(0)))
+    )
+    # integer form: |S| * M div theta (exact when theta beyond domain)
+    union_s = F.col("ka") + F.col("kb") - F.col("ki")
+    return est.select(
+        "grp_a",
+        "grp_b",
+        "nd_a",
+        "nd_b",
+        F.when(F.col("th") > F.lit(KMV_MAX), union_s)
+        .otherwise(F.expr(f"({KMV_MAX}L * (ka + kb - ki)) div th"))
+        .cast("long")
+        .alias("theta_union_est"),
+        F.when(F.col("th") > F.lit(KMV_MAX), F.col("ki"))
+        .otherwise(F.expr(f"({KMV_MAX}L * ki) div th"))
+        .cast("long")
+        .alias("theta_inter_est"),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    pcts: Sequence[int] = (50, 90, 99),
+    nbuckets: int = 256,
+) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-width histogram —
+    the one-pass synopsis for percentile monitoring at scale: the
+    histogram is nbuckets counters per group (mergeable by add), the
+    quantile is read off the cumulative counts with linear interpolation
+    inside the boundary bucket. All integer arithmetic on an integer
+    value column (use cents/micros upstream); target rank for pct p is
+    ceil(n * p / 100). Output: group + (pct, n, est) — callers wanting
+    an error column join the exact rank-k value alongside (the exact
+    path needs the per-group sort this sketch avoids)."""
+    gcols = list(group_cols)
+    stats = df.groupBy(*gcols).agg(
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    withb = (
+        df.join(F.broadcast(stats), gcols)
+        .withColumn(
+            "width",
+            F.greatest(F.expr("(vmax - vmin) div " + str(nbuckets)) + 1, F.lit(1)),
+        )
+        .withColumn("bucket", F.expr(f"({value_col} - vmin) div width"))
+    )
+    hist = withb.groupBy(*gcols, "vmin", "width", "n", "bucket").agg(
+        F.count("*").alias("bn")
+    )
+    wcum = Window.partitionBy(*gcols).orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("bn").over(wcum))
+    probes = cum.withColumn(
+        "pct", F.explode(F.array(*[F.lit(int(p)) for p in pcts]))
+    ).withColumn("target", F.expr("(n * pct + 99) div 100"))
+    hit = probes.filter(F.col("cum") >= F.col("target"))
+    first = hit.groupBy(*gcols, "pct").agg(
+        F.min_by(
+            F.struct("bucket", "bn", "cum", "vmin", "width", "n", "target"), F.col("bucket")
+        ).alias("s")
+    )
+    return first.select(
+        *gcols,
+        "pct",
+        F.col("s.n").alias("n"),
+        (
+            # in-bucket offset 1..bn maps onto [lo, lo+width) — offset-1
+            # keeps the last rank inside the bucket (a constant column
+            # must estimate to the constant, not the exclusive edge)
+            F.col("s.vmin")
+            + F.col("s.bucket") * F.col("s.width")
+            + F.expr("((s.target - (s.cum - s.bn) - 1) * s.width) div s.bn")
+        ).cast("long").alias("est"),
+    )

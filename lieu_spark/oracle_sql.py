@@ -3238,3 +3238,121 @@ SELECT stage, n_users, sum_lag_s FROM (
     SELECT '3_purchase', n3, lag3 FROM totals
 ) ORDER BY stage
 """
+
+ORACLE["theta_sketch_ops"] = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                AS BIGINT) + 1 AS hv
+    FROM events
+),
+r AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS nd
+    FROM h
+),
+sk AS (
+    SELECT event_type, hv, nd,
+           CASE WHEN nd >= 32
+                THEN max(CASE WHEN rn = 32 THEN hv END)
+                     OVER (PARTITION BY event_type)
+                ELSE 1099511627777 END AS theta
+    FROM r WHERE rn <= 32
+),
+ret AS (SELECT * FROM sk WHERE hv < theta),
+th AS (SELECT DISTINCT event_type, theta, nd FROM ret),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           LEAST(a.theta, b.theta) AS th, a.nd AS nd_a, b.nd AS nd_b
+    FROM th a JOIN th b ON a.event_type < b.event_type
+),
+ka AS (
+    SELECT p.type_a, p.type_b, count(*) AS ka
+    FROM pairs p JOIN ret r ON r.event_type = p.type_a AND r.hv < p.th
+    GROUP BY 1, 2
+),
+kb AS (
+    SELECT p.type_a, p.type_b, count(*) AS kb
+    FROM pairs p JOIN ret r ON r.event_type = p.type_b AND r.hv < p.th
+    GROUP BY 1, 2
+),
+ki AS (
+    SELECT p.type_a, p.type_b, count(*) AS ki
+    FROM pairs p
+    JOIN ret a ON a.event_type = p.type_a AND a.hv < p.th
+    JOIN ret b ON b.event_type = p.type_b AND b.hv = a.hv
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS exact_inter
+    FROM (SELECT DISTINCT event_type, user_id FROM events) a
+    JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       p.nd_a + p.nd_b - COALESCE(ex.exact_inter, 0) AS exact_union,
+       CASE WHEN p.th > 1099511627776
+            THEN ka.ka + kb.kb - COALESCE(ki.ki, 0)
+            ELSE (1099511627776 * (ka.ka + kb.kb - COALESCE(ki.ki, 0))) // p.th
+       END AS theta_union_est,
+       COALESCE(ex.exact_inter, 0) AS exact_inter,
+       CASE WHEN p.th > 1099511627776 THEN COALESCE(ki.ki, 0)
+            ELSE (1099511627776 * COALESCE(ki.ki, 0)) // p.th
+       END AS theta_inter_est
+FROM pairs p
+JOIN ka USING (type_a, type_b)
+JOIN kb USING (type_a, type_b)
+LEFT JOIN ki USING (type_a, type_b)
+LEFT JOIN ex USING (type_a, type_b)
+ORDER BY type_a, type_b
+"""
+
+ORACLE["histogram_quantiles"] = """
+WITH oc AS (
+    SELECT o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+    FROM orders
+),
+stats AS (SELECT prio, min(pc) AS vmin, max(pc) AS vmax, count(*) AS n
+          FROM oc GROUP BY prio),
+wb AS (
+    SELECT oc.prio, pc, vmin, n,
+           GREATEST((vmax - vmin) // 256 + 1, 1) AS width
+    FROM oc JOIN stats USING (prio)
+),
+hist AS (
+    SELECT prio, vmin, width, n, (pc - vmin) // width AS bucket,
+           count(*) AS bn
+    FROM wb GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+    SELECT *, CAST(sum(bn) OVER (PARTITION BY prio ORDER BY bucket)
+                   AS BIGINT) AS cum
+    FROM hist
+),
+probes AS (
+    SELECT c.*, p.pct, (n * p.pct + 99) // 100 AS target
+    FROM cum c, (SELECT unnest([50, 90, 99]) AS pct) p
+),
+hit AS (
+    SELECT prio, pct, n,
+           vmin + bucket * width
+               + ((target - (cum - bn) - 1) * width) // bn AS est,
+           row_number() OVER (PARTITION BY prio, pct ORDER BY bucket) AS rn
+    FROM probes WHERE cum >= target
+),
+firstb AS (SELECT prio, pct, n, est FROM hit WHERE rn = 1),
+ranked AS (
+    SELECT prio, pc,
+           row_number() OVER (PARTITION BY prio ORDER BY pc) AS rn
+    FROM oc
+)
+SELECT f.prio AS o_orderpriority, f.pct, f.n AS n, f.est AS est_cents,
+       r.pc AS exact_cents, f.est - r.pc AS err_cents
+FROM firstb f
+JOIN ranked r ON r.prio = f.prio AND r.rn = (f.n * f.pct + 99) // 100
+ORDER BY o_orderpriority, pct
+"""

@@ -2787,3 +2787,90 @@ def q_event_funnel(spark, sf_dir):
         " '2_click', n2, lag2,"
         " '3_purchase', n3, lag3) AS (stage, n_users, sum_lag_s)"
     ).orderBy("stage")
+
+
+def q_theta_sketch_ops(spark, sf_dir):
+    """Theta-sketch set operations (Dasgupta et al. 2016): pairwise
+    audience union/intersection estimates between event-type user sets,
+    computed ENTIRELY on k=32-row synopses (pair theta = min threshold,
+    estimate = |S| * 2^40 div theta). Exact union/intersection ride along
+    as verification columns (the distinct-pair join a sketch user would
+    skip at scale). Deterministic md5 grid: DuckDB replays thresholds,
+    retained sets, and every quotient."""
+    from .functions.sketches import theta_pair_ops, theta_sketches
+
+    e = load(spark, sf_dir, "events")
+    sk = theta_sketches(e, "event_type", "user_id", k=32)
+    est = theta_pair_ops(sk, "event_type").withColumnsRenamed(
+        {"grp_a": "type_a", "grp_b": "type_b"}
+    )
+    du = e.select("event_type", "user_id").distinct()
+    ex = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return (
+        est.join(ex, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("nd_a") + F.col("nd_b") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            "theta_union_est",
+            "exact_inter",
+            "theta_inter_est",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Histogram quantile sketch: per-priority p50/p90/p99 of the order
+    price read off a 256-bucket fixed-width histogram with in-bucket
+    linear interpolation — the mergeable one-pass synopsis that replaces
+    the per-group sort exact quantiles need. Exact rank-k values ride
+    along (err_cents column) via a window rank the sketch path avoids.
+    All integer cents math; DuckDB replays buckets, cumsums, and the
+    interpolation."""
+    from .functions.sketches import histogram_quantiles
+
+    oc = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    est = histogram_quantiles(
+        oc, ["o_orderpriority"], "price_cents", pcts=(50, 90, 99), nbuckets=256
+    )
+    ranked = oc.select(
+        F.col("o_orderpriority").alias("prio2"),
+        "price_cents",
+        F.row_number()
+        .over(Window.partitionBy("o_orderpriority").orderBy("price_cents"))
+        .alias("rn"),
+    )
+    return (
+        est.join(
+            ranked,
+            (F.col("o_orderpriority") == F.col("prio2"))
+            & (F.col("rn") == F.expr("(n * pct + 99) div 100")),
+        )
+        .select(
+            "o_orderpriority",
+            "pct",
+            "n",
+            F.col("est").alias("est_cents"),
+            F.col("price_cents").alias("exact_cents"),
+            (F.col("est") - F.col("price_cents")).alias("err_cents"),
+        )
+        .orderBy("o_orderpriority", "pct")
+    )

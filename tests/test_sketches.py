@@ -119,3 +119,53 @@ def test_event_funnel_ordering_logic(spark):
     assert out["1_view"][0] == 5  # every user has a view
     assert out["2_click"] == (2, 10 + 4)  # u1 (lag 10) and u5 (lag 4)
     assert out["3_purchase"] == (1, 20)  # only u1, lag 30-10
+
+
+def test_theta_sketch_estimates_track_truth(spark):
+    from lieu_spark.functions.sketches import theta_pair_ops, theta_sketches
+
+    # two groups with a planted 50% overlap: a = 0..999, b = 500..1499
+    rows = [("a", v) for v in range(1000)] + [("b", v) for v in range(500, 1500)]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    sk = theta_sketches(df, "grp", "v", k=128)
+    out = theta_pair_ops(sk, "grp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.nd_a == 1000 and r.nd_b == 1000
+    # union = 1500, intersection = 500; k=128 -> rel std err ~ 1/sqrt(126)
+    assert abs(r.theta_union_est - 1500) / 1500 < 0.4
+    assert abs(r.theta_inter_est - 500) / 500 < 0.6
+
+
+def test_theta_sketch_exact_below_k(spark):
+    from lieu_spark.functions.sketches import theta_pair_ops, theta_sketches
+
+    # both groups below k -> sketches are exact and so are the set ops
+    rows = [("a", v) for v in range(10)] + [("b", v) for v in range(5, 15)]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    sk = theta_sketches(df, "grp", "v", k=32)
+    r = theta_pair_ops(sk, "grp").collect()[0]
+    assert r.theta_union_est == 15
+    assert r.theta_inter_est == 5
+
+
+def test_histogram_quantiles_exact_on_uniform_grid(spark):
+    from lieu_spark.functions.sketches import histogram_quantiles
+
+    # values 1..1000: with 256 buckets the interpolated quantile must be
+    # within one bucket width (ceil(999/256)+... width = 4) of the truth
+    df = spark.createDataFrame([("g", v) for v in range(1, 1001)], "grp string, v long")
+    out = {r.pct: r for r in histogram_quantiles(df, ["grp"], "v", (50, 90, 99)).collect()}
+    assert out[50].n == 1000
+    for pct in (50, 90, 99):
+        truth = pct * 10  # exact pct-quantile of 1..1000
+        assert abs(out[pct].est - truth) <= 4, (pct, out[pct].est)
+
+
+def test_histogram_quantiles_constant_column(spark):
+    from lieu_spark.functions.sketches import histogram_quantiles
+
+    # vmax == vmin -> width clamps to 1, single bucket, est == the value
+    df = spark.createDataFrame([("g", 7)] * 50, "grp string, v long")
+    out = histogram_quantiles(df, ["grp"], "v", (50, 99)).collect()
+    assert all(r.est == 7 for r in out)
