@@ -92,6 +92,38 @@ def mixture_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    salt: str = "soft",
+) -> DataFrame:
+    """Duplicate-aware soft dedup (SoftDeDup-style reweighting, He et
+    al. 2024): instead of hard-dropping duplicates, every member of a
+    dup cluster gets sampling weight 1/cluster_size — the cluster's
+    total expected mass stays one document, but WHICH member survives is
+    an unbiased deterministic draw, so no systematic min-id/first-crawl
+    bias and the weights can also be consumed directly as loss weights.
+
+    Adds (csize, weight_ppm, kept): weight_ppm = 1e6 div csize on the
+    portable md5 grid, kept = hash_bucket(id, salt) < weight_ppm.
+    Singletons get weight 1e6 and are always kept. One hash exchange on
+    the cluster key (the window streams per-group — no per-group state);
+    everything else is pure Catalyst, so the plan survives any corpus
+    size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col)
+    sized = df.withColumn("csize", F.count("*").over(w).cast("long"))
+    return (
+        sized.withColumn("weight_ppm", F.expr(f"{BUCKETS} div csize"))
+        .withColumn(
+            "kept",
+            (hash_bucket(F.col(id_col), salt) < F.col("weight_ppm")).cast("int"),
+        )
+    )
+
+
 def corpus_shuffle(
     df: DataFrame, id_col: str, salt: str = "", nshards: int = 64
 ) -> DataFrame:

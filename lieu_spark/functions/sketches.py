@@ -77,6 +77,60 @@ def kmv_distinct(
     return per_group.withColumn("kmv_estimate", est.cast("long"))
 
 
+def kmv_synopses(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """The mergeable KMV synopsis itself: one row per retained hash —
+    the k smallest distinct hash values per group (group_cols + hv).
+    This is what a 100 TB deployment materializes per shard/day: O(k)
+    rows per group regardless of group size, rolled up later with
+    kmv_merge without touching the raw stream again."""
+    gcols = list(group_cols)
+    hashes = df.select(*gcols, kmv_hash(F.col(value_col)).alias("hv")).distinct()
+    w = Window.partitionBy(*gcols).orderBy("hv")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(k))
+        .select(*gcols, "hv")
+    )
+
+
+def kmv_merge(
+    synopses: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 32,
+) -> DataFrame:
+    """Roll child KMV synopses up to a coarser grouping: union the
+    retained hashes, distinct, re-rank, keep the bottom k. LOSSLESS by
+    construction — any hash with global rank r <= k has rank <= r inside
+    its own child group, so it was retained there; the merged bottom-k
+    therefore equals the bottom-k of the raw stream and the rollup
+    estimate equals the direct estimate exactly. Cost is O(children * k)
+    rows, never a second corpus pass. Output matches kmv_distinct's
+    shape with n_exact replaced by n_syn (the merged-union distinct
+    count — equal to the true distinct count only when no child
+    truncated, which is exactly the n_syn < k exact branch)."""
+    gcols = list(group_cols)
+    u = synopses.select(*gcols, "hv").distinct()
+    w = Window.partitionBy(*gcols).orderBy("hv")
+    ranked = u.select(
+        *gcols,
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(*gcols)).alias("nd"),
+    )
+    per_group = ranked.filter(
+        (F.col("rn") <= F.lit(k)) & (F.col("rn") == F.least(F.col("nd"), F.lit(k)))
+    ).select(*gcols, F.col("nd").alias("n_syn"), F.col("hv").alias("kth_min"))
+    est = F.when(
+        F.col("n_syn") < F.lit(k), F.col("n_syn")
+    ).otherwise(F.expr(f"{(k - 1) * KMV_MAX} div kth_min"))
+    return per_group.withColumn("kmv_estimate", est.cast("long"))
+
+
 def cms_bucket(key: Column, row: Column, width: int) -> Column:
     """Counter index for CMS row ``row`` — md5 over the row-salted key,
     mod width (same construction both engines evaluate exactly)."""

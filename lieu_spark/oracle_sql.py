@@ -3356,3 +3356,89 @@ FROM firstb f
 JOIN ranked r ON r.prio = f.prio AND r.rn = (f.n * f.pct + 99) // 100
 ORDER BY o_orderpriority, pct
 """
+
+# KMV rollup mergeability: both chains (day synopses -> merged vs the
+# direct whole-stream sketch) re-derived from the same md5 grid; the
+# est_match column carries the losslessness invariant into the hash.
+ORACLE["sketch_rollup"] = """
+WITH h AS (
+    SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                AS BIGINT) + 1 AS hv
+    FROM events
+),
+syn AS (
+    SELECT event_type, day, hv FROM (
+        SELECT event_type, day, hv,
+               row_number() OVER (PARTITION BY event_type, day ORDER BY hv) AS rn
+        FROM h)
+    WHERE rn <= 32
+),
+mu AS (SELECT DISTINCT event_type, hv FROM syn),
+mr AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS nd
+    FROM mu
+),
+merged AS (
+    SELECT event_type, nd AS n_syn,
+           CAST(CASE WHEN nd < 32 THEN nd
+                     ELSE (31 * 1099511627776) // hv END AS BIGINT) AS merged_est
+    FROM mr WHERE rn <= 32 AND rn = LEAST(nd, 32)
+),
+dh AS (SELECT DISTINCT event_type, hv FROM h),
+dr AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS nd
+    FROM dh
+),
+direct AS (
+    SELECT event_type, nd AS n_exact,
+           CAST(CASE WHEN nd < 32 THEN nd
+                     ELSE (31 * 1099511627776) // hv END AS BIGINT) AS direct_est
+    FROM dr WHERE rn <= 32 AND rn = LEAST(nd, 32)
+),
+days AS (
+    SELECT event_type,
+           count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+    FROM events GROUP BY event_type
+)
+SELECT m.event_type, y.n_days, d.n_exact, m.n_syn,
+       m.merged_est, d.direct_est,
+       CAST(m.merged_est = d.direct_est AS INT) AS est_match
+FROM merged m
+JOIN direct d USING (event_type)
+JOIN days y USING (event_type)
+ORDER BY event_type
+"""
+
+# Soft dedup: cluster sizes, ppm weights and every md5-Bernoulli keep
+# decision re-derived over the normalized_exact_dup augmented frame.
+ORACLE["soft_dedup"] = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         CAST((doc_id * 7919) % 97 AS VARCHAR) || ' ' || upper(text)
+  FROM documents WHERE doc_id % 3 = 0
+),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+             '[0-9]+', '', 'g'), '\\s+', ' ', 'g'))) AS norm_key
+  FROM aug
+),
+s AS (
+  SELECT doc_id, norm_key,
+         CAST(count(*) OVER (PARTITION BY norm_key) AS BIGINT) AS csize,
+         CAST(min(doc_id) OVER (PARTITION BY norm_key) AS BIGINT) AS grp
+  FROM n
+)
+SELECT doc_id, grp, csize, 1000000 // csize AS weight_ppm,
+       CAST(CAST(concat('0x', substr(md5('soft' || CAST(doc_id AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 1000000
+            < 1000000 // csize AS INT) AS kept
+FROM s ORDER BY doc_id
+"""

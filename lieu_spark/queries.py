@@ -2874,3 +2874,83 @@ def q_histogram_quantiles(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "pct")
     )
+
+
+def q_sketch_rollup(spark, sf_dir):
+    """Mergeable-synopsis rollup — the property that makes sketches the
+    100 TB answer: per-(event_type, day) KMV synopses (k=32 retained
+    hashes each) are merged up to per-event_type WITHOUT re-touching the
+    raw stream (kmv_merge: union O(days * k) rows, re-rank, bottom-k),
+    and the rolled-up estimate must equal the direct whole-stream
+    sketch exactly (any hash with global rank r <= k has rank <= r
+    inside its own day, so every day synopsis retained it — losslessness
+    is structural, not approximate). est_match carries the invariant
+    into the verified output; DuckDB re-derives both chains from the
+    same md5 grid."""
+    from .functions.sketches import kmv_distinct, kmv_merge, kmv_synopses
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    syn = kmv_synopses(e, ["event_type", "day"], "user_id", k=32)
+    merged = kmv_merge(syn, ["event_type"], k=32).select(
+        "event_type",
+        "n_syn",
+        F.col("kmv_estimate").alias("merged_est"),
+    )
+    direct = kmv_distinct(e, ["event_type"], "user_id", k=32).select(
+        F.col("event_type").alias("et2"),
+        "n_exact",
+        F.col("kmv_estimate").alias("direct_est"),
+    )
+    ndays = e.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    ).select(F.col("event_type").alias("et3"), "n_days")
+    return (
+        merged.join(direct, F.col("event_type") == F.col("et2"))
+        .join(ndays, F.col("event_type") == F.col("et3"))
+        .select(
+            "event_type",
+            "n_days",
+            "n_exact",
+            "n_syn",
+            "merged_est",
+            "direct_est",
+            (F.col("merged_est") == F.col("direct_est")).cast("int").alias("est_match"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_soft_dedup(spark, sf_dir):
+    """Soft dedup (duplicate-aware reweighting) — instead of hard-
+    dropping duplicates, every member of a normalize-then-hash cluster
+    (the normalized_exact_dup tier; fixture reuses its augmented frame
+    so real multi-member clusters exist) gets weight 1/cluster_size and
+    a deterministic md5-Bernoulli keep at that rate: expected surviving
+    mass per cluster is one document, the survivor is an unbiased draw
+    (no min-id/first-crawl bias), and the weights double as loss
+    weights. One hash exchange on the cluster key; DuckDB re-derives
+    every cluster size, ppm weight, and keep decision."""
+    from .functions.sampling import soft_dedup_weights
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    var = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            ((F.col("doc_id") * 7919) % 97).cast("string"),
+            F.lit(" "),
+            F.upper(F.col("text")),
+        ).alias("text"),
+    )
+    aug = d.unionByName(var)
+    keyed = aug.select(
+        "doc_id", F.md5(T.normalize_template(F.col("text"))).alias("norm_key")
+    )
+    out = soft_dedup_weights(keyed, "norm_key", "doc_id", salt="soft")
+    grp = out.withColumn(
+        "grp", F.min("doc_id").over(Window.partitionBy("norm_key")).cast("long")
+    )
+    return grp.select(
+        "doc_id", "grp", "csize", "weight_ppm", "kept"
+    ).orderBy("doc_id")

@@ -521,3 +521,29 @@ def test_unimax_expand_copies_and_guard(spark):
         df.repartition(7), alloc, "grp", "doc_id", salt="t"
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+
+
+def test_soft_dedup_weights_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from lieu_spark.functions.sampling import soft_dedup_weights
+
+    # clusters: size 1 (id 0), size 2 (1,2), size 5 (10..14)
+    rows = [(0, "a"), (1, "b"), (2, "b")] + [(10 + i, "c") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, ck string")
+    out = {r.doc_id: r for r in soft_dedup_weights(df, "ck", "doc_id").collect()}
+    assert out[0].csize == 1 and out[0].weight_ppm == 1_000_000 and out[0].kept == 1
+    assert out[1].csize == 2 and out[1].weight_ppm == 500_000
+    assert all(out[10 + i].weight_ppm == 200_000 for i in range(5))
+    # keep decision is the portable md5 bucket threshold, bit-exact
+    import hashlib
+
+    for did, r in out.items():
+        bucket = int(hashlib.md5(f"soft{did}".encode()).hexdigest()[:15], 16) % 1_000_000
+        assert r.kept == int(bucket < r.weight_ppm), did
+    # expected surviving mass per cluster is 1 doc: sum of weights == 1e6
+    mass = (
+        soft_dedup_weights(df, "ck", "doc_id")
+        .groupBy("ck").agg(F.sum("weight_ppm").alias("m")).collect()
+    )
+    assert all(m.m == 1_000_000 for m in mass)

@@ -169,3 +169,35 @@ def test_histogram_quantiles_constant_column(spark):
     df = spark.createDataFrame([("g", 7)] * 50, "grp string, v long")
     out = histogram_quantiles(df, ["grp"], "v", (50, 99)).collect()
     assert all(r.est == 7 for r in out)
+
+
+def test_kmv_merge_is_lossless(spark):
+    from lieu_spark.functions.sketches import kmv_distinct, kmv_merge, kmv_synopses
+
+    # 400 distinct values spread over 8 shards (each shard > k so every
+    # child synopsis truncates): the rolled-up estimate must EQUAL the
+    # direct whole-stream sketch — mergeability is structural.
+    rows = [("g", v % 8, v) for v in range(400)]
+    df = spark.createDataFrame(rows, "grp string, shard int, v int")
+    syn = kmv_synopses(df, ["grp", "shard"], "v", k=32)
+    merged = kmv_merge(syn, ["grp"], k=32).collect()[0]
+    direct = kmv_distinct(df, ["grp"], "v", k=32).collect()[0]
+    assert merged.kmv_estimate == direct.kmv_estimate
+    assert merged.kth_min == direct.kth_min
+    # the merged union is truncated (only retained hashes), yet >= k
+    assert 32 <= merged.n_syn <= 8 * 32
+
+
+def test_kmv_merge_exact_branch_when_no_child_truncates(spark):
+    from lieu_spark.functions.sketches import kmv_distinct, kmv_merge, kmv_synopses
+
+    # 20 distinct values over 4 shards, k=32: no child truncates, so the
+    # merged union is the full distinct hash set and the exact branch
+    # reports the true count.
+    rows = [("g", v % 4, v) for v in range(20)]
+    df = spark.createDataFrame(rows, "grp string, shard int, v int")
+    syn = kmv_synopses(df, ["grp", "shard"], "v", k=32)
+    merged = kmv_merge(syn, ["grp"], k=32).collect()[0]
+    assert merged.n_syn == 20
+    assert merged.kmv_estimate == 20
+    assert merged.kmv_estimate == kmv_distinct(df, ["grp"], "v", k=32).collect()[0].kmv_estimate
