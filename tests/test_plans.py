@@ -512,3 +512,34 @@ def test_refresh_dedupe_plan_shape(spark):
     # sides — a legitimate shuffle of the small pair tables)
     assert plan.count("SortMergeJoin LeftAnti") <= 1
     assert "LeftAnti" in plan and "BroadcastExchange" in plan
+
+
+def test_soft_dedup_weights_single_exchange(spark):
+    """Soft-dedup reweighting is ONE hash exchange on the cluster key
+    (csize window + min-id window share the partitioning); weight and
+    keep columns are pure Catalyst projections on top."""
+    from lieu_spark.functions.sampling import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 7}") for i in range(100)], "doc_id long, ck string"
+    )
+    out = soft_dedup_weights(df, "ck", "doc_id")
+    plan = plan_of(out, "simple")
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_kmv_merge_runs_on_synopses_not_raw_rows(spark):
+    """The rollup's input is the O(children*k) synopsis frame; the plan
+    must contain hash exchanges only (group-key windows), never a raw
+    re-scan via join back to the source or a cartesian."""
+    from lieu_spark.functions.sketches import kmv_merge, kmv_synopses
+
+    df = spark.createDataFrame(
+        [("g", v % 4, v) for v in range(200)], "grp string, shard int, v int"
+    )
+    syn = kmv_synopses(df, ["grp", "shard"], "v", k=16)
+    merged = kmv_merge(syn, ["grp"], k=16)
+    plan = plan_of(merged, "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # source scanned once: createDataFrame shows as one scan op
+    assert plan.count("Scan ExistingRDD") <= 1, plan[:2000]
