@@ -39,7 +39,12 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    # key-sort tolerates None alongside values (multiset equality is
+    # preserved under any deterministic key)
+    return sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 def main():
@@ -84,7 +89,7 @@ def main():
                 elif _rows_to_set(scols, srows) != _rows_to_set(dcols, drows):
                     status = "hash_mismatch"
             else:
-                status = "no_oracle" if len(srows) >= 0 else "err"
+                status = "no_oracle"
         except Exception as e:  # noqa: BLE001
             status = f"err:{type(e).__name__}"
         wall = round(time.time() - t0, 1)

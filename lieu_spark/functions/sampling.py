@@ -106,21 +106,32 @@ def soft_dedup_weights(
     bias and the weights can also be consumed directly as loss weights.
 
     Adds (csize, weight_ppm, kept): weight_ppm = 1e6 div csize on the
-    portable md5 grid, kept = hash_bucket(id, salt) < weight_ppm.
-    Singletons get weight 1e6 and are always kept. One hash exchange on
-    the cluster key (the window streams per-group — no per-group state);
-    everything else is pure Catalyst, so the plan survives any corpus
-    size."""
+    portable md5 grid, plus one extra ppm for the (1e6 mod csize)
+    lowest-id members so the cluster mass is EXACTLY 1e6 for every
+    cluster size (plain integer division leaves csize=3 at 999,999);
+    kept = hash_bucket(id, salt) < weight_ppm, so the expected number
+    of survivors per cluster is exactly one. Singletons get weight 1e6
+    and are always kept. One hash exchange on the cluster key (the
+    ranked window shares the csize window's partitioning — no second
+    exchange, just a within-partition sort); everything else is pure
+    Catalyst, so the plan survives any corpus size."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(cluster_col)
-    sized = df.withColumn("csize", F.count("*").over(w).cast("long"))
+    wr = Window.partitionBy(cluster_col).orderBy(id_col)
+    sized = df.withColumn("csize", F.count("*").over(w).cast("long")).withColumn(
+        "__crank", F.row_number().over(wr)
+    )
+    weight = F.expr(f"{BUCKETS} div csize") + (
+        F.col("__crank") <= F.expr(f"{BUCKETS} % csize")
+    ).cast("long")
     return (
-        sized.withColumn("weight_ppm", F.expr(f"{BUCKETS} div csize"))
+        sized.withColumn("weight_ppm", weight)
         .withColumn(
             "kept",
             (hash_bucket(F.col(id_col), salt) < F.col("weight_ppm")).cast("int"),
         )
+        .drop("__crank")
     )
 
 

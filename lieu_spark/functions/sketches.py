@@ -57,7 +57,14 @@ def kmv_distinct(
     not the first build.
     """
     gcols = list(group_cols)
-    hashes = df.select(*gcols, kmv_hash(F.col(value_col)).alias("hv")).distinct()
+    # NULL values hash to NULL, which Spark windows rank FIRST (asc
+    # nulls-first) while SQL engines default NULLS LAST — drop them
+    # before they can corrupt the bottom-k
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, kmv_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
     w = Window.partitionBy(*gcols).orderBy("hv")
     ranked = hashes.select(
         *gcols,
@@ -89,7 +96,11 @@ def kmv_synopses(
     rows per group regardless of group size, rolled up later with
     kmv_merge without touching the raw stream again."""
     gcols = list(group_cols)
-    hashes = df.select(*gcols, kmv_hash(F.col(value_col)).alias("hv")).distinct()
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, kmv_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
     w = Window.partitionBy(*gcols).orderBy("hv")
     return (
         hashes.withColumn("rn", F.row_number().over(w))
@@ -112,7 +123,11 @@ def kmv_merge(
     rows, never a second corpus pass. Output matches kmv_distinct's
     shape with n_exact replaced by n_syn (the merged-union distinct
     count — equal to the true distinct count only when no child
-    truncated, which is exactly the n_syn < k exact branch)."""
+    truncated, which is exactly the n_syn < k exact branch).
+
+    k must be <= the k the child synopses were built with: merging at a
+    LARGER k reads union ranks the truncated children never retained,
+    biasing the estimate low while still claiming losslessness."""
     gcols = list(group_cols)
     u = synopses.select(*gcols, "hv").distinct()
     w = Window.partitionBy(*gcols).orderBy("hv")
@@ -202,7 +217,11 @@ def theta_sketches(
     row per retained hash: (group, hv, theta, n_exact). Set-operation
     estimates between groups then run entirely on these synopses —
     O(k) rows per group regardless of group size."""
-    hashes = df.select(group_col, kmv_hash(F.col(value_col)).alias("hv")).distinct()
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(group_col, kmv_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy("hv")
     ranked = hashes.select(
         group_col,
@@ -253,7 +272,7 @@ def theta_pair_ops(sketches: DataFrame, group_col: str) -> DataFrame:
     na = (
         pairs.join(F.broadcast(ra), "grp_a")
         .filter(F.col("hv") < F.col("th"))
-        .groupBy("grp_a", "grp_b", "th", "nd_a", "nd_b")
+        .groupBy("grp_a", "grp_b")
         .agg(F.count("*").alias("ka"))
     )
     nb = (
@@ -273,9 +292,16 @@ def theta_pair_ops(sketches: DataFrame, group_col: str) -> DataFrame:
         .groupBy("grp_a", "grp_b")
         .agg(F.count("*").alias("ki"))
     )
+    # pairs is the spine: a side with NO retained hash below the pair
+    # threshold (exact tiny sketch paired with a huge one — its smallest
+    # hash can exceed the other's theta) must yield ka=0, not a silently
+    # dropped output row
     est = (
-        na.join(nb, ["grp_a", "grp_b"])
+        pairs.join(na, ["grp_a", "grp_b"], "left")
+        .join(nb, ["grp_a", "grp_b"], "left")
         .join(ni, ["grp_a", "grp_b"], "left")
+        .withColumn("ka", F.coalesce("ka", F.lit(0)))
+        .withColumn("kb", F.coalesce("kb", F.lit(0)))
         .withColumn("ki", F.coalesce("ki", F.lit(0)))
     )
     # integer form: |S| * M div theta (exact when theta beyond domain)

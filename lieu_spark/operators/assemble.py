@@ -60,10 +60,16 @@ def assemble_conversations(
     transcripts = transcripts.filter(
         F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
     )
+    # Null text is normalized to "" HERE, at the same choke point: CSV
+    # cannot represent empty-vs-null (Spark's reader conflates them),
+    # and concat_ws SKIPS nulls but keeps empties — without this
+    # coalesce a multi-turn conv with one empty turn would get a
+    # different doc (and text_sha, and exact-dup verdict) depending on
+    # which ingest format it arrived through.
     struct_cols = F.struct(
         F.col("turn_idx"),
         F.col("role"),
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
         F.col("tool"),
         F.col("ts"),
     )

@@ -3295,16 +3295,17 @@ ex AS (
 SELECT p.type_a, p.type_b,
        p.nd_a + p.nd_b - COALESCE(ex.exact_inter, 0) AS exact_union,
        CASE WHEN p.th > 1099511627776
-            THEN ka.ka + kb.kb - COALESCE(ki.ki, 0)
-            ELSE (1099511627776 * (ka.ka + kb.kb - COALESCE(ki.ki, 0))) // p.th
+            THEN COALESCE(ka.ka, 0) + COALESCE(kb.kb, 0) - COALESCE(ki.ki, 0)
+            ELSE (1099511627776 * (COALESCE(ka.ka, 0) + COALESCE(kb.kb, 0)
+                                   - COALESCE(ki.ki, 0))) // p.th
        END AS theta_union_est,
        COALESCE(ex.exact_inter, 0) AS exact_inter,
        CASE WHEN p.th > 1099511627776 THEN COALESCE(ki.ki, 0)
             ELSE (1099511627776 * COALESCE(ki.ki, 0)) // p.th
        END AS theta_inter_est
 FROM pairs p
-JOIN ka USING (type_a, type_b)
-JOIN kb USING (type_a, type_b)
+LEFT JOIN ka USING (type_a, type_b)
+LEFT JOIN kb USING (type_a, type_b)
 LEFT JOIN ki USING (type_a, type_b)
 LEFT JOIN ex USING (type_a, type_b)
 ORDER BY type_a, type_b
@@ -3433,12 +3434,19 @@ n AS (
 s AS (
   SELECT doc_id, norm_key,
          CAST(count(*) OVER (PARTITION BY norm_key) AS BIGINT) AS csize,
-         CAST(min(doc_id) OVER (PARTITION BY norm_key) AS BIGINT) AS grp
+         CAST(min(doc_id) OVER (PARTITION BY norm_key) AS BIGINT) AS grp,
+         row_number() OVER (PARTITION BY norm_key ORDER BY doc_id) AS crank
   FROM n
+),
+ww AS (
+  SELECT doc_id, grp, csize,
+         1000000 // csize
+         + CAST(crank <= 1000000 % csize AS BIGINT) AS weight_ppm
+  FROM s
 )
-SELECT doc_id, grp, csize, 1000000 // csize AS weight_ppm,
+SELECT doc_id, grp, csize, weight_ppm,
        CAST(CAST(concat('0x', substr(md5('soft' || CAST(doc_id AS VARCHAR)),
                                      1, 15)) AS BIGINT) % 1000000
-            < 1000000 // csize AS INT) AS kept
-FROM s ORDER BY doc_id
+            < weight_ppm AS INT) AS kept
+FROM ww ORDER BY doc_id
 """

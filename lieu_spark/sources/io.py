@@ -134,7 +134,11 @@ def read_transcripts_iceberg(spark: SparkSession, table: str) -> DataFrame:
 
 
 def read_transcripts_csv(
-    spark: SparkSession, path: str, sep: str = ",", header: bool = True
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    multi_line: bool = True,
 ) -> DataFrame:
     """CSV/TSV ingest with the fixed schema (no sampling pass) and the
     same malformed-row policy as the JSON paths: PERMISSIVE nulls on
@@ -142,11 +146,25 @@ def read_transcripts_csv(
     a null sort key would make the assembled doc (and every dedupe
     verdict downstream) depend on which ingest path a conversation
     arrived through. .gz/.bz2 transparent like every Spark text
-    source."""
+    source.
+
+    multi_line defaults True because transcript text routinely embeds
+    newlines (Spark's own CSV writer quotes them): without it the record
+    splits at the newline and PERMISSIVE silently drops both fragments.
+    The cost is that multiLine files are NOT split within a file — at
+    100 TB, shard the corpus into many files (any sane writer does) or
+    pass multi_line=False for corpora known newline-free.
+
+    Known CSV limitation: the format cannot represent empty-string vs
+    NULL for string fields (Spark's reader conflates both to NULL), so
+    '' text/tool values do not roundtrip byte-exactly. Dedupe verdicts
+    are still ingest-path-invariant: assemble_conversations normalizes
+    null text to '' at the shared choke point."""
     df = (
         spark.read.schema(TRANSCRIPT_SCHEMA)
         .option("sep", sep)
         .option("header", header)
+        .option("multiLine", multi_line)
         .option("mode", "PERMISSIVE")
         .csv(path)
     )

@@ -166,3 +166,39 @@ def test_assembly_drops_null_keys_on_every_path(spark):
     got_clean = {(r.conv_id, r.n_turns, r.text_sha) for r in clean.collect()}
     got_dirty = {(r.conv_id, r.n_turns, r.text_sha) for r in dirty.collect()}
     assert got_clean == got_dirty and len(got_dirty) == 1
+
+
+def test_null_and_empty_text_assemble_identically(spark):
+    """A multi-turn conv with one NULL-text turn must assemble to the
+    same doc/text_sha as the same conv with ''-text (concat_ws would
+    otherwise SKIP the null but keep the empty) — CSV ingest conflates
+    the two, so verdicts must not depend on the distinction."""
+    ts = datetime(2025, 1, 1)
+    a = [("x", 0, "user", "alpha", "", ts), ("x", 1, "assistant", None, "", ts),
+         ("x", 2, "user", "omega", "", ts)]
+    b = [("y", 0, "user", "alpha", "", ts), ("y", 1, "assistant", "", "", ts),
+         ("y", 2, "user", "omega", "", ts)]
+    out = assemble_conversations(
+        spark.createDataFrame(a + b, corpus.TRANSCRIPT_SCHEMA)
+    ).select("conv_id", "doc", "text_sha").collect()
+    d = {r.conv_id: (r.doc, r.text_sha) for r in out}
+    assert d["x"] == d["y"]  # same doc AND same sha
+
+
+def test_csv_ingest_verdict_parity(spark, tmp_path):
+    """Dedupe verdicts must be identical whether transcripts arrive as
+    a DataFrame or through the CSV reader (empty-vs-null conflation and
+    quoted newlines are the two lossy spots CSV introduces)."""
+    from lieu_spark.api import dedupe
+    from lieu_spark.sources.io import read_transcripts_csv
+
+    rows = corpus.generate_rows(11, 60)
+    tdf = _tdf(spark, rows)
+    p = str(tmp_path / "t.csv")
+    tdf.write.option("header", "true").csv(p)
+    direct = dedupe(spark, tdf, CFG)
+    via_csv = dedupe(spark, read_transcripts_csv(spark, p), CFG)
+    key = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b, r.status) for r in df.verified.collect()
+    )
+    assert key(direct) == key(via_csv)

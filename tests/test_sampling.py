@@ -528,13 +528,22 @@ def test_soft_dedup_weights_semantics(spark):
 
     from lieu_spark.functions.sampling import soft_dedup_weights
 
-    # clusters: size 1 (id 0), size 2 (1,2), size 5 (10..14)
-    rows = [(0, "a"), (1, "b"), (2, "b")] + [(10 + i, "c") for i in range(5)]
+    # clusters: size 1 (id 0), size 2 (1,2), size 5 (10..14), and
+    # size 3 (20..22) — 3 does NOT divide 1e6, so exact mass needs the
+    # remainder ppm on the lowest-id member
+    rows = (
+        [(0, "a"), (1, "b"), (2, "b")]
+        + [(10 + i, "c") for i in range(5)]
+        + [(20 + i, "d") for i in range(3)]
+    )
     df = spark.createDataFrame(rows, "doc_id long, ck string")
     out = {r.doc_id: r for r in soft_dedup_weights(df, "ck", "doc_id").collect()}
     assert out[0].csize == 1 and out[0].weight_ppm == 1_000_000 and out[0].kept == 1
     assert out[1].csize == 2 and out[1].weight_ppm == 500_000
     assert all(out[10 + i].weight_ppm == 200_000 for i in range(5))
+    # 1e6 = 3*333333 + 1: the lowest id carries the extra ppm
+    assert out[20].weight_ppm == 333_334
+    assert out[21].weight_ppm == 333_333 and out[22].weight_ppm == 333_333
     # keep decision is the portable md5 bucket threshold, bit-exact
     import hashlib
 

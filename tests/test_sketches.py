@@ -103,11 +103,9 @@ def test_event_funnel_ordering_logic(spark):
         (5, s(0), "view"), (5, s(4), "click"), (5, s(99), "click"),
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
-    df.createOrReplaceTempView("funnel_events")
     from lieu_spark.queries import q_event_funnel
 
-    # route through the same plan by monkey-loading: inline the logic via
-    # a temp sf_dir is overkill — call the query body against a stub load
+    # call the query body against a stub load
     import lieu_spark.queries as Q
 
     orig = Q.load
@@ -201,3 +199,45 @@ def test_kmv_merge_exact_branch_when_no_child_truncates(spark):
     assert merged.n_syn == 20
     assert merged.kmv_estimate == 20
     assert merged.kmv_estimate == kmv_distinct(df, ["grp"], "v", k=32).collect()[0].kmv_estimate
+
+
+def test_theta_pair_survives_empty_retained_side(spark):
+    """A tiny exact sketch paired with a huge one whose theta is below
+    every hash the tiny side retained must still emit the pair (ka=0),
+    not silently drop it from the inner joins."""
+    import hashlib
+
+    from lieu_spark.functions.sketches import theta_pair_ops, theta_sketches
+
+    def hv(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:10], 16) + 1
+
+    huge = list(range(5000))
+    theta = sorted(hv(v) for v in huge)[31]  # k=32 threshold of the huge side
+    tiny = [v for v in range(10_000, 11_000) if hv(v) >= theta][:3]
+    assert len(tiny) == 3  # P(hash < theta) ~ 32/5000, misses are plentiful
+    rows = [("huge", v) for v in huge] + [("tiny", v) for v in tiny]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = theta_sketches(df, "grp", "v", k=32)
+    out = theta_pair_ops(sk, "grp").collect()
+    assert len(out) == 1  # the pair exists despite tiny's empty cut
+    r = out[0]
+    assert r.theta_inter_est == 0
+    # union estimate tracks the huge side (tiny contributes nothing
+    # below theta); standard KMV error at k=32 is ~18%, allow 3 sigma
+    assert abs(r.theta_union_est - 5003) < 0.55 * 5003
+
+
+def test_kmv_ignores_null_values(spark):
+    """NULL values must not enter the bottom-k: Spark windows rank NULL
+    FIRST (asc nulls-first) which would corrupt kth_min and diverge from
+    SQL engines' NULLS LAST."""
+    from lieu_spark.functions.sketches import kmv_distinct, theta_sketches
+
+    rows = [("g", str(v)) for v in range(10)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "grp string, v string")
+    r = kmv_distinct(df, ["grp"], "v", k=32).collect()[0]
+    assert r.n_exact == 10 and r.kmv_estimate == 10
+    assert r.kth_min is not None
+    sk = theta_sketches(df, "grp", "v", k=32).collect()
+    assert len(sk) == 10 and all(s.hv is not None for s in sk)

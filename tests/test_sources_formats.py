@@ -62,3 +62,21 @@ def test_orc_roundtrip_exact(spark, tmp_path):
     assert [(f.name, f.dataType) for f in back.schema] == [
         (f.name, f.dataType) for f in TRANSCRIPT_SCHEMA
     ]
+
+
+def test_csv_roundtrip_embedded_newlines(spark, tmp_path):
+    """Transcript text with embedded newlines: Spark's CSV writer quotes
+    them; reading back needs multiLine or the record splits at the
+    newline and PERMISSIVE silently drops both fragments."""
+    rows = [
+        ("c1", 0, "user", "line one\nline two\nline three", "none",
+         datetime.datetime(2026, 1, 2, 3, 4, 5)),
+        ("c1", 1, "assistant", "single line", "search",
+         datetime.datetime(2026, 1, 2, 3, 4, 6)),
+    ]
+    p = str(tmp_path / "nl.csv")
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.option(
+        "header", "true"
+    ).csv(p)
+    back = read_transcripts_csv(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
