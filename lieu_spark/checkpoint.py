@@ -115,6 +115,18 @@ class StageStore:
             return spark.read.format("iceberg").load(f"{self.root}.{stage}")
         return spark.read.parquet(self._dir(stage))
 
+    def meta(self, stage: str, spark: SparkSession | None = None) -> dict | None:
+        """The stage's marker metadata (fingerprint/complete/created), or
+        None when absent/unreadable — lets callers validate that a store
+        was written under the config they are about to extend it with."""
+        spark = self._spark(spark)
+        try:
+            if not path_exists(spark, self._meta_path(stage)):
+                return None
+            return json.loads(fs_read_text(spark, self._meta_path(stage)))
+        except (OSError, ValueError, Py4JJavaError):
+            return None
+
     def invalidate(self, stage: str, spark: SparkSession | None = None) -> None:
         spark = self._spark(spark)
         if path_exists(spark, self._meta_path(stage)):

@@ -178,6 +178,7 @@ def match_pairs(
     incoming_bands: DataFrame,
     cfg: DedupeConfig,
     broadcast_incoming: bool = False,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """Cross-dataset candidate generation — parity with
     ``AddressDeduperSpark.match`` (lib/lieu/spark/dedupe.py:24-48): an
@@ -187,13 +188,35 @@ def match_pairs(
     ``broadcast_incoming=True`` is the streaming ingest shape: a small
     micro-batch matched against a huge stored band table — broadcasting
     the incoming side means the canonical side is never shuffled (one
-    scan, no exchange), the right plan when |incoming| << |canonical|."""
+    scan, no exchange), the right plan when |incoming| << |canonical|.
+
+    ``hot_cap``: bound the per-incoming-row fanout on hot canonical
+    band groups, mirroring candidate_pairs' salting. A boilerplate band
+    with millions of standing members would otherwise emit
+    |group| x |incoming-in-group| pairs; with the cap each incoming row
+    pairs with ~cap members of a hot group — the same xxhash64 sub-
+    bucket rule salted_groups applies within one dataset, so dropped
+    cross-sub pairs are recovered by the b-1 other bands exactly as in
+    the self-join path. Group sizes come from a narrow (band, band_hash)
+    aggregate (map-side combined), never a shuffle of the wide table."""
     c = canonical_bands.select("band", "band_hash", F.col("id").alias("canonical_id"))
     i = incoming_bands.select("band", "band_hash", F.col("id").alias("incoming_id"))
     if broadcast_incoming:
         i = F.broadcast(i)
+    joined = c.join(i, ["band", "band_hash"])
+    if hot_cap is not None:
+        sizes = c.groupBy("band", "band_hash").agg(F.count("*").alias("__bsize"))
+        nsplit = F.greatest(
+            F.lit(1), F.ceil(F.col("__bsize") / F.lit(hot_cap))
+        ).cast("long")
+        joined = joined.join(sizes, ["band", "band_hash"]).filter(
+            (F.col("__bsize") <= hot_cap)
+            | (
+                F.pmod(F.xxhash64(F.col("canonical_id")), nsplit)
+                == F.pmod(F.xxhash64(F.col("incoming_id")), nsplit)
+            )
+        )
     return (
-        c.join(i, ["band", "band_hash"])
-        .select("canonical_id", "incoming_id")
+        joined.select("canonical_id", "incoming_id")
         .dropDuplicates(["canonical_id", "incoming_id"])
     )

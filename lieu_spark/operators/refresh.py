@@ -16,6 +16,13 @@ identical-text (same text_sha) group carries an edge — rep-blocking
 picks different representatives on the two paths — but every such edge
 closes through the exact-sha star, so connected components agree
 exactly (the same closure argument the streaming parity test uses).
+Caveat: parity is exact only while no band group exceeds
+cfg.hot_band_cap. On hot (boilerplate) bands BOTH paths are lossy by
+design — candidate_pairs salts the scratch self-join, and the cross
+path here applies the same sub-bucket rule via match_pairs(hot_cap=) —
+but the two runs can salt a hot group differently, so individual
+dropped-pair sets (recovered by the other b-1 bands, as always) may
+differ there.
 
 What is incremental (the scale story):
   - The unavoidable floor is assembling + content-hashing the NEW
@@ -25,7 +32,10 @@ What is incremental (the scale story):
     snapshot's feature row content-addressed by text_sha, so a mass
     re-keying costs nothing.
   - Old state is pruned by anti-joining the SMALL gone set (removed ∪
-    changed ids — broadcast anti-join, the corpus side never shuffles).
+    changed ids — broadcast anti-join at steady-state sizes, so the
+    corpus side never shuffles; the hint is GATED on the measured CDC
+    count, see refresh_dedupe, so a mass-removal snapshot degrades to
+    a shuffle join instead of a driver OOM).
   - Candidate generation joins the small incoming band/chunk tables
     against the standing state tables; at production scale the state
     tables are the pipeline's persisted stage tables, bucketed on the
@@ -42,8 +52,8 @@ off the group minimum, splitting clusters. Both are repaired from the
 (small) set of sha groups that lost a member: the minimum surviving
 member is promoted — re-starred against the surviving members and
 re-banded on the incoming side. Promotion is computed ONLY for the
-shas of gone docs (broadcast semi-join), never by re-aggregating the
-corpus.
+shas of gone docs (semi-join off that small set), never by
+re-aggregating the corpus.
 
 No lieu analog (the reference dedupes one snapshot at a time); this is
 the beyond-reference incremental-corpus operator pairing with
@@ -64,6 +74,12 @@ from .cluster import clusters_with_singletons, connected_components
 from .exact import exact_star_pairs
 from .lsh import band_table_dual, candidate_pairs, match_pairs
 from .verify import dupe_pairs, verify_pairs
+
+# Above this many CDC rows the broadcast hints on delta/gone-derived
+# prunes switch off (a ~1M-id broadcast is tens of MB — fine; a
+# mass-removal snapshot is not). See the gating comment in
+# refresh_dedupe.
+REFRESH_BROADCAST_CAP = 1_000_000
 
 
 @dataclass
@@ -90,7 +106,7 @@ def refresh_dedupe(
     old_verified: DataFrame,
     cfg: DedupeConfig,
     featurize: Callable[[DataFrame], DataFrame],
-    with_simhash_path: bool = False,
+    with_simhash_path: bool | None = None,
     checkpoint_state: bool = True,
     old_clusters: DataFrame | None = None,
 ) -> RefreshResult:
@@ -103,6 +119,14 @@ def refresh_dedupe(
     ``featurize`` maps a subset of ``new_conversations`` to feature
     rows; its output must cover ``old_features``' columns (it is only
     ever called on content the old snapshot has never seen).
+
+    ``with_simhash_path`` defaults to AUTO (None): enabled iff the old
+    feature state carries a ``simhash`` column — state built by
+    run_pipeline's default config silently LOST the simhash candidate
+    family for delta docs when this defaulted to False, a parity breach
+    a near-exact delta doc that misses every LSH band would expose.
+    Pass an explicit bool to override (False requires no simhash
+    columns from ``featurize``).
 
     ``old_clusters`` (optional, (conv_id, cluster_id) over the OLD
     corpus incl. singletons — run_pipeline's clusters stage table):
@@ -118,6 +142,8 @@ def refresh_dedupe(
     idc = "conv_id"
     if "text_sha" not in new_conversations.columns:
         raise ValueError("new_conversations must carry text_sha")
+    if with_simhash_path is None:
+        with_simhash_path = "simhash" in old_features.columns
 
     # ---- CDC on (id, content hash) --------------------------------
     new_keys = new_conversations.select(idc, "text_sha")
@@ -131,36 +157,43 @@ def refresh_dedupe(
     # consumer — Catalyst's plan-string materialization OOMs on the
     # composition (the curate stage() lesson, see CLAUDE.md). All of
     # them are delta-scale, so the eager materialization is cheap.
-    gone = (
-        j.filter(
-            F.col("__osha").isNotNull()
-            & (F.col("text_sha").isNull() | (F.col("text_sha") != F.col("__osha")))
-        )
-        .select(idc)
+    # ONE checkpoint materializes the CDC join; gone/delta are narrow
+    # filters over it (checkpointing each separately ran the corpus-
+    # scale assembly + full-outer join twice).
+    cdc = (
+        j.filter(~F.col("text_sha").eqNullSafe(F.col("__osha")))
+        .select(idc, "text_sha", "__osha")
         .localCheckpoint()
     )
-    delta = (
-        j.filter(
-            F.col("text_sha").isNotNull()
-            & (F.col("__osha").isNull() | (F.col("text_sha") != F.col("__osha")))
-        )
-        .select(idc)
-        .localCheckpoint()
-    )
+    gone = cdc.filter(F.col("__osha").isNotNull()).select(idc)
+    delta = cdc.filter(F.col("text_sha").isNotNull()).select(idc)
 
-    surv_feats = old_features.join(F.broadcast(gone), idc, "left_anti")
+    # Broadcast hints on the gone/delta-derived prunes are GATED on the
+    # measured delta size: cdc is already materialized (localCheckpoint
+    # above), so this count re-runs no lineage — it just reads the size
+    # of the in-memory delta. At steady state (small CDC) the hints keep
+    # the corpus side un-shuffled (measured: the unhinted plan cost the
+    # sf0.1 refresh probe 15.1 s -> 20.6 s — pre-AQE SortMergeJoin
+    # exchanges materialize even when AQE later re-plans); on a
+    # mass-removal snapshot (site purge, re-crawl) the hints switch OFF
+    # and the joins degrade to slow-but-correct shuffles instead of a
+    # driver OOM (same reasoning as the never-hinted `members` join in
+    # incremental CC).
+    small_delta = cdc.count() <= REFRESH_BROADCAST_CAP
+    bc = F.broadcast if small_delta else (lambda df: df)
+    surv_feats = old_features.join(bc(gone), idc, "left_anti")
     standing_bands = old_bands.join(
-        F.broadcast(gone.select(F.col(idc).alias("id"))), "id", "left_anti"
+        bc(gone.select(F.col(idc).alias("id"))), "id", "left_anti"
     )
 
     # ---- delta features: content-addressed reuse, then featurize --
-    delta_convs = new_conversations.join(F.broadcast(delta), idc, "left_semi")
+    delta_convs = new_conversations.join(bc(delta), idc, "left_semi")
     # reuse candidates = old rows whose sha appears in the delta — the
     # broadcast semi-join keeps this a scan of the state, never a
     # corpus-wide shuffle of the wide feature rows (delta shas are small)
     reuse_src = (
         old_features.join(
-            F.broadcast(delta_convs.select("text_sha").distinct()),
+            bc(delta_convs.select("text_sha").distinct()),
             "text_sha",
             "left_semi",
         )
@@ -174,7 +207,7 @@ def refresh_dedupe(
         reuse_src.drop(idc), "text_sha", "inner"
     )
     fresh_convs = delta_convs.join(
-        F.broadcast(reuse_src.select("text_sha")), "text_sha", "left_anti"
+        bc(reuse_src.select("text_sha")), "text_sha", "left_anti"
     )
     fresh_feats = featurize(fresh_convs)
     cols = old_features.columns
@@ -186,14 +219,14 @@ def refresh_dedupe(
     # Only shas of gone docs can need repair — everything is a
     # broadcast semi-join off that small set, never a corpus agg.
     gone_shas = (
-        old_features.join(F.broadcast(gone), idc, "left_semi")
+        old_features.join(bc(gone), idc, "left_semi")
         .select("text_sha")
         .distinct()
     )
-    touched = old_features.join(F.broadcast(gone_shas), "text_sha", "left_semi").select(
+    touched = old_features.join(bc(gone_shas), "text_sha", "left_semi").select(
         idc, "text_sha", (F.size("shingle_hashes") > 0).alias("__content")
     )
-    surv_touched = touched.join(F.broadcast(gone), idc, "left_anti")
+    surv_touched = touched.join(bc(gone), idc, "left_anti")
     o_cent = touched.groupBy("text_sha").agg(
         F.min(idc).alias("__o_star"),
         F.min(F.when(F.col("__content"), F.col(idc))).alias("__o_rep"),
@@ -207,7 +240,7 @@ def refresh_dedupe(
     # members survive — re-star the survivors onto the new minimum
     star_repair = (
         surv_touched.join(
-            F.broadcast(
+            bc(
                 cent.filter(F.col("__o_star") != F.col("__s_star")).select(
                     "text_sha", "__s_star"
                 )
@@ -223,7 +256,7 @@ def refresh_dedupe(
     promoted = cent.filter(
         F.col("__s_rep").isNotNull() & (F.col("__o_rep") != F.col("__s_rep"))
     ).select("text_sha", F.col("__s_rep").alias(idc))
-    promoted_feats = old_features.join(F.broadcast(promoted), [idc, "text_sha"], "left_semi")
+    promoted_feats = old_features.join(bc(promoted), [idc, "text_sha"], "left_semi")
 
     # ---- incoming side: delta reps ∪ promoted reps ----------------
     delta_content = delta_feats.filter(F.size("shingle_hashes") > 0)
@@ -236,9 +269,11 @@ def refresh_dedupe(
 
     # ---- candidates ------------------------------------------------
     within = candidate_pairs(incoming_bands, cfg).select("id_a", "id_b")
-    cross = match_pairs(standing_bands, incoming_bands, cfg).select(
-        *_pair(F.col("canonical_id"), F.col("incoming_id"))
-    )
+    # hot_cap bounds the standing-side fanout of boilerplate bands the
+    # same way candidate_pairs salts the self-join (see match_pairs)
+    cross = match_pairs(
+        standing_bands, incoming_bands, cfg, hot_cap=cfg.hot_band_cap
+    ).select(*_pair(F.col("canonical_id"), F.col("incoming_id")))
     star_delta = exact_star_pairs(delta_feats.select(idc, "text_sha")).select(
         "id_a", "id_b"
     )
@@ -247,7 +282,7 @@ def refresh_dedupe(
     # the survivors' own stars do the rest)
     delta_shas = delta_feats.select("text_sha").distinct()
     surv_sha_min = (
-        surv_feats.join(F.broadcast(delta_shas), "text_sha", "left_semi")
+        surv_feats.join(bc(delta_shas), "text_sha", "left_semi")
         .groupBy("text_sha")
         .agg(F.min(idc).alias("__sid"))
     )
@@ -308,12 +343,19 @@ def refresh_dedupe(
         cand, feats_for_verify, cfg, method=f"refresh_{cfg.verify_mode}"
     )
     kept = old_verified.join(
-        F.broadcast(gone.select(F.col(idc).alias("id_a"))), "id_a", "left_anti"
-    ).join(F.broadcast(gone.select(F.col(idc).alias("id_b"))), "id_b", "left_anti")
+        bc(gone.select(F.col(idc).alias("id_a"))), "id_a", "left_anti"
+    ).join(bc(gone.select(F.col(idc).alias("id_b"))), "id_b", "left_anti")
     common = [c for c in old_verified.columns if c in fresh_verified.columns]
-    fresh_part = fresh_verified.join(
-        kept.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).select(*common)
+    # fresh_part is delta-scale and feeds BOTH verified_new and (on the
+    # incremental-CC path) fresh_dupes — one checkpoint here stops the
+    # cand⋈features⋈features verify join from executing twice
+    fresh_part = (
+        fresh_verified.join(
+            kept.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        )
+        .select(*common)
+        .localCheckpoint()
+    )
     verified_new = kept.select(*common).unionByName(fresh_part)
 
     # State-boundary lineage truncation (the curate stage() recipe —
@@ -332,18 +374,22 @@ def refresh_dedupe(
         features_new = features_new.localCheckpoint()
         bands_new = bands_new.localCheckpoint()
         verified_new = verified_new.localCheckpoint()
-    else:
-        verified_new = verified_new.persist()
+    # checkpoint_state=False: verified_new stays a shallow plan — kept
+    # is two anti-joins over the parquet state and fresh_part is
+    # checkpointed above, so each consumer re-runs only a cheap scan.
+    # (A persist() here leaked one cached corpus-scale pair table per
+    # refresh in chained sessions, with no handle to unpersist it.)
 
     if old_clusters is None:
         comp = connected_components(dupe_pairs(verified_new))
     else:
         # ---- incremental CC over the affected subgraph only --------
-        # fresh edges are delta-scale by construction (they all touch a
-        # delta/promoted doc); everything driven off them broadcasts.
-        fresh_dupes = (
-            dupe_pairs(fresh_part).select("id_a", "id_b").localCheckpoint()
-        )
+        # fresh edges are delta-scale by construction; everything
+        # driven off them is small at steady state. (star_repair edges
+        # connect only SURVIVORS — those endpoints enter the affected
+        # set via the gone star-center's old cluster, which contains
+        # every survivor of its sha group, not via the edge itself.)
+        fresh_dupes = dupe_pairs(fresh_part).select("id_a", "id_b")
         touched_ids = (
             gone.select(idc)
             .unionByName(fresh_dupes.select(F.col("id_a").alias(idc)))
@@ -352,7 +398,7 @@ def refresh_dedupe(
         )
         oc = old_clusters.select(idc, "cluster_id")
         affected = (
-            oc.join(F.broadcast(touched_ids), idc, "left_semi")
+            oc.join(bc(touched_ids), idc, "left_semi")
             .select("cluster_id")
             .distinct()
             .localCheckpoint()
@@ -360,7 +406,7 @@ def refresh_dedupe(
         # members of affected clusters: NOT force-broadcast — one
         # pathological mega-cluster in the delta's blast radius would
         # OOM a hinted broadcast; the optimizer picks per run
-        members = oc.join(F.broadcast(affected), "cluster_id", "left_semi").select(
+        members = oc.join(bc(affected), "cluster_id", "left_semi").select(
             F.col(idc).alias("id_a")
         )
         # an old pair's endpoints share an old cluster => id_a ∈ members
@@ -369,7 +415,7 @@ def refresh_dedupe(
         comp_aff = connected_components(
             kept_affected.select("id_a", "id_b").unionByName(fresh_dupes)
         )
-        unaffected = oc.join(F.broadcast(affected), "cluster_id", "left_anti")
+        unaffected = oc.join(bc(affected), "cluster_id", "left_anti")
         comp = unaffected.select(idc, "cluster_id").unionByName(
             comp_aff.select(idc, "cluster_id")
         )
@@ -393,7 +439,7 @@ def refresh_pipeline(
     store,
     new_transcripts: DataFrame,
     cfg: DedupeConfig,
-    with_simhash_path: bool = True,
+    with_simhash_path: bool | None = None,
 ) -> RefreshResult:
     """Refresh from a run_pipeline (or previous refresh job) StageStore.
 
@@ -402,9 +448,10 @@ def refresh_pipeline(
     lineage — assembles the new snapshot, and featurizes the fresh
     delta with the full pipeline feature pass (``build_features``), so
     the refreshed state is drop-in compatible with the pipeline's.
-    ``cfg`` must match the config the store was written with (the stage
-    fingerprints encode it; a mismatched config would merge pairs
-    verified under different thresholds).
+    ``cfg`` must match the config the store was written with — ENFORCED
+    here against the stage metadata's recorded fingerprint (a mismatch
+    would silently merge pairs verified under different thresholds; it
+    raises instead).
 
     checkpoint_state is OFF on this path: the returned state frames are
     shallow plans over the parquet state (one anti-join / one union),
@@ -413,17 +460,34 @@ def refresh_pipeline(
     corpus-scale materialization for nothing (measured: it put the
     refresh wall ABOVE the from-scratch wall at sf0.1). The in-memory
     chaining default stays True on refresh_dedupe, where plans nest."""
+    from pyspark.errors import AnalysisException
+
     from ..operators.assemble import assemble_conversations
     from ..pipeline import build_features
 
+    # config gate: stage fingerprints are f"{cfg.fingerprint()}[-in{sig}]"
+    # (pipeline.py / run_refresh.py); a store written under a different
+    # config must be a hard error, not a silent threshold mix
+    meta = store.meta("features", spark)
+    if meta and meta.get("fingerprint"):
+        stored = str(meta["fingerprint"]).split("-in")[0]
+        if stored != cfg.fingerprint():
+            raise ValueError(
+                "refresh_pipeline: store was written under a different "
+                f"DedupeConfig (stage fingerprint {stored!r} != "
+                f"{cfg.fingerprint()!r}); refusing to merge pairs "
+                "verified under different thresholds"
+            )
     old_features = store.load(spark, "features")
     old_bands = store.load(spark, "bands")
     old_verified = store.load(spark, "verified")
     try:
         # run_pipeline stores the clusters stage; a chained refresh
-        # store may lack it — fall back to full CC (still correct)
+        # store may lack it — fall back to full CC (still correct).
+        # Only the missing-path error falls back: a corrupt stage table
+        # must surface, not silently degrade to full CC.
         old_clusters = store.load(spark, "clusters")
-    except Exception:
+    except AnalysisException:
         old_clusters = None
     new_convs = assemble_conversations(
         new_transcripts, max_turns=cfg.max_turns_per_conv

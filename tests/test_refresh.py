@@ -308,3 +308,79 @@ def test_incremental_cc_subgraph_excludes_unaffected_pairs(spark, monkeypatch):
     got = dict(_cluster_map(res.clusters))
     assert seen_counts == [0]
     assert got[1] == got[2] == got[3] == 1 and got[4] == got[5] == 4
+
+
+def test_refresh_pipeline_rejects_mismatched_config(spark, tmp_path):
+    """A store written under one config must not be refreshed under
+    another — silent threshold mixing becomes a hard error."""
+    from lieu_spark.checkpoint import StageStore
+    from lieu_spark.operators.refresh import refresh_pipeline
+    from lieu_spark.pipeline import run_pipeline
+    from lieu_spark import corpus
+
+    t1 = corpus.generate_df(spark, 3, 30)
+    store = StageStore(str(tmp_path / "store"))
+    run_pipeline(spark, t1, CFG, store=store, with_spans=False)
+    bad = DedupeConfig(threshold_review=0.42)
+    with pytest.raises(ValueError, match="different DedupeConfig"):
+        refresh_pipeline(spark, store, t1, bad)
+
+
+def test_match_pairs_hot_cap_bounds_fanout(spark):
+    """A hot canonical band group pairs each incoming row with ~cap
+    members (sub-bucket rule), and capped output is a subset of the
+    uncapped join; cold groups are untouched."""
+    from lieu_spark.operators.lsh import match_pairs
+
+    hot = [(f"h{i}", 0, 99) for i in range(400)]       # one hot group
+    cold = [(f"c{i}", 1, 7) for i in range(5)]         # one cold group
+    canon = spark.createDataFrame(hot + cold, "id string, band int, band_hash long")
+    inc = spark.createDataFrame(
+        [(f"i{k}", b, h) for k in range(3) for b, h in [(0, 99), (1, 7)]],
+        "id string, band int, band_hash long",
+    )
+    full = match_pairs(canon, inc, CFG)
+    capped = match_pairs(canon, inc, CFG, hot_cap=50)
+    fset = {(r.canonical_id, r.incoming_id) for r in full.collect()}
+    cset = {(r.canonical_id, r.incoming_id) for r in capped.collect()}
+    assert cset <= fset
+    # cold group: all 5x3 pairs survive the cap
+    assert {(c, i) for (c, i) in cset if c.startswith("c")} == {
+        (f"c{j}", f"i{k}") for j in range(5) for k in range(3)
+    }
+    # hot group: per-incoming fanout is ~cap (one sub-bucket of 8),
+    # never the full 400
+    per_inc = {}
+    for c, i in cset:
+        if c.startswith("h"):
+            per_inc[i] = per_inc.get(i, 0) + 1
+    assert per_inc and all(n < 120 for n in per_inc.values()), per_inc
+
+
+def test_refresh_simhash_autodetect(spark):
+    """with_simhash_path=None enables the simhash family iff the old
+    feature state carries a simhash column (the test featurize does
+    not -> auto-off must reproduce the explicit-False result)."""
+    old = _convs(spark, SNAP1)
+    feats, bands, verified, _ = _scratch(old)
+    assert "simhash" not in feats.columns
+    auto = refresh_dedupe(
+        _convs(spark, SNAP2), feats, bands, verified, CFG, _featurize
+    )
+    explicit = refresh_dedupe(
+        _convs(spark, SNAP2), feats, bands, verified, CFG, _featurize,
+        with_simhash_path=False,
+    )
+    assert _cluster_map(auto.clusters) == _cluster_map(explicit.clusters)
+
+
+def test_refresh_correct_with_broadcast_hints_off(spark, monkeypatch):
+    """Mass-removal regime: when the CDC count exceeds the cap the
+    broadcast hints switch off — the plan degrades to shuffle joins but
+    the refreshed clusters must still match scratch exactly."""
+    import lieu_spark.operators.refresh as R
+
+    monkeypatch.setattr(R, "REFRESH_BROADCAST_CAP", 0)
+    res = _refresh(spark, SNAP1, SNAP2)
+    _, _, _, want = _scratch(_convs(spark, SNAP2))
+    assert _cluster_map(res.clusters) == _cluster_map(want)
