@@ -121,10 +121,14 @@ def main() -> None:
 
     kept_count = None
     if args.eval_input:
+        # same corrupt-payload policy as the train side: one bad eval
+        # payload must not kill the decon stage after hashes/pairs/
+        # clusters/reps were already paid for
         ev = perceptual_hash_table(
             spark.read.parquet(args.eval_input).repartition(
                 max(spark.sparkContext.defaultParallelism, 8)
-            )
+            ),
+            on_error=args.on_error,
         )
         kept = image_decon_keep(
             reps, ev, hamming_max=args.hamming_max, chunks=args.chunks

@@ -161,10 +161,20 @@ def perceptual_hash_table(
         for pdf in batches:
             fmt, w, h, ah, dh = [], [], [], [], []
             for payload in pdf[payload_col]:
+                # quarantine catches EVERYTHING the payload can throw —
+                # struct.error (truncated chunk), zlib.error (IDAT not
+                # a zlib stream), TypeError (NULL payload), IndexError
+                # (0x0 image reaching the resize) are all real corrupt-
+                # payload shapes, none a ValueError subclass; the
+                # contract is "a bad payload yields an error row",
+                # not "a bad payload of the anticipated kind". Hashing
+                # sits INSIDE the try for the same reason: a decodable
+                # but degenerate image must quarantine too.
                 try:
                     f, img = _decode_pixels(bytes(payload))
                     gray = _luma(img, f)
-                except (ValueError, NotImplementedError):
+                    a_val, d_val = ahash64(gray), dhash64(gray)
+                except Exception:
                     if not quarantine:
                         raise
                     fmt.append("error")
@@ -176,8 +186,8 @@ def perceptual_hash_table(
                 fmt.append(f)
                 h.append(int(gray.shape[0]))
                 w.append(int(gray.shape[1]))
-                ah.append(ahash64(gray))
-                dh.append(dhash64(gray))
+                ah.append(a_val)
+                dh.append(d_val)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -331,6 +341,7 @@ def image_decon_keep(
     eval_hashes: DataFrame,
     hamming_max: int = 6,
     chunks: int = 8,
+    hot_chunk_cap: int | None = None,
 ) -> DataFrame:
     """Visual decontamination: drop every training image whose aHash is
     within ``hamming_max`` of ANY eval-set image — the media analog of
@@ -341,9 +352,20 @@ def image_decon_keep(
     confirmed JVM-side, then a left-anti join keeps the clean rows.
     The eval side is small by construction but NOT force-broadcast —
     the optimizer chooses (a forced hint on a data-dependent set is the
-    OOM trap the boilerplate anti-join already closed)."""
+    OOM trap the boilerplate anti-join already closed).
+
+    ``hot_chunk_cap`` is the skew guard for pathological perceptual
+    buckets present on BOTH sides (millions of near-black training
+    frames colliding with a near-black eval image on every chunk):
+    train-side chunk groups above the cap are sub-bucketed with the
+    same xxhash64 rule as image_neardup_pairs (lsh.capped_group_join).
+    Under the cap a contaminated image whose ONLY colliding chunk was
+    split can evade decon (recovered by the other chunks-1 slices when
+    any other chunk also collides) — default None keeps decon exact."""
     from ..config import DedupeConfig
+    from ..operators.lsh import capped_group_join
     from ..operators.simhash_path import simhash_chunk_table
+    from .simhash import hamming64
 
     if hamming_max >= chunks:
         raise ValueError(
@@ -361,11 +383,13 @@ def image_decon_keep(
         )
 
     cand = (
-        chunked(train_hashes)
-        .withColumnRenamed("id", "doc_id")
-        .join(
+        capped_group_join(
+            chunked(train_hashes).withColumnRenamed("id", "doc_id"),
             chunked(eval_hashes).withColumnRenamed("id", "eval_id"),
             ["chunk", "chunk_bits"],
+            hot_chunk_cap,
+            "doc_id",
+            "eval_id",
         )
         .select("doc_id", "eval_id")
         .dropDuplicates(["doc_id", "eval_id"])
@@ -377,11 +401,7 @@ def image_decon_keep(
     contaminated = (
         cand.join(ta, "doc_id")
         .join(ea, "eval_id")
-        .filter(
-            F.bit_count(
-                F.col("ahash_t").bitwiseXOR(F.col("ahash_e"))
-            ) <= hamming_max
-        )
+        .filter(hamming64(F.col("ahash_t"), F.col("ahash_e")) <= hamming_max)
         .select("doc_id")
         .distinct()
     )

@@ -136,6 +136,46 @@ def _salted(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     return salted_groups(bands, ["band", "band_hash"], cfg.hot_band_cap)
 
 
+def capped_group_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Equi-join with per-right-row fanout bounded on hot LEFT groups —
+    the cross-dataset analog of salted_groups' self-join salting, shared
+    by the refresh band cross join and the image-decon chunk join.
+
+    Groups of size <= cap join fully; a hot group is split into
+    ceil(size/cap) sub-buckets and a pair survives only when both ids
+    hash to the same sub-bucket (xxhash64, the same rule salted_groups
+    applies within one dataset), so each right row pairs with ~cap left
+    rows. Dropped cross-sub pairs are recovered by the family's other
+    blocking keys exactly as in the self-join path. Group sizes come
+    from a narrow aggregate over the key columns (map-side combined —
+    measured free at sf0.1), never a shuffle of the wide table."""
+    joined = left.join(right, keys)
+    if cap is None:
+        return joined
+    sizes = left.groupBy(*keys).agg(F.count("*").alias("__gsize"))
+    nsplit = F.greatest(F.lit(1), F.ceil(F.col("__gsize") / F.lit(cap))).cast(
+        "long"
+    )
+    return (
+        joined.join(sizes, keys)
+        .filter(
+            (F.col("__gsize") <= cap)
+            | (
+                F.pmod(F.xxhash64(F.col(left_id)), nsplit)
+                == F.pmod(F.xxhash64(F.col(right_id)), nsplit)
+            )
+        )
+        .drop("__gsize")
+    )
+
+
 def band_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """Per-band-group metrics: size + hot flag (lineage/metrics table)."""
     return (
@@ -191,31 +231,16 @@ def match_pairs(
     scan, no exchange), the right plan when |incoming| << |canonical|.
 
     ``hot_cap``: bound the per-incoming-row fanout on hot canonical
-    band groups, mirroring candidate_pairs' salting. A boilerplate band
+    band groups, mirroring candidate_pairs' salting — a boilerplate band
     with millions of standing members would otherwise emit
-    |group| x |incoming-in-group| pairs; with the cap each incoming row
-    pairs with ~cap members of a hot group — the same xxhash64 sub-
-    bucket rule salted_groups applies within one dataset, so dropped
-    cross-sub pairs are recovered by the b-1 other bands exactly as in
-    the self-join path. Group sizes come from a narrow (band, band_hash)
-    aggregate (map-side combined), never a shuffle of the wide table."""
+    |group| x |incoming-in-group| pairs. See capped_group_join."""
     c = canonical_bands.select("band", "band_hash", F.col("id").alias("canonical_id"))
     i = incoming_bands.select("band", "band_hash", F.col("id").alias("incoming_id"))
     if broadcast_incoming:
         i = F.broadcast(i)
-    joined = c.join(i, ["band", "band_hash"])
-    if hot_cap is not None:
-        sizes = c.groupBy("band", "band_hash").agg(F.count("*").alias("__bsize"))
-        nsplit = F.greatest(
-            F.lit(1), F.ceil(F.col("__bsize") / F.lit(hot_cap))
-        ).cast("long")
-        joined = joined.join(sizes, ["band", "band_hash"]).filter(
-            (F.col("__bsize") <= hot_cap)
-            | (
-                F.pmod(F.xxhash64(F.col("canonical_id")), nsplit)
-                == F.pmod(F.xxhash64(F.col("incoming_id")), nsplit)
-            )
-        )
+    joined = capped_group_join(
+        c, i, ["band", "band_hash"], hot_cap, "canonical_id", "incoming_id"
+    )
     return (
         joined.select("canonical_id", "incoming_id")
         .dropDuplicates(["canonical_id", "incoming_id"])

@@ -12,10 +12,13 @@ Scale shape: the join shuffles on the fingerprint key, so a HOT
 fingerprint (an intro card shared by a million clips, digital silence)
 would go quadratic in its bucket exactly like a hot band. The
 ``max_fp_df`` stop-fingerprint cap is the guard — fingerprints whose
-document frequency exceeds the cap are excluded from candidate
-generation (the stop-shingle move from operators/spans.py), with set
-sizes still computed over the FULL sets so reported Jaccards stay
-unbiased for the surviving pairs; recall for pairs whose ONLY overlap
+document frequency exceeds the cap are excluded ENTIRELY (the
+stop-shingle move from operators/spans.py): both the shared count and
+the set sizes are computed over the surviving non-stop universe, so
+the reported Jaccard is the exact Jaccard of the reduced sets.
+(Counting stop fps in the sizes but not the intersection — the
+previous shape — biased every hot-fp-sharing pair DOWN and silently
+dropped near-threshold true dups.) Recall for pairs whose ONLY overlap
 was stop-fingerprints is explicitly traded away, as at corpus scale it
 must be.
 
@@ -42,27 +45,30 @@ def fingerprint_jaccard_pairs(
     jaccard6 = round(1e6 * |A ∩ B| / |A ∪ B|) over the DISTINCT
     fingerprint sets, integer-exact cross-engine. With ``max_fp_df``
     set, fingerprints appearing in more than that many ids are dropped
-    from the join side only (the window count reuses the self-join's
-    hash exchange — same move as the winnow stop-filter)."""
+    BEFORE the set sizes are computed, so jaccard6 is the exact Jaccard
+    of the stop-filtered sets (sizes computed over full sets while the
+    intersection excluded stop fps would bias hot-fp pairs down)."""
     # Set sizes ride WITH the rows (window count per id on the one
     # distinct frame) instead of a separate groupBy + two post-agg
     # joins: naively that shape re-derived the distinct 4x with zero
     # ReusedExchange (differently-pruned consumers never unify — the
     # repo-wide Catalyst lesson), i.e. 4 input scans at corpus scale.
     # Here each self-join side is the SAME projected plan, which DOES
-    # get exchange reuse, and the stop-filter's fp-window exchange is
-    # exactly the join's required partitioning (the winnow move).
-    base = (
-        fps.select(F.col(id_col).cast("long").alias("id"), F.col(fp_col).alias("fp"))
-        .distinct()
-        .withColumn("nfp", F.count("*").over(Window.partitionBy("id")))
-    )
+    # get exchange reuse. Null fps can never equi-join, so they are
+    # excluded from the sets up front (a null would otherwise inflate
+    # nfp and deflate every jaccard the id appears in).
+    base = fps.select(
+        F.col(id_col).cast("long").alias("id"), F.col(fp_col).alias("fp")
+    ).filter(F.col("fp").isNotNull()).distinct()
     if max_fp_df is not None:
-        # full-set sizes are already attached, so dropping hot
-        # fingerprints here only prunes CANDIDATE generation
+        # stop-filter FIRST so nfp counts the surviving universe; this
+        # orders the fp-window before the id-window (one extra exchange
+        # vs the uncapped branch — the price of unbiased reduced-set
+        # Jaccards)
         base = base.withColumn(
             "fp_df", F.count("*").over(Window.partitionBy("fp"))
         ).filter(F.col("fp_df") <= max_fp_df).drop("fp_df")
+    base = base.withColumn("nfp", F.count("*").over(Window.partitionBy("id")))
     a = base.select(F.col("id").alias("id_a"), "fp", F.col("nfp").alias("na"))
     b = base.select(F.col("id").alias("id_b"), "fp", F.col("nfp").alias("nb"))
     # fp_xor makes the fingerprint VALUES part of the verified output

@@ -212,3 +212,88 @@ def test_on_error_rejects_unknown_policy(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
     with pytest.raises(ValueError, match="on_error"):
         perceptual_hash_table(df, on_error="ignore")
+
+
+def test_quarantine_catches_every_corrupt_payload_shape(spark):
+    """struct.error (truncated IHDR), zlib.error (IDAT not a zlib
+    stream), TypeError (NULL payload), IndexError (0x0 image reaching
+    the resize) — every shape quarantines; none is a ValueError
+    subclass, so the old narrow except died on each."""
+    import struct
+    import zlib
+
+    from lieu_spark.functions.imagehash import perceptual_hash_table
+
+    def png_chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    short_ihdr = sig + png_chunk(b"IHDR", b"\x00" * 5)  # 5 < 13 bytes
+    bad_idat = (
+        sig
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + png_chunk(b"IDAT", b"notzlib")
+        + png_chunk(b"IEND", b"")
+    )
+    zero_dims = (
+        sig
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+        + png_chunk(b"IDAT", zlib.compress(b""))
+        + png_chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, bytearray(short_ihdr)),
+        (2, bytearray(bad_idat)),
+        (3, bytearray(zero_dims)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in
+           perceptual_hash_table(df, on_error="quarantine").collect()}
+    assert len(out) == 4
+    assert all(out[i].format == "error" and out[i].ahash is None
+               for i in (1, 2, 3, 4)), {i: out[i].format for i in out}
+    # default mode still fails loudly on each
+    import pytest as _pytest
+    for i in range(4):
+        with _pytest.raises(Exception):
+            perceptual_hash_table(
+                spark.createDataFrame([rows[i]], "doc_id long, payload binary")
+            ).collect()
+
+
+def test_decon_hot_chunk_cap_subset_and_clean_rows(spark):
+    """Capped decon candidates are a subset of exact decon's; rows the
+    exact path keeps are always kept under the cap (the cap can only
+    MISS contamination, never invent it)."""
+    from lieu_spark.functions.imagehash import (
+        image_decon_keep,
+        perceptual_hash_table,
+        synthetic_photo_payloads,
+    )
+
+    train = perceptual_hash_table(
+        synthetic_photo_payloads(
+            spark.range(0, 64).select(F.col("id").alias("doc_id"))
+        )
+    )
+    ev = perceptual_hash_table(
+        synthetic_photo_payloads(
+            spark.range(0, 8).select((F.col("id") * 16).alias("doc_id"))
+        )
+    )
+    exact = {r.doc_id for r in image_decon_keep(train, ev).collect()}
+    capped = {
+        r.doc_id
+        for r in image_decon_keep(train, ev, hot_chunk_cap=2).collect()
+    }
+    assert exact <= capped  # capped may keep MORE (missed contamination)
+    # and the exact-clean rows are identical when the cap is loose
+    loose = {
+        r.doc_id
+        for r in image_decon_keep(train, ev, hot_chunk_cap=100000).collect()
+    }
+    assert loose == exact

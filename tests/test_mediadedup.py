@@ -58,9 +58,11 @@ def test_duplicate_fp_rows_collapse(spark):
 
 
 def test_stop_fingerprint_cap(spark):
-    # fp 99 appears in 3 ids (> cap 2): excluded from candidates, but
-    # sizes stay full-set so the reported jaccard for survivors is
-    # unbiased; the pair whose ONLY overlap was fp 99 disappears.
+    # fp 99 appears in 3 ids (> cap 2): excluded ENTIRELY — sizes and
+    # intersection both computed over the surviving universe, so the
+    # reported jaccard is the exact jaccard of the reduced sets (full-
+    # set sizes with a reduced intersection biased hot-fp pairs down);
+    # the pair whose ONLY overlap was fp 99 disappears.
     rows = [(1, 99), (1, 5), (2, 99), (2, 5), (3, 99), (3, 6)]
     got = {
         (r.id_a, r.id_b): (r.shared_fp, r.jaccard6)
@@ -68,9 +70,40 @@ def test_stop_fingerprint_cap(spark):
             _mkfps(spark, rows), min_jaccard6=1, max_fp_df=2
         ).collect()
     }
-    # (1,2) survive via fp 5: shared counts only joinable fps -> 1 of
-    # union 3 -> 333333; (1,3)/(2,3) shared only the hot fp -> gone
-    assert got == {(1, 2): (1, 333333)}
+    # reduced sets: 1->{5}, 2->{5}, 3->{6} -> (1,2) is an exact match
+    assert got == {(1, 2): (1, 1000000)}
+
+
+def test_stop_cap_does_not_bias_mixed_pairs(spark):
+    # a pair sharing hot AND cold fps: under the old full-size /
+    # reduced-intersection mix its jaccard was deflated below a
+    # threshold the true reduced-set jaccard clears
+    rows = (
+        [(1, 99), (2, 99), (3, 99)]        # hot fp (df 3 > cap 2)
+        + [(1, 5), (2, 5), (1, 6), (2, 7)]  # cold fps
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard6
+        for r in fingerprint_jaccard_pairs(
+            _mkfps(spark, rows), min_jaccard6=300000, max_fp_df=2
+        ).collect()
+    }
+    # reduced: 1->{5,6}, 2->{5,7} -> jaccard 1/3 = 333333 (the old mix
+    # reported 1/(3+3-1)=200000 and dropped the pair)
+    assert got == {(1, 2): 333333}
+
+
+def test_null_fps_excluded_from_set_sizes(spark):
+    rows = [(1, 5), (2, 5)]
+    df = _mkfps(spark, rows).unionByName(
+        spark.createDataFrame([(1, None)], "doc_id long, fp long")
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard6
+        for r in fingerprint_jaccard_pairs(df, min_jaccard6=1).collect()
+    }
+    # the null fp must not inflate id 1's set size: {5} vs {5} -> 1e6
+    assert got == {(1, 2): 1000000}
 
 
 def test_video_clip_overlap_structure(spark):
