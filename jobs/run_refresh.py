@@ -64,17 +64,15 @@ def main() -> None:
         threshold_likely=args.threshold,
         threshold_review=args.review_threshold,
         verify_mode=args.verify_mode,
+        # family toggle is a cfg field so the fingerprint gate catches
+        # a --no-simhash refresh of a with-simhash store (and vice
+        # versa) instead of silently mixing candidate families
+        with_simhash_path=not args.no_simhash,
     )
     t0 = time.time()
     store = StageStore(args.state_dir)
     new_transcripts = spark.read.parquet(args.input)
-    res = refresh_pipeline(
-        spark,
-        store,
-        new_transcripts,
-        cfg,
-        with_simhash_path=not args.no_simhash,
-    )
+    res = refresh_pipeline(spark, store, new_transcripts, cfg)
 
     out = args.output.rstrip("/")
     res.clusters.write.mode("overwrite").parquet(f"{out}/clusters")

@@ -75,19 +75,14 @@ class StageStore:
     def has(
         self, stage: str, fingerprint: str, spark: SparkSession | None = None
     ) -> bool:
-        spark = self._spark(spark)
-        try:
-            if not path_exists(spark, self._meta_path(stage)):
-                return False
-            meta = json.loads(fs_read_text(spark, self._meta_path(stage)))
-            return meta.get("fingerprint") == fingerprint and meta.get("complete")
-        except (OSError, ValueError, Py4JJavaError):
-            # Py4JJavaError: the Hadoop-FS read path surfaces transient
-            # store errors (or a marker deleted between the exists check
-            # and the read) as Java exceptions — any unreadable marker
-            # means "recompute", the same contract the old local-open()
-            # code had via OSError
-            return False
+        # one marker-read path (meta): an unreadable marker means
+        # "recompute" here, exactly the non-strict meta() contract
+        meta = self.meta(stage, spark)
+        return bool(
+            meta
+            and meta.get("fingerprint") == fingerprint
+            and meta.get("complete")
+        )
 
     def save(self, spark: SparkSession, stage: str, df: DataFrame, fingerprint: str) -> DataFrame:
         path = self._dir(stage)
@@ -115,16 +110,36 @@ class StageStore:
             return spark.read.format("iceberg").load(f"{self.root}.{stage}")
         return spark.read.parquet(self._dir(stage))
 
-    def meta(self, stage: str, spark: SparkSession | None = None) -> dict | None:
+    def meta(
+        self,
+        stage: str,
+        spark: SparkSession | None = None,
+        strict: bool = False,
+    ) -> dict | None:
         """The stage's marker metadata (fingerprint/complete/created), or
-        None when absent/unreadable — lets callers validate that a store
-        was written under the config they are about to extend it with."""
+        None when the marker is absent — lets callers validate that a
+        store was written under the config they are about to extend it
+        with. ``strict=False`` (the resume path) also maps an UNREADABLE
+        marker to None — any doubt means "recompute", which is safe.
+        ``strict=True`` (validation gates, e.g. refresh_pipeline's
+        config check) re-raises read/parse errors instead: for a gate,
+        treating a transient store error or a marker lost in a partial
+        copy as "no metadata, proceed" would silently skip the check the
+        caller exists to enforce."""
         spark = self._spark(spark)
         try:
             if not path_exists(spark, self._meta_path(stage)):
                 return None
             return json.loads(fs_read_text(spark, self._meta_path(stage)))
-        except (OSError, ValueError, Py4JJavaError):
+        except (OSError, ValueError, Py4JJavaError) as e:
+            if strict:
+                # uniform gate-error type; the cause chain keeps the
+                # underlying store error (e.g. the local-FS CRC
+                # mismatch a hand-edited marker trips) visible
+                raise ValueError(
+                    f"unreadable stage marker for {stage!r} at "
+                    f"{self._meta_path(stage)!r}: {e}"
+                ) from e
             return None
 
     def invalidate(self, stage: str, spark: SparkSession | None = None) -> None:

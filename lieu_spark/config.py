@@ -53,6 +53,19 @@ class DedupeConfig:
     threshold_likely: float = 0.9
     threshold_review: float = 0.7
     # --- SimHash near-exact path ---
+    # whether the SimHash candidate FAMILY runs (pipeline candidates +
+    # refresh cross path). Lives in the config — not a run_pipeline
+    # argument — so the checkpoint/refresh fingerprint captures it: a
+    # store built without the family can never be silently refreshed
+    # WITH it (or vice versa), which would break refresh-vs-scratch
+    # parity. The simhash COLUMN is always computed (it rides the same
+    # Arrow pass as MinHash, marginal cost ~0), so column presence says
+    # nothing about whether the family was enabled.
+    # NOTE: adding this field also bumped every config fingerprint once,
+    # intentionally covering the assembly null-text→'' behavior change
+    # (operators/assemble.py) — pre-change stage checkpoints hold stale
+    # text_shas for null-text corpora and must recompute.
+    with_simhash_path: bool = True
     simhash_bits: int = 64
     simhash_hamming_max: int = 3
     simhash_chunks: int = 4     # pigeonhole blocks for hamming<=3

@@ -120,13 +120,14 @@ def refresh_dedupe(
     rows; its output must cover ``old_features``' columns (it is only
     ever called on content the old snapshot has never seen).
 
-    ``with_simhash_path`` defaults to AUTO (None): enabled iff the old
-    feature state carries a ``simhash`` column — state built by
-    run_pipeline's default config silently LOST the simhash candidate
-    family for delta docs when this defaulted to False, a parity breach
-    a near-exact delta doc that misses every LSH band would expose.
-    Pass an explicit bool to override (False requires no simhash
-    columns from ``featurize``).
+    ``with_simhash_path`` defaults to AUTO (None):
+    ``cfg.with_simhash_path AND "simhash" in old_features.columns`` —
+    cfg carries the INTENT (it is in the checkpoint fingerprint, so a
+    refresh_pipeline store provably matches), the column check is the
+    CAPABILITY guard (hand-built state without the column physically
+    cannot run the family — the test featurizers are such state).
+    Pass an explicit bool to override; callers doing so own the
+    refresh-vs-scratch parity argument themselves.
 
     ``old_clusters`` (optional, (conv_id, cluster_id) over the OLD
     corpus incl. singletons — run_pipeline's clusters stage table):
@@ -143,7 +144,9 @@ def refresh_dedupe(
     if "text_sha" not in new_conversations.columns:
         raise ValueError("new_conversations must carry text_sha")
     if with_simhash_path is None:
-        with_simhash_path = "simhash" in old_features.columns
+        with_simhash_path = (
+            cfg.with_simhash_path and "simhash" in old_features.columns
+        )
 
     # ---- CDC on (id, content hash) --------------------------------
     new_keys = new_conversations.select(idc, "text_sha")
@@ -439,7 +442,6 @@ def refresh_pipeline(
     store,
     new_transcripts: DataFrame,
     cfg: DedupeConfig,
-    with_simhash_path: bool | None = None,
 ) -> RefreshResult:
     """Refresh from a run_pipeline (or previous refresh job) StageStore.
 
@@ -451,7 +453,10 @@ def refresh_pipeline(
     ``cfg`` must match the config the store was written with — ENFORCED
     here against the stage metadata's recorded fingerprint (a mismatch
     would silently merge pairs verified under different thresholds; it
-    raises instead).
+    raises instead). That same gate is why there is no
+    ``with_simhash_path`` argument here: the flag is a DedupeConfig
+    field (fingerprint-captured), so the matched cfg already says
+    exactly which candidate families the store was built with.
 
     checkpoint_state is OFF on this path: the returned state frames are
     shallow plans over the parquet state (one anti-join / one union),
@@ -467,8 +472,11 @@ def refresh_pipeline(
 
     # config gate: stage fingerprints are f"{cfg.fingerprint()}[-in{sig}]"
     # (pipeline.py / run_refresh.py); a store written under a different
-    # config must be a hard error, not a silent threshold mix
-    meta = store.meta("features", spark)
+    # config must be a hard error, not a silent threshold mix. strict=
+    # True: an UNREADABLE marker raises here instead of degrading to
+    # "no metadata, proceed" — a gate that silently skips itself on a
+    # transient store error is no gate.
+    meta = store.meta("features", spark, strict=True)
     if meta and meta.get("fingerprint"):
         stored = str(meta["fingerprint"]).split("-in")[0]
         if stored != cfg.fingerprint():
@@ -499,7 +507,6 @@ def refresh_pipeline(
         old_verified,
         cfg,
         lambda convs: build_features(convs, cfg),
-        with_simhash_path=with_simhash_path,
         checkpoint_state=False,
         old_clusters=old_clusters,
     )

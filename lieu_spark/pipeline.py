@@ -142,7 +142,6 @@ def run_pipeline(
     metrics_dir: str | None = None,
     run_id: str | None = None,
     with_spans: bool = True,
-    with_simhash_path: bool = True,
     eager: bool = False,
 ) -> PipelineResult:
     """``eager=True`` materializes (persist + count) every stage as it is
@@ -234,7 +233,9 @@ def run_pipeline(
         lsh_cand = candidate_pairs(bands, cfg).withColumn("source", F.lit("minhash_lsh"))
         exact_cand = exact_star_pairs(feat_slim).withColumn("source", F.lit("exact_sha"))
         merged = lsh_cand.unionByName(exact_cand)
-        if with_simhash_path:
+        # family toggle lives on cfg (not an argument) so the stage
+        # fingerprint captures it — see DedupeConfig.with_simhash_path
+        if cfg.with_simhash_path:
             sim_cand = simhash_candidate_pairs(feat_reps, cfg).select(
                 "id_a", "id_b"
             ).withColumn("source", F.lit("simhash"))

@@ -100,3 +100,26 @@ def test_marker_commit_is_atomic_overwrite(spark, tmp_path):
     fs_rename_overwrite(spark, tmp, dst)
     assert fs_read_text(spark, dst) == "new"
     assert not (tmp_path / "m._meta.json.tmp").exists()
+
+
+def test_corrupt_marker_recomputes_but_strict_gate_raises(spark, tmp_path):
+    """An unreadable stage marker means 'recompute' on the resume path
+    (has() False / meta() None) but must RAISE through the strict gate
+    (meta(strict=True)) — refresh_pipeline's config check would
+    otherwise silently skip itself on a transient store error."""
+    from lieu_spark.operators.refresh import refresh_pipeline
+
+    t1 = corpus.generate_df(spark, 7, 30)
+    store = StageStore(str(tmp_path / "stages"))
+    run_pipeline(spark, t1, CFG, store=store, with_spans=False)
+    fp = CFG.fingerprint()
+    marker = tmp_path / "stages" / "features._meta.json"
+    assert marker.exists()
+    marker.write_text("{not json")
+
+    assert store.has("features", fp, spark) is False
+    assert store.meta("features", spark) is None
+    with pytest.raises(ValueError):
+        store.meta("features", spark, strict=True)
+    with pytest.raises(ValueError):
+        refresh_pipeline(spark, store, t1, CFG)

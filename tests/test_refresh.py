@@ -324,6 +324,12 @@ def test_refresh_pipeline_rejects_mismatched_config(spark, tmp_path):
     bad = DedupeConfig(threshold_review=0.42)
     with pytest.raises(ValueError, match="different DedupeConfig"):
         refresh_pipeline(spark, store, t1, bad)
+    # the candidate-family toggle is a config field for exactly this
+    # gate: a --no-simhash refresh of a with-simhash store is a
+    # fingerprint mismatch, not a silent family mix
+    off = DedupeConfig(with_simhash_path=False)
+    with pytest.raises(ValueError, match="different DedupeConfig"):
+        refresh_pipeline(spark, store, t1, off)
 
 
 def test_match_pairs_hot_cap_bounds_fanout(spark):
@@ -358,9 +364,11 @@ def test_match_pairs_hot_cap_bounds_fanout(spark):
 
 
 def test_refresh_simhash_autodetect(spark):
-    """with_simhash_path=None enables the simhash family iff the old
-    feature state carries a simhash column (the test featurize does
-    not -> auto-off must reproduce the explicit-False result)."""
+    """with_simhash_path=None is cfg.with_simhash_path gated on the
+    old state actually carrying a simhash column (the capability
+    guard): CFG has the family ON, but the test featurize emits no
+    simhash column -> auto-off must reproduce the explicit-False
+    result."""
     old = _convs(spark, SNAP1)
     feats, bands, verified, _ = _scratch(old)
     assert "simhash" not in feats.columns
