@@ -515,9 +515,15 @@ def unimax_allocation(
         raise ValueError(f"epochs_cap must be positive, got {epochs_cap}")
     from pyspark.sql import Window
 
+    # weights must be non-negative (same precondition token_budget_select
+    # documents — a negative weight breaks the cap sort's monotone
+    # boundary argument). All-NULL-weight groups coalesce to n_tokens=0
+    # rather than corrupting the nulls-first cap sort.
     counts = df.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.col(weight_col).cast("long")).alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.col(weight_col).cast("long")), F.lit(0).cast("long")
+        ).alias("n_tokens"),
     )
     capd = counts.withColumn(
         "__cap", (F.lit(int(epochs_cap)) * F.col("n_tokens")).cast("long")
@@ -555,12 +561,18 @@ def unimax_allocation(
     alloc = F.when(F.col("__capped"), F.col("__cap").cast("double")).otherwise(
         (b - F.col("__kcum")).cast("double") / F.col("__nun")
     )
+    # n_tokens == 0 (all-zero/all-null weights): cap = 0, the group is
+    # capped at alloc 0.0, and the unguarded ratio is 0.0/0 = NaN whose
+    # long cast THROWS under ANSI — emit epochs6 = 0 instead of killing
+    # the job on a degenerate group. (Double division itself never
+    # throws, so the guarded branch is safe even if CSE hoists it.)
+    epochs6 = F.when(
+        F.col("n_tokens") > 0,
+        F.round(alloc / F.col("n_tokens") * F.lit(1e6)),
+    ).otherwise(F.lit(0.0))
     return (
         scal.withColumn("alloc_tokens", F.round(alloc).cast("long"))
-        .withColumn(
-            "epochs6",
-            F.round(alloc / F.col("n_tokens") * F.lit(1e6)).cast("long"),
-        )
+        .withColumn("epochs6", epochs6.cast("long"))
         .select(group_col, "n_docs", "n_tokens", "alloc_tokens", "epochs6")
         .orderBy(group_col)
     )

@@ -33,6 +33,16 @@ def kmv_hash(col: Column) -> Column:
     return h.cast("long") + F.lit(1)
 
 
+def _require_k(k: int) -> None:
+    """k >= 2 across the KMV/theta family. k=1 is silently degenerate:
+    kmv_distinct's exact branch (n_exact < k) never fires so every
+    group estimates (k-1)*M div h = 0, and a k=1 theta sketch retains
+    NO hashes ({h < theta=h_1} is empty) so the group vanishes from
+    theta_pair_ops with no error."""
+    if k < 2:
+        raise ValueError(f"sketch k must be >= 2, got {k}")
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -56,6 +66,7 @@ def kmv_distinct(
     emits (partial sketches from shards union + re-rank in O(shards * k)),
     not the first build.
     """
+    _require_k(k)
     gcols = list(group_cols)
     # NULL values hash to NULL, which Spark windows rank FIRST (asc
     # nulls-first) while SQL engines default NULLS LAST — drop them
@@ -95,6 +106,7 @@ def kmv_synopses(
     This is what a 100 TB deployment materializes per shard/day: O(k)
     rows per group regardless of group size, rolled up later with
     kmv_merge without touching the raw stream again."""
+    _require_k(k)
     gcols = list(group_cols)
     hashes = (
         df.filter(F.col(value_col).isNotNull())
@@ -128,6 +140,7 @@ def kmv_merge(
     k must be <= the k the child synopses were built with: merging at a
     LARGER k reads union ranks the truncated children never retained,
     biasing the estimate low while still claiming losslessness."""
+    _require_k(k)
     gcols = list(group_cols)
     u = synopses.select(*gcols, "hv").distinct()
     w = Window.partitionBy(*gcols).orderBy("hv")
@@ -192,15 +205,22 @@ def cms_lookup(
     """Point-estimate each key against a CMS grid: min over the depth
     counters the key hashes to. The grid is broadcast (≤ depth * width
     rows by construction), so lookup is a map-side join — no shuffle of
-    the keys side."""
+    the keys side. LEFT join + coalesce-to-0: the grid is sparse
+    (cms_table's groupBy never materializes untouched counters), so a
+    probe key absent from the build set must read its empty buckets as
+    0 — an inner join would silently drop the key (all its buckets
+    empty) or inflate the min (only some empty), breaking
+    membership-style probes of non-build keys."""
     probes = keys.withColumn(
         "cms_row", F.explode(F.array(*[F.lit(i) for i in range(depth)]))
     ).withColumn("cms_bucket", cms_bucket(F.col(key_col), F.col("cms_row"), width))
     others = [c for c in keys.columns]
     return (
-        probes.join(F.broadcast(cms), ["cms_row", "cms_bucket"])
+        probes.join(F.broadcast(cms), ["cms_row", "cms_bucket"], "left")
         .groupBy(*others)
-        .agg(F.min("cms_count").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce("cms_count", F.lit(0).cast("long"))).alias("cms_est")
+        )
     )
 
 
@@ -217,6 +237,7 @@ def theta_sketches(
     row per retained hash: (group, hv, theta, n_exact). Set-operation
     estimates between groups then run entirely on these synopses —
     O(k) rows per group regardless of group size."""
+    _require_k(k)
     hashes = (
         df.filter(F.col(value_col).isNotNull())
         .select(group_col, kmv_hash(F.col(value_col)).alias("hv"))
@@ -250,6 +271,15 @@ def theta_pair_ops(sketches: DataFrame, group_col: str) -> DataFrame:
     theta = M+1). Quadratic in #groups (audience-overlap workloads have
     few segments); every join side is a k-row synopsis."""
     g = group_col
+    # The synopsis frame is O(groups * k) rows but its UPSTREAM build
+    # (theta_sketches: corpus scan + distinct + window) is not — and the
+    # differently-pruned consumers below (th -> pairs -> na/nb/ni, plus
+    # ra twice, rb, rb2) defeat Catalyst exchange reuse (CLAUDE.md), so
+    # without materialization the corpus-scale build re-executes per
+    # consumer. localCheckpoint, not persist: the blocks are
+    # context-cleaned when the frame is GC'd, so chained sessions don't
+    # leak a cache entry per call.
+    sketches = sketches.localCheckpoint(eager=False)
     th = sketches.select(g, "theta", "n_exact").distinct()
     pairs = (
         th.select(
@@ -339,13 +369,22 @@ def histogram_quantiles(
     an error column join the exact rank-k value alongside (the exact
     path needs the per-group sort this sketch avoids)."""
     gcols = list(group_cols)
-    stats = df.groupBy(*gcols).agg(
+    # NULL values bucket to NULL, which Spark's cumulative window ranks
+    # FIRST (asc nulls-first) while SQL engines default NULLS LAST —
+    # the same cross-engine divergence kmv_distinct/theta_sketches
+    # filter against — and count(*) would include them in n. Drop them:
+    # quantiles are over present values.
+    src = df.filter(F.col(value_col).isNotNull())
+    stats = src.groupBy(*gcols).agg(
         F.min(value_col).alias("vmin"),
         F.max(value_col).alias("vmax"),
         F.count("*").alias("n"),
     )
+    # no broadcast hint: stats is one row per GROUP, unbounded for
+    # high-cardinality groupings — let AQE pick broadcast when small
+    # instead of forcing a driver-OOM-able build side
     withb = (
-        df.join(F.broadcast(stats), gcols)
+        src.join(stats, gcols)
         .withColumn(
             "width",
             F.greatest(F.expr("(vmax - vmin) div " + str(nbuckets)) + 1, F.lit(1)),

@@ -66,8 +66,10 @@ def chunk_documents(
         .filter(F.col("__n") > 0)
     )
     # exact integer ceil: n > max_tokens guarantees the numerator >= 1.
+    # `div`, not `/`: Spark's / on longs is DOUBLE division — exact only
+    # below 2^52, and the module contract is integer-exact boundaries.
     nchunks = F.when(F.col("__n") <= max_tokens, F.lit(1).cast("long")).otherwise(
-        ((F.col("__n") - max_tokens + step - 1) / step).cast("long") + 1
+        F.expr(f"(__n - {max_tokens} + {step - 1}) div {step}") + F.lit(1)
     )
     d = d.withColumn("__c", nchunks).withColumn(
         "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), F.col("__c") - 1))

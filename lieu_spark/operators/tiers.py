@@ -55,15 +55,20 @@ def tier_report(
     )
     # one corpus-wide shuffle to the (sha, norm_key) grain; text is
     # constant within a cell, so min(__ntok) is THE token count.
-    # Persisted: three differently-pruned consumers (raw / exact /
+    # Materialized: three differently-pruned consumers (raw / exact /
     # normalized re-aggs) would otherwise each re-run the corpus agg —
     # column pruning defeats exchange reuse (see CLAUDE.md); the frame
     # is already reduced to <= one row per distinct document.
+    # localCheckpoint, not persist: persist() entries live in the cache
+    # manager until an explicit unpersist nobody here can issue (the
+    # consumers are lazy), leaking one distinct-doc-scale cached table
+    # per call in chained sessions; checkpoint blocks are context-
+    # cleaned when the frame is GC'd.
     g = base.groupBy("__sha", "__nkey").agg(
         F.count("*").cast("long").alias("__cnt"),
         F.min("__id").alias("__mid"),
         F.min("__ntok").alias("__ntok"),
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     raw = g.agg(
         F.lit("1_raw").alias("tier"),
@@ -100,9 +105,15 @@ def tier_report(
 
     tiers = raw.unionByName(exact).unionByName(norm).unionByName(line)
     raw_tot = raw.select(F.col("n_tokens").alias("__raw_tokens"))
+    # guard the ANSI integer div: a degenerate-but-valid corpus whose
+    # every line tokenizes to [] has __raw_tokens = 0 — emit NULL
+    # percentages instead of DIVIDE_BY_ZERO killing the report
     return tiers.crossJoin(F.broadcast(raw_tot)).select(
         "tier",
         "n_units",
         "n_tokens",
-        F.expr("(1000000 * n_tokens) div __raw_tokens").alias("tokens_pct6"),
+        F.expr(
+            "case when __raw_tokens > 0"
+            " then (1000000 * n_tokens) div __raw_tokens end"
+        ).alias("tokens_pct6"),
     )

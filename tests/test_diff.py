@@ -65,3 +65,14 @@ def test_tier_report_monotone_and_exact(spark):
     assert rows["1_raw"]["tokens_pct6"] == 1_000_000
     for r in rows.values():
         assert 0 <= r["tokens_pct6"] <= 1_000_000
+
+
+def test_tier_report_zero_token_corpus(spark):
+    # every line tokenizes to [] -> raw n_tokens = 0; percentages must
+    # come back NULL instead of the ANSI integer div throwing
+    docs = spark.createDataFrame(
+        [(1, ["..."]), (2, ["!!!"])], "doc_id long, lines array<string>"
+    )
+    rows = {r["tier"]: r for r in tier_report(docs).collect()}
+    assert rows["1_raw"].n_tokens == 0
+    assert all(r.tokens_pct6 is None for r in rows.values())

@@ -556,3 +556,22 @@ def test_soft_dedup_weights_semantics(spark):
         .groupBy("ck").agg(F.sum("weight_ppm").alias("m")).collect()
     )
     assert all(m.m == 1_000_000 for m in mass)
+
+
+def test_unimax_allocation_zero_weight_group(spark):
+    # a group whose every weight is 0 (or NULL) gets cap 0 -> capped at
+    # alloc 0 with epochs6 = 0; the unguarded ratio was 0.0/0 = NaN
+    # whose long cast throws under ANSI
+    from lieu_spark.functions.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100)] * 5 + [("z", 0)] * 3 + [("n", None)] * 2,
+        "grp string, w long",
+    )
+    rows = {r.grp: r for r in unimax_allocation(df, "grp", "w", budget=600).collect()}
+    assert rows["z"].n_tokens == 0
+    assert rows["z"].alloc_tokens == 0
+    assert rows["z"].epochs6 == 0
+    assert rows["n"].n_tokens == 0 and rows["n"].epochs6 == 0
+    # the real group still absorbs the budget up to its cap
+    assert rows["a"].alloc_tokens == 600  # capped? cap = 2*500 = 1000 > 600

@@ -241,3 +241,58 @@ def test_kmv_ignores_null_values(spark):
     assert r.kth_min is not None
     sk = theta_sketches(df, "grp", "v", k=32).collect()
     assert len(sk) == 10 and all(s.hv is not None for s in sk)
+
+
+def test_cms_lookup_non_build_key_reads_zero(spark):
+    # the grid is sparse (untouched counters never materialized): a probe
+    # key absent from the build set must estimate 0 (all buckets empty)
+    # or a small collision count — never vanish from the output
+    counts = spark.createDataFrame(
+        [(f"k{i}", i + 1) for i in range(50)], "key string, cnt long"
+    )
+    cms = cms_table(counts, "key", "cnt", depth=4, width=8192)
+    probes = spark.createDataFrame(
+        [("k0",), ("never-seen-a",), ("never-seen-b",)], "key string"
+    )
+    rows = {r.key: r.cms_est for r in cms_lookup(probes, cms, "key", depth=4, width=8192).collect()}
+    assert set(rows) == {"k0", "never-seen-a", "never-seen-b"}
+    assert rows["k0"] == 1
+    # wide grid -> overwhelmingly likely every probe bucket is untouched
+    assert rows["never-seen-a"] == 0
+    assert rows["never-seen-b"] == 0
+
+
+def test_histogram_quantiles_ignore_nulls(spark):
+    from lieu_spark.functions.sketches import histogram_quantiles
+
+    # quantiles are over PRESENT values: padding the frame with NULLs
+    # must not move any estimate (nulls used to rank first in the
+    # cumulative window AND inflate n)
+    clean = spark.createDataFrame(
+        [("g", v) for v in range(1, 101)], "grp string, v long"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([("g", None)] * 40, "grp string, v long")
+    )
+    a = {r.pct: (r.n, r.est) for r in histogram_quantiles(clean, ["grp"], "v").collect()}
+    b = {r.pct: (r.n, r.est) for r in histogram_quantiles(dirty, ["grp"], "v").collect()}
+    assert a == b
+    assert a[50][0] == 100
+
+
+def test_sketch_k_must_be_at_least_two(spark):
+    from lieu_spark.functions.sketches import (
+        kmv_merge,
+        kmv_synopses,
+        theta_sketches,
+    )
+
+    df = spark.createDataFrame([("g", 1)], "grp string, v int")
+    with pytest.raises(ValueError, match=">= 2"):
+        kmv_distinct(df, ["grp"], "v", k=1)
+    with pytest.raises(ValueError, match=">= 2"):
+        kmv_synopses(df, ["grp"], "v", k=1)
+    with pytest.raises(ValueError, match=">= 2"):
+        kmv_merge(df.withColumnRenamed("v", "hv"), ["grp"], k=1)
+    with pytest.raises(ValueError, match=">= 2"):
+        theta_sketches(df, "grp", "v", k=1)
