@@ -141,21 +141,32 @@ def bpe_token_counts(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-doc token count under the learned segmentation: each doc's
-    words join the (small, broadcastable) vocab for their subword
-    count and sum — the corpus is touched once, words outside the
-    trained vocab fall back to character count (their untrained
-    segmentation), empty docs stay visible with 0."""
+    words join the vocab for their subword count and sum — the corpus
+    is touched once, words outside the trained vocab fall back to
+    character count (their untrained segmentation), empty docs stay
+    visible with 0.
+
+    ``broadcast_vocab``: the vocab is one row per distinct word of the
+    TRAINING corpus — small for a trained tokenizer, but unbounded when
+    the vocab was learned over the scoring corpus itself. The default
+    forces the map-side join (no shuffle of the word stream); pass
+    False for corpus-scale vocabs so the join degrades to a shuffle
+    instead of a driver-OOM broadcast (the same measured-gate rule
+    refresh applies to its CDC prunes, CLAUDE.md)."""
     from .text import tokenize
 
     seg = vocab.select(
         "word", F.size(_syms(F.col("seq"))).cast("long").alias("n_sub")
     )
+    if broadcast_vocab:
+        seg = F.broadcast(seg)
     dw = docs.select(
         F.col(id_col).alias(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
     )
-    per_word = dw.join(F.broadcast(seg), "word", "left").select(
+    per_word = dw.join(seg, "word", "left").select(
         id_col,
         F.coalesce(F.col("n_sub"), F.length("word").cast("long")).alias("n_sub"),
     )

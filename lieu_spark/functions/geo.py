@@ -96,6 +96,13 @@ def parse_latlon(lat_raw: Column, lon_raw: Column) -> Column:
         .when(lat == -90.0, F.lit(-89.9999))
         .otherwise(lat)
     )
+    # non-finite gate BEFORE the wrap: try_cast('1e999') is +Infinity,
+    # the wrap would turn it into NaN, and NaN passes isNotNull — the
+    # pair would emit and quantize to a garbage corner cell. abs < inf
+    # is false for NaN and both infinities (the reference's
+    # is_valid_longitude rejects them; lat is already covered by the
+    # abs(lat) <= 90 gate above, which NaN/inf fail).
+    lon = F.when(F.abs(lon) < F.lit(float("inf")), lon)
     lon = F.lit(180.0) - F.pmod(F.lit(180.0) - lon, F.lit(360.0))
     return F.when(
         lat.isNotNull() & lon.isNotNull(), F.struct(lat.alias("lat"), lon.alias("lon"))
@@ -261,10 +268,15 @@ def geo_aliases(
     )
     lon_pos = (lambda j: 2 * j + 1) if total % 2 == 0 else (lambda j: 2 * j)
     lat_pos = (lambda j: 2 * j) if total % 2 == 0 else (lambda j: 2 * j + 1)
+    # stage the decode aggregate as a COLUMN before the per-bit sums:
+    # each sum term references __pos (a plain attribute), not the
+    # F.aggregate tree — inlining the decode into ~5p shift terms is
+    # the same expression-tree blowup the encode comment below fixes
+    spd = sparse.withColumn("__pos", pos)
     lat_q = sum(
         (
             F.shiftleft(
-                F.shiftright(pos, lat_pos(j)).bitwiseAND(F.lit(1)), j
+                F.shiftright(F.col("__pos"), lat_pos(j)).bitwiseAND(F.lit(1)), j
             )
             for j in range(lat_bits)
         ),
@@ -273,13 +285,13 @@ def geo_aliases(
     lon_q = sum(
         (
             F.shiftleft(
-                F.shiftright(pos, lon_pos(j)).bitwiseAND(F.lit(1)), j
+                F.shiftright(F.col("__pos"), lon_pos(j)).bitwiseAND(F.lit(1)), j
             )
             for j in range(lon_bits)
         ),
         F.lit(0).cast("long"),
     )
-    sp = sparse.withColumn("__lat_q", lat_q).withColumn("__lon_q", lon_q)
+    sp = spd.withColumn("__lat_q", lat_q).withColumn("__lon_q", lon_q)
     # fan out the 8 offsets FIRST, stage the neighbor indices as plain
     # columns, and encode ONCE on the staged columns — encoding inside
     # 8 branch expressions inlines the 5p-bit interleave ~36x and the

@@ -73,6 +73,11 @@ def asof_join(
         F.col(ts_col).alias(prefix + ts_col),
         *[F.col(c).alias(prefix + c) for c in build_cols],
     )
+    # a build row with NULL event time can never be "as of" anything,
+    # but Spark's asc() default is nulls FIRST — unfiltered it would sit
+    # at the partition head and become the carried match for probes
+    # that should report no match
+    build = build.filter(F.col(ts_col).isNotNull())
     # inclusive: build(0) sorts before probe(1) at equal ts -> visible;
     # strict: build(2) sorts after probe(1) -> not visible.
     build_side = 2 if strict else 0

@@ -60,9 +60,14 @@ def probe_positions(g: Column, m: int, k: int) -> Column:
 
 def bloom_words(grams: DataFrame, gram_col: str = "g", m: int = 1 << 16,
                 k: int = 4) -> DataFrame:
-    """(word_idx:long, word:long) bitmap words for the gram set — at
-    most ceil(m/64) rows. One explode over the (small) member side and
-    one map-side-combinable bit_or agg; hot grams pre-reduce."""
+    """(word_idx:long, word:long, __m:long, __k:long) bitmap words for
+    the gram set — at most ceil(m/64) rows. One explode over the
+    (small) member side and one map-side-combinable bit_or agg; hot
+    grams pre-reduce. The build parameters ride along as constant
+    metadata columns so bloom_screen can verify it probes with the
+    same (m, k) the bits were set with — a silent mismatch would
+    produce FALSE NEGATIVES, breaking the one guarantee the exact
+    verify stage downstream relies on."""
     pos = grams.select(
         F.explode(probe_positions(F.col(gram_col), m, k)).alias("__pos")
     )
@@ -75,6 +80,8 @@ def bloom_words(grams: DataFrame, gram_col: str = "g", m: int = 1 << 16,
         )
         .groupBy("word_idx")
         .agg(F.bit_or("__bit").alias("word"))
+        .withColumn("__m", F.lit(m).cast("long"))
+        .withColumn("__k", F.lit(k).cast("long"))
     )
 
 
@@ -91,15 +98,26 @@ def bloom_screen(
     map<long,long> row (lazy agg — no action during plan construction)
     broadcast onto the stream; every probe is a map lookup + bit test
     in codegen, so the training side moves through with no shuffle.
-    An empty bloom (no members) screens everything out."""
-    blob = bloom.groupBy().agg(
+    An empty bloom (no members) screens everything out.
+
+    If the bitmap carries bloom_words' (__m, __k) metadata columns, the
+    plan VERIFIES they equal this call's (m, k) — probing with
+    different parameters than the build silently yields false
+    negatives, so a mismatch aborts the job (in-plan assert_true; no
+    driver action). An empty bitmap has no recorded parameters and
+    passes (it screens everything out regardless of m/k)."""
+    aggs = [
         F.map_from_entries(
             F.coalesce(
                 F.collect_list(F.struct("word_idx", "word")),
                 F.array().cast("array<struct<word_idx:long,word:long>>"),
             )
         ).alias("__bloom")
-    )
+    ]
+    check_params = "__m" in bloom.columns and "__k" in bloom.columns
+    if check_params:
+        aggs += [F.min("__m").alias("__bm"), F.min("__k").alias("__bk")]
+    blob = bloom.groupBy().agg(*aggs)
     probed = grams.crossJoin(F.broadcast(blob)).withColumn(
         "__probes", probe_positions(F.col(gram_col), m, k)
     )
@@ -108,4 +126,21 @@ def bloom_screen(
         "(coalesce(element_at(__bloom, shiftright(p, 6)), CAST(0 AS BIGINT)) "
         "& shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) <> 0)"
     )
-    return probed.withColumn(out, hit_all).drop("__bloom", "__probes")
+    drop = ["__bloom", "__probes"]
+    if check_params:
+        ok = F.col("__bm").isNull() | (
+            (F.col("__bm") == F.lit(m)) & (F.col("__bk") == F.lit(k))
+        )
+        guard = F.assert_true(
+            ok,
+            F.lit(
+                f"bloom_screen(m={m}, k={k}) does not match the bitmap's "
+                "build parameters — probing with different m/k than "
+                "bloom_words used produces false negatives"
+            ),
+        )
+        # assert_true is NULL when ok and throws otherwise; folding it
+        # into the output column keeps it from being pruned away
+        hit_all = F.when(guard.isNull(), hit_all)
+        drop += ["__bm", "__bk"]
+    return probed.withColumn(out, hit_all).drop(*drop)

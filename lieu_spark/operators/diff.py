@@ -35,23 +35,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _diff_join(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """The two-snapshot full-outer equi-join on the id, pre-checkpoint
+    (split out so the plan shape stays assertable — the checkpoint in
+    snapshot_diff replaces the visible plan with the materialized RDD)."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__oh"),
+        F.lit(1).alias("__op"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__nh"),
+        F.lit(1).alias("__np"),
+    )
+    return o.join(n, id_col, "full_outer")
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-id status frame (id_col, status) for two snapshot frames."""
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__oh"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__nh"))
-    j = o.join(n, id_col, "full_outer")
+    """Per-id status frame (id_col, status) for two snapshot frames.
 
-    removed = j.filter(F.col("__nh").isNull()).select(id_col, "__oh")
-    added = j.filter(F.col("__oh").isNull()).select(id_col, "__nh")
+    Presence is tracked with explicit per-side marker columns, NEVER
+    hash nullness: md5(NULL text) is NULL, so an id present in both
+    snapshots with NULL text on one side would otherwise be
+    misclassified (and an old-only NULL-text row would satisfy BOTH
+    delta filters, emitting two contradictory status rows for one id).
+    NULL text hashes as '' — the same null-text convention assembly
+    uses at its choke point."""
+    # the corpus-scale full-outer join feeds five differently-pruned
+    # consumers (both / removed / added / the two delta hash sets) —
+    # pruning defeats exchange reuse (CLAUDE.md), so materialize it
+    # once; localCheckpoint blocks are context-cleaned on GC
+    j = _diff_join(old, new, id_col, text_col).localCheckpoint(eager=False)
+
+    removed = j.filter(F.col("__np").isNull()).select(id_col, "__oh")
+    added = j.filter(F.col("__op").isNull()).select(id_col, "__nh")
     rem_hashes = removed.select(F.col("__oh").alias("__h")).distinct()
     add_hashes = added.select(F.col("__nh").alias("__h")).distinct()
 
-    both = j.filter(F.col("__oh").isNotNull() & F.col("__nh").isNotNull()).select(
+    both = j.filter(F.col("__op").isNotNull() & F.col("__np").isNotNull()).select(
         id_col,
         F.when(F.col("__oh") == F.col("__nh"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))

@@ -95,3 +95,20 @@ def test_asof_single_shuffle_plan(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_null_build_ts_never_matches(spark):
+    # a build row with NULL event time would sort nulls-first to the
+    # partition head and become the carried match for every probe —
+    # it must be invisible instead
+    from lieu_spark.operators.asof import asof_join
+
+    build = spark.createDataFrame(
+        [("k", None, "ghost"), ("k", 3, "real")], "key string, ts long, v string"
+    )
+    probe = spark.createDataFrame(
+        [("k", 1), ("k", 5)], "key string, ts long"
+    )
+    rows = {r.ts: r for r in asof_join(probe, build, ["key"]).collect()}
+    assert rows[5].b_v == "real" and rows[5].b_ts == 3
+    assert rows[1].b_v is None and rows[1].b_ts is None  # nothing as-of ts=1

@@ -4,6 +4,7 @@ behavior, and the zero-shuffle training-side plan shape the operator
 exists for.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from lieu_spark.operators.bloom import bloom_screen, bloom_words
@@ -76,3 +77,16 @@ def test_bloom_screen_training_side_never_shuffles(spark):
             assert "g#" not in ln, ln
     # screen side must not sort or SMJ — it's a broadcast nest over 1 row
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_screen_rejects_mismatched_build_params(spark):
+    # probing with different (m, k) than the bitmap was built with
+    # silently produces false negatives — the stamped metadata must
+    # abort the job instead
+    members = _grams(spark, ["alpha", "beta"])
+    bloom = bloom_words(members, m=M, k=K)
+    ok = bloom_screen(members, bloom, m=M, k=K).collect()
+    assert all(r.might_contain for r in ok)
+    bad = bloom_screen(members, bloom, m=M, k=K + 1)
+    with pytest.raises(Exception, match="does not match the bitmap"):
+        bad.collect()

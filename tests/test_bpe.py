@@ -98,3 +98,18 @@ def test_bpe_min_word_count_prunes_hapax(spark):
     assert [r.word for r in vocab.collect()] == ["aa"]
     r = merges.collect()[0]
     assert (r.w1, r.w2, r.pair_count) == ("a", "a", 3)
+
+
+def test_bpe_token_counts_shuffle_join_parity(spark):
+    # broadcast_vocab=False (corpus-scale vocab) must be value-identical
+    # to the default map-side join
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer"), (3, "")],
+        "doc_id long, text string",
+    )
+    _, vocab = train_bpe(docs, n_merges=4)
+    a = {r.doc_id: (r.n_bpe_tokens, r.n_words)
+         for r in bpe_token_counts(docs, vocab).collect()}
+    b = {r.doc_id: (r.n_bpe_tokens, r.n_words)
+         for r in bpe_token_counts(docs, vocab, broadcast_vocab=False).collect()}
+    assert a == b

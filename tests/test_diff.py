@@ -76,3 +76,27 @@ def test_tier_report_zero_token_corpus(spark):
     rows = {r["tier"]: r for r in tier_report(docs).collect()}
     assert rows["1_raw"].n_tokens == 0
     assert all(r.tokens_pct6 is None for r in rows.values())
+
+
+def test_snapshot_diff_null_text_one_row_per_id(spark):
+    # presence is tracked with side markers, not hash nullness: an id
+    # present in both with NULL text on one side is 'changed' (NULL
+    # hashes as ''), and an old-only NULL-text row must emit exactly
+    # ONE status row (it used to satisfy both delta filters)
+    from lieu_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "z"), (5, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None)], "doc_id long, text string"
+    )
+    rows = snapshot_diff(old, new).collect()
+    assert len(rows) == 5  # one row per id, no duplicates
+    st = {r.doc_id: r.status for r in rows}
+    assert st[1] == "changed"      # 'x' vs NULL('')
+    assert st[2] == "unchanged"    # NULL == NULL
+    assert st[3] == "removed"      # 'z' not among added contents
+    # 5 (old-only, '') and 4 (new-only, '') are a content-level rename
+    assert st[5] == "moved_out"
+    assert st[4] == "moved_in"

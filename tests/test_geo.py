@@ -194,3 +194,19 @@ def test_geo_aliases_argmax_qualifying_neighbor(spark):
         for r in geo_aliases(by_geo, min_doc_count=50, precision=4).collect()
     }
     assert al == {center: west}
+
+
+def test_parse_latlon_nonfinite_lon_nulls_pair(spark):
+    # try_cast('1e999') is +Infinity; the wrap turns it into NaN, and
+    # NaN passes isNotNull — the finite gate must null the pair (the
+    # reference's is_valid_longitude raises on inf/nan)
+    df = spark.createDataFrame(
+        [("40.5", "1e999"), ("1e999", "70.1"), ("40.5", "70.1")],
+        "lat_s string, lon_s string",
+    )
+    rows = df.select(
+        parse_latlon(F.col("lat_s"), F.col("lon_s")).alias("p")
+    ).collect()
+    assert rows[0].p is None
+    assert rows[1].p is None
+    assert rows[2].p is not None and abs(rows[2].p.lat - 40.5) < 1e-9

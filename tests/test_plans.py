@@ -444,14 +444,19 @@ def test_snapshot_diff_plan_id_join_no_cartesian(spark):
     """Snapshot CDC: one full-outer equi-join on the id; the delta-side
     hash-set membership checks are equi-joins the optimizer may
     broadcast — never a cartesian product."""
-    from lieu_spark.operators.diff import snapshot_diff
+    from lieu_spark.operators.diff import _diff_join, snapshot_diff
 
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
     new = d.filter(F.col("doc_id") % 7 != 0)
+    # join shape on the pre-checkpoint plan (snapshot_diff materializes
+    # the join once, which replaces the visible plan with the RDD scan)
+    jplan = plan_of(_diff_join(d, new, "doc_id", "text"))
+    assert "FullOuter" in jplan
     plan = plan_of(snapshot_diff(d, new))
-    assert "FullOuter" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # the join is materialized ONCE
+    for p in (jplan, plan):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_tier_report_caches_reduced_grain(spark):
