@@ -19,6 +19,14 @@ Three tiers (task brief: similarity-search as a first-class component):
   nprobe nearest cells, exact-cosine re-rank. The alternative scale
   path when the corpus is clustered (high recall at tiny nprobe),
   vs hyperplane LSH which is data-independent.
+
+Partitioning note for callers: the bucket/cell pandas UDFs are
+CPU-heavy matmuls. Fed straight from a parquet scan (the in-repo
+paths), partitioning follows the files and parallelism is fine; fed
+from a SHUFFLE output, AQE's byte-based coalescing can collapse the
+tiny vector rows into 1-2 tasks and serialize the matmuls — such
+callers should ``repartition`` first (CLAUDE.md rule; packing.py and
+build_features do exactly this before their pandas stages).
 """
 
 import numpy as np
@@ -369,6 +377,8 @@ def _make_cells_udf(centroids: np.ndarray, nprobe: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         nrm = np.linalg.norm(x, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0

@@ -108,7 +108,15 @@ def pack_sequences(
     base = base.repartition(max(sc.defaultParallelism, 8), *gcols, "shard")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        # n_tokens as the secondary key: with doc_id alone, duplicate
+        # ids would tie and mergesort's stability would resolve them by
+        # ARRIVAL order — partition-layout-dependent seq assignment,
+        # breaking the "pure function of (ids, counts)" contract. With
+        # both keys, equal rows are interchangeable, so the packing is
+        # layout-independent even for duplicated ids.
+        pdf = pdf.sort_values(["doc_id", "n_tokens"], kind="mergesort").reset_index(
+            drop=True
+        )
         pdf["seq"] = _pack_next_fit(
             pdf["n_tokens"].to_numpy(dtype=np.int64), capacity
         )

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -139,15 +138,19 @@ def semantic_dedup_flags(
     w = Window.partitionBy(*part_keys).orderBy(
         F.col("cent_cos6").desc(), F.col("id").asc()
     )
-    # persisted: ranked feeds THREE consumers (lhs, rhs, the final
+    # materialized: ranked feeds THREE consumers (lhs, rhs, the final
     # keep-flag join) and its lineage includes the pandas-UDF
     # centroid-cosine pass over every embedding when assignments comes
-    # straight from semantic_cells — without the persist that UDF pass
-    # runs once per consumer (exchange reuse does not unify the
+    # straight from semantic_cells — without this that UDF pass runs
+    # once per consumer (exchange reuse does not unify the
     # differently-pruned subtrees). Narrow frame: (id, cell, cent_cos6
-    # [, sub], rnk).
-    ranked = asg.withColumn("rnk", F.row_number().over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # [, sub], rnk). localCheckpoint, not persist: a persist entry
+    # lives in the cache manager until an unpersist nobody here can
+    # issue (the returned frame references it), leaking one cached
+    # table per call in chained sessions; checkpoint blocks are
+    # context-cleaned when the frame is GC'd.
+    ranked = asg.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
+        eager=False
     )
 
     base = embeddings.select(

@@ -65,6 +65,12 @@ BAND_BUCKETS = 64
 # back to the plain join — a physical knob, not a semantic one
 VERIFY_ID_CAP = 10_000
 
+# measured-count gate on the per-batch broadcast hints (the streaming
+# twin of operators/refresh.REFRESH_BROADCAST_CAP): a trickle batch
+# broadcasts, an index-sized availableNow catch-up batch degrades to
+# shuffle joins instead of a driver-OOM broadcast
+STREAM_BROADCAST_CAP = 1_000_000
+
 
 # small-file / marker I/O through the Hadoop FS (shared with the
 # checkpoint stage store — see lieu_spark.fsutil for why driver-local
@@ -224,6 +230,13 @@ def compact_state(
     so a wrong config can't corrupt the store."""
     import json as _json
 
+    if keep_last < 1:
+        # keep_last=0 would merge the NEWEST batch into the compacted
+        # union labeled with its own id — the one batch the
+        # at-least-once checkpoint can replay, whose overwrite would
+        # then replace the whole merged index with that batch's output
+        # (total, undetected index loss)
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     out: dict = {}
     fs, _ = _hadoop_fs(spark, work_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -615,6 +628,14 @@ class IncrementalDeduper:
         t0 = _time.time()
         convs = assemble_conversations(batch_df)
         feats = build_features(convs, self.cfg).persist()
+        # gate the batch-side broadcasts on the MEASURED batch size
+        # (refresh.py's REFRESH_BROADCAST_CAP rule): a trickle batch is
+        # tiny, but an availableNow catch-up batch is up to
+        # files_per_trigger arbitrary-size files — force-broadcasting an
+        # index-sized backfill would OOM the driver. The count runs on
+        # the persisted frame, so it materializes work every later
+        # action reuses (no re-execution).
+        small_batch = feats.count() <= STREAM_BROADCAST_CAP
         rep_w = Window.partitionBy("text_sha")
         feat_reps = (
             feats.filter(F.size("shingle_hashes") > 0)
@@ -622,7 +643,11 @@ class IncrementalDeduper:
             .filter(F.col("conv_id") == F.col("_rep"))
             .drop("_rep")
         )
-        feat_bands = band_table_dual(feat_reps, self.cfg)
+        # persisted: three consumers (within-batch candidate_pairs, the
+        # bucket-prune collect, the vs-index match) are differently
+        # pruned, so without this each re-runs the rep window + dual
+        # band derivation over the cached feats per batch
+        feat_bands = band_table_dual(feat_reps, self.cfg).persist()
         within = candidate_pairs(feat_bands, self.cfg).unionByName(
             exact_star_pairs(feats)
         )
@@ -633,20 +658,18 @@ class IncrementalDeduper:
                 self._prune_buckets(stored_bands, feat_bands),
                 feat_bands,
                 self.cfg,
-                broadcast_incoming=True,
+                broadcast_incoming=small_batch,
             ).select(
                 F.col("canonical_id").alias("id_a"),
                 F.col("incoming_id").alias("id_b"),
             )
             stored_shas = self._sha_state(before_batch=batch_id)
+            inc_shas = feats.select(F.col("conv_id").alias("id_b"), "text_sha")
+            if small_batch:
+                inc_shas = F.broadcast(inc_shas)
             cross_sha = self._pruned_shas(stored_shas, feats).select(
                 F.col("conv_id").alias("id_a"), "text_sha"
-            ).join(
-                F.broadcast(
-                    feats.select(F.col("conv_id").alias("id_b"), "text_sha")
-                ),
-                "text_sha",
-            ).select("id_a", "id_b")
+            ).join(inc_shas, "text_sha").select("id_a", "id_b")
             cand = within.unionByName(cross_lsh).unionByName(
                 cross_sha
             ).dropDuplicates(["id_a", "id_b"]).persist()
@@ -730,6 +753,7 @@ class IncrementalDeduper:
             )
         new_uniques.unpersist()
         verified.unpersist()
+        feat_bands.unpersist()
         feats.unpersist()
 
     def _prune_buckets(

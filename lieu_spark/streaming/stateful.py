@@ -97,7 +97,17 @@ def make_assembler(gap_ms: int = 60_000):
             # zip over Series, not iterrows() — iterrows materializes a
             # Series object per row (measurable at high turn counts)
             for i, t in zip(pdf["turn_idx"], pdf["text"]):
-                turns[int(i)] = t
+                # null text -> '' mirrors the batch choke point
+                # (assemble.py coalesces before the struct); collision
+                # rule: keep the MIN text — deterministic regardless of
+                # file/batch arrival order. Re-deliveries (identical
+                # text) are idempotent under any rule; for genuinely
+                # conflicting texts the batch assembler's lowest-full-
+                # struct winner coincides with min(text) whenever the
+                # duplicate rows differ only in text.
+                t = "" if t is None else t
+                i = int(i)
+                turns[i] = t if i not in turns else min(turns[i], t)
             max_ts_us = max(max_ts_us, int(pdf["ts"].max().value // 1000))
         idxs = sorted(turns)
         state.update(
@@ -120,7 +130,21 @@ def make_assembler(gap_ms: int = 60_000):
 def assemble_stream(
     turns_stream: DataFrame, watermark: str = "1 minute", gap_ms: int = 60_000
 ) -> DataFrame:
-    """turn-row stream -> stream of fully-assembled conversations."""
+    """turn-row stream -> stream of fully-assembled conversations.
+
+    Null conv_id / turn_idx rows are dropped HERE, mirroring the batch
+    assembler's choke-point policy (operators/assemble.py) — unfiltered,
+    a null turn_idx arrives in pandas as NaN (Arrow int-with-nulls) and
+    ``int(i)`` would kill the whole streaming query, and a null conv_id
+    would emit a conversation the batch path drops. Null ts rows are
+    dropped too: they carry no event time for the watermark/timeout."""
+    from pyspark.sql import functions as F
+
+    turns_stream = turns_stream.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("ts").isNotNull()
+    )
     return (
         turns_stream.withWatermark("ts", watermark)
         .groupBy("conv_id")

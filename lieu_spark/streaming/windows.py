@@ -94,8 +94,16 @@ def run_windowed_counts(
     watermark: str = "2 hours",
 ):
     """Drain whatever is in ``input_dir`` (availableNow) into a parquet
-    sink in append mode — windows emit when the watermark passes them,
-    so a drained finite stream emits every window."""
+    sink in append mode. Append-mode windows emit only once the
+    watermark passes their END, and the watermark is max-event-time
+    minus the ``watermark`` horizon — so a drained finite stream
+    WITHHOLDS every window ending within the horizon of the newest
+    event (they stay in the state store until later data advances the
+    watermark; the checkpoint resumes them on the next run). That is
+    the correct late-data contract for a continuous feed; for a
+    finite-batch drain that must flush everything, append a sentinel
+    event beyond the horizon (tests/test_streaming_windows.py does
+    exactly this) or compute the counts with a batch groupBy."""
     counts = windowed_event_counts(stream_events(spark, input_dir), window, watermark)
     q = (
         counts.writeStream.format("parquet")

@@ -95,3 +95,22 @@ def test_leakage_safe_splits_no_cross_split_dup(spark):
     ).count()
     for r in out:
         assert r.leaked_pairs == 0, r
+
+
+def test_pack_sequences_duplicate_ids_layout_independent(spark):
+    # duplicate doc_ids with differing token counts: the in-shard sort
+    # must break the id tie on n_tokens, or mergesort stability would
+    # resolve it by arrival order and seq assignment would depend on
+    # partition layout
+    rows = [(i % 7, 10 + (i * 13) % 50) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(
+        map(tuple, pack_sequences(d, capacity=64, nshards=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(d.repartition(17), capacity=64, nshards=4).collect(),
+        )
+    )
+    assert a == b

@@ -31,6 +31,17 @@ def test_cross_batch_assembly_matches_batch_path(spark, tmp_path):
 
     dump(first, "b1")
     dump(second, "b2")
+    # junk rows the batch choke point drops: the stream must drop them
+    # too (a null turn_idx used to arrive as NaN and kill the query)
+    some_ts = rows[0].ts
+    dump(
+        [
+            corpus.TurnRow("zz-null-idx", None, "user", "x", "", some_ts),
+            corpus.TurnRow(None, 0, "user", "y", "", some_ts),
+            corpus.TurnRow("zz-null-ts", 0, "user", "z", "", None),
+        ],
+        "b2n",
+    )
     # watermark flusher: one dummy turn far in the future pushes the
     # watermark past every real conversation's timeout
     flush_ts = max(r.ts for r in rows) + timedelta(hours=2)
@@ -72,3 +83,65 @@ def test_cross_batch_assembly_matches_batch_path(spark, tmp_path):
     }
     for cid, triple in want.items():
         assert got.get(cid) == triple, cid
+    # the junk rows must have been dropped, not assembled
+    assert "zz-null-idx" not in got
+    assert "zz-null-ts" not in got
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the assembler
+    function without a streaming query."""
+
+    def __init__(self):
+        self.hasTimedOut = False
+        self.exists = False
+        self._t = None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = t
+        self.exists = True
+
+    def remove(self):
+        self._t = None
+        self.exists = False
+
+    def setTimeoutTimestamp(self, ts):
+        self._timeout = ts
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def test_stateful_assembler_collision_and_null_text_deterministic():
+    """Duplicate (conv_id, turn_idx) rows with conflicting text must
+    resolve identically regardless of arrival order (min text), and a
+    null text must assemble as '' (the batch choke-point convention)."""
+    import pandas as pd
+
+    from lieu_spark.streaming.stateful import make_assembler
+
+    asm = make_assembler()
+
+    def run(texts):
+        st = _FakeState()
+        pdf = pd.DataFrame(
+            {
+                "turn_idx": [0, 1, 1],
+                "text": texts,
+                "ts": pd.to_datetime(["2026-01-01 00:00:00"] * 3),
+            }
+        )
+        list(asm(("c",), iter([pdf]), st))
+        st.hasTimedOut = True
+        out = list(asm(("c",), iter([]), st))
+        return out[0].iloc[0]
+
+    a = run([None, "b", "a"])
+    b = run([None, "a", "b"])
+    assert a.doc == b.doc == "\na"  # null turn -> '', collision -> min
+    assert a.text_sha == b.text_sha
+    assert a.n_turns == 2

@@ -648,3 +648,12 @@ def test_band_layout_marker_only_written_by_write_path(spark, tmp_path):
         None, ts,
     )]), 0)
     assert os.path.exists(f"{work}/bands/_layout.json")
+
+
+def test_compact_state_rejects_keep_last_below_one(spark, tmp_path):
+    # keep_last=0 would fold the one replayable batch into the merged
+    # union it then overwrites on checkpoint replay — total index loss
+    from lieu_spark.streaming.ingest import compact_state
+
+    with pytest.raises(ValueError, match="keep_last"):
+        compact_state(spark, str(tmp_path / "work"), keep_last=0)
