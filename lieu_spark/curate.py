@@ -501,7 +501,21 @@ def curate(
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
-    sub_store = StageStore(f"{store.root}/dedupe", store.fmt) if store else None
+    # sub-store root separator is format-specific: parquet roots are
+    # paths ('/dedupe'), Iceberg roots are namespaces whose stage tables
+    # resolve as f"{root}.{stage}" — a slash inside that identifier is
+    # an AnalysisException mid-funnel, a '.dedupe' nested namespace is
+    # valid multi-level Iceberg
+    sub_store = (
+        StageStore(
+            f"{store.root}/dedupe"
+            if store.fmt == "parquet"
+            else f"{store.root}.dedupe",
+            store.fmt,
+        )
+        if store
+        else None
+    )
     pres = run_pipeline(
         spark,
         tx,
@@ -635,7 +649,13 @@ def curate(
             group_cols=("split",),
         )
 
-    packed = stage("packed", build_packed)
+    # cache only when the ordered stage exists: build_ordered consumes
+    # packed TWICE (the distinct-sequence derivation and the final
+    # join) — differently-pruned consumers get no exchange reuse, so an
+    # uncached lazy run would execute the applyInPandas packer twice
+    # (and double the logical plan, the stage() comment's explosion
+    # mode). Without the ordered stage packed is terminal — no cache.
+    packed = stage("packed", build_packed, cache=cfg.shuffle_salt is not None)
 
     if cfg.shuffle_salt is not None:
 

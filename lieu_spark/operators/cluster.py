@@ -77,12 +77,27 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sig = _signature(edges)
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         sig = _signature(edges)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a non-converged star graph can still carry a node with edges
+        # to TWO candidate roots; the dropDuplicates below would then
+        # pick an arbitrary cluster_id — silently nondeterministic
+        # assignments that break refresh parity and split leakage
+        # guarantees. Fail loud instead; star contraction converges in
+        # O(log n) rounds, so max_iter=50 covers any real graph — hitting
+        # this means pathological input (or a signature collision) that
+        # a human must look at.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; raise max_iter or inspect the edge set"
+        )
     # converged star graph: every edge is (member -> root)
     members = edges.select(F.col("u").alias("conv_id"), F.col("v").alias("cluster_id"))
     roots = edges.select(F.col("v").alias("conv_id")).distinct().withColumn(

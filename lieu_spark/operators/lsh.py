@@ -155,25 +155,29 @@ def capped_group_join(
     rows. Dropped cross-sub pairs are recovered by the family's other
     blocking keys exactly as in the self-join path. Group sizes come
     from a narrow aggregate over the key columns (map-side combined —
-    measured free at sf0.1), never a shuffle of the wide table."""
-    joined = left.join(right, keys)
+    measured free at sf0.1), never a shuffle of the wide table.
+
+    The sub-bucket is part of the JOIN KEY, not a post-join filter:
+    each side joins the (narrow, AQE-broadcastable) size table and
+    derives its own sub from its own id, so a 10M-member hot group
+    never enumerates |group| x |incoming| rows inside one task only to
+    filter them — the join itself produces only same-sub pairs. Output
+    is row-identical to the filter form (same rule, same nsplit)."""
     if cap is None:
-        return joined
+        return left.join(right, keys)
     sizes = left.groupBy(*keys).agg(F.count("*").alias("__gsize"))
     nsplit = F.greatest(F.lit(1), F.ceil(F.col("__gsize") / F.lit(cap))).cast(
         "long"
     )
-    return (
-        joined.join(sizes, keys)
-        .filter(
-            (F.col("__gsize") <= cap)
-            | (
-                F.pmod(F.xxhash64(F.col(left_id)), nsplit)
-                == F.pmod(F.xxhash64(F.col(right_id)), nsplit)
-            )
-        )
+    l2 = left.join(sizes, keys).withColumn(
+        "__sub", F.pmod(F.xxhash64(F.col(left_id)), nsplit)
+    )
+    r2 = (
+        right.join(sizes, keys)
+        .withColumn("__sub", F.pmod(F.xxhash64(F.col(right_id)), nsplit))
         .drop("__gsize")
     )
+    return l2.join(r2, [*keys, "__sub"]).drop("__sub", "__gsize")
 
 
 def band_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:

@@ -80,10 +80,22 @@ def coalesce_aliases(
         )
     for k, names in (extra_aliases or {}).items():
         alias_map.setdefault(k, []).extend(n for n in names if n not in alias_map[k])
-    cols = set(df.columns)
+    # case-insensitive matching, the same resolution rule Spark itself
+    # applies to column references: a warehouse export with 'CONV_ID'
+    # headers must map to conv_id, not silently become an all-null
+    # column that the null-key filter then empties out. First match
+    # wins on case collisions (df.columns order), mirroring Spark's
+    # ambiguity being an error only when actually referenced.
+    by_folded: dict[str, str] = {}
+    for n in df.columns:
+        by_folded.setdefault(n.lower(), n)
     out = []
     for field in TRANSCRIPT_SCHEMA.fields:
-        present = [n for n in alias_map[field.name] if n in cols]
+        present = [
+            by_folded[n.lower()]
+            for n in alias_map[field.name]
+            if n.lower() in by_folded
+        ]
         if present:
             # try_cast EACH alias column, then coalesce: coalescing
             # mixed native types first would make Spark insert a strict
@@ -160,10 +172,20 @@ def read_transcripts_csv(
     '' text/tool values do not roundtrip byte-exactly. Dedupe verdicts
     are still ingest-path-invariant: assemble_conversations normalizes
     null text to '' at the shared choke point."""
+    # enforceSchema=False: with the default (true) Spark IGNORES the
+    # file's header names and maps columns purely by position — a CSV
+    # whose column order differs from TRANSCRIPT_SCHEMA would load role
+    # strings into turn_idx (every row silently nulled away) or tool
+    # values into text (wrong text_sha, wrong verdicts, zero
+    # diagnostics). With it off, a header that doesn't match the schema
+    # names fails LOUDLY at read time. Headerless files (header=False)
+    # are unaffected: there is nothing to validate, order is the
+    # contract.
     df = (
         spark.read.schema(TRANSCRIPT_SCHEMA)
         .option("sep", sep)
         .option("header", header)
+        .option("enforceSchema", False)
         .option("multiLine", multi_line)
         .option("mode", "PERMISSIVE")
         .csv(path)

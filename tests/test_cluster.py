@@ -57,3 +57,18 @@ def test_singletons_and_canonical(spark):
     assert full == {"a": "a", "b": "a", "c": "c"}
     flags = {r.conv_id: r.is_canonical for r in canonical_flags(comp).collect()}
     assert flags == {"a": True, "b": False}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # an exhausted iteration budget must fail loud — a non-converged
+    # star graph would otherwise hand dropDuplicates a node with two
+    # candidate roots and emit an arbitrary cluster_id
+    import pytest
+
+    from lieu_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=0)

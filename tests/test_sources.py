@@ -183,3 +183,20 @@ def test_parse_lines_drops_null_turn_idx(spark):
     df = spark.createDataFrame(rows, "value string")
     out = parse_transcript_lines(df).collect()
     assert len(out) == 1 and out[0].turn_idx == 0
+
+
+def test_alias_map_case_insensitive_columns(spark):
+    # warehouse exports routinely upper-case headers: CONV_ID/TEXT must
+    # resolve like Spark's own case-insensitive column resolution, not
+    # silently become all-null and get dropped by the null-key filter
+    from lieu_spark.sources.io import coalesce_aliases
+
+    df = spark.createDataFrame(
+        [("c1", "0", "user", "hello")],
+        "CONV_ID string, Turn_Idx string, ROLE string, TEXT string",
+    )
+    out = coalesce_aliases(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.conv_id == "c1" and r.turn_idx == 0
+    assert r.role == "user" and r.text == "hello"

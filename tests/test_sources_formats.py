@@ -80,3 +80,17 @@ def test_csv_roundtrip_embedded_newlines(spark, tmp_path):
     ).csv(p)
     back = read_transcripts_csv(spark, p)
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_csv_reordered_header_fails_loudly(spark, tmp_path):
+    # enforceSchema=False: a header whose column order differs from
+    # TRANSCRIPT_SCHEMA must ERROR, not positionally load role strings
+    # into turn_idx (silent all-null corpus) — write swapped columns
+    import pytest
+
+    out = tmp_path / "swapped"
+    _df(spark).select(
+        "conv_id", "role", "turn_idx", "text", "tool", "ts"
+    ).coalesce(1).write.option("header", True).csv(str(out))
+    with pytest.raises(Exception, match="(?i)header|schema"):
+        read_transcripts_csv(spark, str(out)).count()
