@@ -118,6 +118,17 @@ class DedupeConfig:
             raise ValueError("num_perm must be a power of two (OPH bins)")
         if self.simhash_bits % self.simhash_chunks != 0:
             raise ValueError("simhash_bits must divide into simhash_chunks")
+        if self.simhash_hamming_max >= self.simhash_chunks:
+            # the pigeonhole guarantee is "hamming <= chunks-1 collides
+            # on >= 1 chunk": a pair at hamming == chunks can differ in
+            # EVERY chunk, never becomes a candidate, and is silently
+            # missing even though the hamming filter would accept it —
+            # a recall hole with no error and no is_hot metric
+            raise ValueError(
+                "simhash_hamming_max must be < simhash_chunks (pigeonhole "
+                f"blocking), got {self.simhash_hamming_max} vs "
+                f"{self.simhash_chunks} chunks"
+            )
 
     def fingerprint(self) -> str:
         """Content-address of the config — stamped into checkpoint stage

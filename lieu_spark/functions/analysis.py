@@ -48,7 +48,16 @@ def _ratio6(num: Column, den: Column) -> Column:
 
 
 def quality_columns(text: Column) -> dict[str, Column]:
-    """Length/punct/stopword-ratio quality features (integer-scaled)."""
+    """Length/punct/stopword-ratio quality features (integer-scaled).
+
+    ENGLISH-CENTRIC BY DESIGN, like the C4/Gopher rules it mirrors:
+    alpha counts [a-z] only and the punct ratio treats every non-ASCII
+    letter as punctuation, so accented/CJK text scores low — gate
+    multilingual corpora per-language (route through lang_guess first)
+    or recalibrate thresholds per corpus (CLAUDE.md notes the same for
+    the bigram-LM score). Kept ASCII-only deliberately: the scores are
+    exact integer math replayed by the DuckDB oracle, and Java-regex vs
+    RE2 unicode-class semantics do not agree bit-for-bit."""
     raw = F.coalesce(text, F.lit(""))
     n_chars = F.length(raw).cast("long")
     toks = tokenize(text)
@@ -110,14 +119,10 @@ def gopher_rules(docs, id_col: str = "doc_id", text_col: str = "text"):
     r_mean = ((mean6 >= 3000000) & (mean6 <= 10000000)).cast("int")
     r_stop = (stops >= 2).cast("int")
     r_alpha = (alpha6 >= 800000).cast("int")
-    keep = (
-        (n >= 50)
-        & (n <= 100000)
-        & (mean6 >= 3000000)
-        & (mean6 <= 10000000)
-        & (stops >= 2)
-        & (alpha6 >= 800000)
-    ).cast("int")
+    # derived FROM the flag expressions, never re-stated: a threshold
+    # tweak that edited only one copy of the predicates would silently
+    # make keep disagree with the audit flags it summarizes
+    keep = ((r_len + r_mean + r_stop + r_alpha) == 4).cast("int")
     return d.select(
         F.col(id_col),
         n.alias("n_tokens"),

@@ -59,7 +59,11 @@ def oph_batch(arrays: pd.Series, num_perm: int) -> pd.Series:
     n = len(arrays)
     B = num_perm
     shift = np.uint64(64 - int(B).bit_length() + 1)  # 64 - log2(B)
-    lens = np.fromiter((len(v) for v in arrays), dtype=np.int64, count=n)
+    # None (a NULL array column) is the documented "no hashes" encoding
+    # alongside []; len(None) would TypeError and kill the stage
+    lens = np.fromiter(
+        (0 if v is None else len(v) for v in arrays), dtype=np.int64, count=n
+    )
     out = np.full((n, B), _EMPTY, dtype=np.uint64)
     nz = np.nonzero(lens > 0)[0]
     if nz.size:
@@ -109,7 +113,13 @@ def make_minhash_pair_udf(cfg: DedupeConfig):
         sig = oph_batch(hashes, num_perm)
         n = len(alt)
         alt_out: list = [None] * n
-        nz = [i for i in range(n) if len(alt.iat[i])]
+        # None-safe: a NULL alt array is the natural "no alt family"
+        # encoding (the docstring's own contract) — len(None) raised
+        nz = [
+            i
+            for i in range(n)
+            if alt.iat[i] is not None and len(alt.iat[i])
+        ]
         if nz:
             alt_sigs = oph_batch(
                 pd.Series([alt.iat[i] for i in nz]), num_perm

@@ -55,12 +55,18 @@ def make_simhash_udf():
     return simhash_udf
 
 
-def token_hashes(tokens_col) -> "F.Column":
-    """JVM-side per-token xxhash64 (duplicates kept => tf weighting)."""
-    return F.transform(tokens_col, lambda t: F.xxhash64(t))
+# the per-token hash is text.token_hashes — ONE implementation so the
+# SimHash family can never drift from the shingle family pipeline.py
+# builds from the same pass (a seed/cast change in a local copy would
+# silently desynchronize them; CLAUDE.md's xxhash64 int-vs-long gotcha
+# is exactly such a change)
+from .text import token_hashes  # noqa: E402  (re-export, shared impl)
 
 
-def with_simhash(df, cfg: DedupeConfig, tokens_col: str = "tokens"):
+def with_simhash(df, cfg: DedupeConfig | None = None, tokens_col: str = "tokens"):
+    """cfg is accepted for call-site symmetry with the other feature
+    builders but unused: the 64-bit width is fixed by the packing
+    (simhash_bits only partitions chunks downstream)."""
     return df.withColumn(
         "simhash", make_simhash_udf()(token_hashes(F.col(tokens_col)))
     )

@@ -103,24 +103,18 @@ def idf_weights(docs_tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def weighted_jaccard_for_pairs(
-    pairs: DataFrame, docs_tokens: DataFrame, weights: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """Weighted Jaccard over distinct-token sets for given (id_a, id_b)
-    pairs:  wj = Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t).
+def _pair_weighted_jaccard(pairs: DataFrame, tw: DataFrame) -> DataFrame:
+    """Shared per-pair weighted-Jaccard kernel over a weighted token
+    frame (id, token, w6): (id_a, id_b, w_inter, w_union, wj6).
 
-    Relational all the way (explode -> weight join -> two keyed
-    aggregations): no UDF, partial aggregation map-side, and the
-    weights table is broadcast when small (vocabulary ≪ corpus). The
-    pair-side joins shuffle on id — same shape as verify_pairs, so the
-    100 TB plan is unchanged when swapping verifiers. Output:
-    (id_a, id_b, w_inter, w_union, wj6)."""
-    tok = docs_tokens.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct("tokens")).alias("token")
-    ).join(weights, "token")
-    per_doc = tok.groupBy("id").agg(F.sum("w6").alias("w_tot"))
-    ta = tok.select(F.col("id").alias("id_a"), "token", F.col("w6").alias("w6_a"))
-    tb = tok.select(F.col("id").alias("id_b"), "token")
+    SPINE-PRESERVING: every input pair emits exactly one row. A side
+    with no weighted tokens (empty/punctuation-only text, or every
+    token pruned by the weight table's min-df) contributes totals of 0
+    and the pair reports wj6=0 — the inner-join form silently DROPPED
+    such pairs, the same defect class theta_pair_ops fixed."""
+    per_doc = tw.groupBy("id").agg(F.sum("w6").alias("w_tot"))
+    ta = tw.select(F.col("id").alias("id_a"), "token", F.col("w6").alias("w6_a"))
+    tb = tw.select(F.col("id").alias("id_b"), "token")
     inter = (
         pairs.join(ta, "id_a")
         .join(tb, ["id_b", "token"])
@@ -131,9 +125,11 @@ def weighted_jaccard_for_pairs(
     sb = per_doc.select(F.col("id").alias("id_b"), F.col("w_tot").alias("w_b"))
     out = (
         pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"w_inter": 0})
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .withColumn("w_inter", F.coalesce("w_inter", F.lit(0).cast("long")))
+        .withColumn("w_a", F.coalesce("w_a", F.lit(0).cast("long")))
+        .withColumn("w_b", F.coalesce("w_b", F.lit(0).cast("long")))
         .withColumn("w_union", F.col("w_a") + F.col("w_b") - F.col("w_inter"))
     )
     return out.select(
@@ -150,6 +146,25 @@ def weighted_jaccard_for_pairs(
         .otherwise(F.lit(0).cast("long"))
         .alias("wj6"),
     )
+
+
+def weighted_jaccard_for_pairs(
+    pairs: DataFrame, docs_tokens: DataFrame, weights: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted Jaccard over distinct-token sets for given (id_a, id_b)
+    pairs:  wj = Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t).
+
+    Relational all the way (explode -> weight join -> two keyed
+    aggregations): no UDF, partial aggregation map-side, and the
+    weights table is broadcast when small (vocabulary ≪ corpus). The
+    pair-side joins shuffle on id — same shape as verify_pairs, so the
+    100 TB plan is unchanged when swapping verifiers. Spine-preserving
+    (see _pair_weighted_jaccard). Output:
+    (id_a, id_b, w_inter, w_union, wj6)."""
+    tok = docs_tokens.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct("tokens")).alias("token")
+    ).join(weights, "token")
+    return _pair_weighted_jaccard(pairs, tok)
 
 
 def bucket_aliases(
@@ -250,48 +265,30 @@ def blended_weighted_jaccard(
     gweights = idf_weights(docs_tokens, id_col=id_col)
 
     g = weighted_jaccard_for_pairs(pairs, docs_tokens, gweights, id_col=id_col)
-    # bucket half: same relational shape, weights keyed by (bucket, token)
+    # bucket half: the SAME spine-preserving kernel, weighted token
+    # frame keyed by (bucket, token) instead of (token) — one formula,
+    # one place to fix it
     eff = toks.join(aliases, ["lang", "source"]).select(
         F.col(id_col).alias("id"), "lang", "eff_source",
         F.explode(F.array_distinct("tokens")).alias("token"),
     )
-    tw = eff.join(bweights, ["lang", "eff_source", "token"])
-    per_doc = tw.groupBy("id").agg(F.sum("w6").alias("w_tot"))
-    ta = tw.select(F.col("id").alias("id_a"), "token", F.col("w6").alias("w6_a"))
-    tb = tw.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        pairs.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum("w6_a").alias("w_inter"))
+    tw = eff.join(bweights, ["lang", "eff_source", "token"]).select(
+        "id", "token", "w6"
     )
     bucket_of = (
         eff.select("id", "lang", "eff_source")
         .dropDuplicates(["id"])
         .select(F.col("id").alias("id_a"), "lang", "eff_source")
     )
-    sa = per_doc.select(F.col("id").alias("id_a"), F.col("w_tot").alias("w_a"))
-    sb = per_doc.select(F.col("id").alias("id_b"), F.col("w_tot").alias("w_b"))
+    # bucket_of joins LEFT: an id_a doc whose (lang, source) row is
+    # missing keeps its pair (null bucket labels) instead of dropping it
     b = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"w_inter": 0})
-        .join(bucket_of, "id_a")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("w_union", F.col("w_a") + F.col("w_b") - F.col("w_inter"))
-        .select(
-            "id_a", "id_b", "lang", "eff_source",
-            F.when(
-                F.col("w_union") > 0,
-                F.round(
-                    F.col("w_inter").cast("double")
-                    / F.col("w_union").cast("double") * 1e6
-                ).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias("wj6_bucket"),
-        )
+        _pair_weighted_jaccard(pairs, tw)
+        .withColumnRenamed("wj6", "wj6_bucket")
+        .join(bucket_of, "id_a", "left")
+        .select("id_a", "id_b", "lang", "eff_source", "wj6_bucket")
     )
+    # both halves preserve the spine, so this equi-join IS the spine
     out = b.join(g.select("id_a", "id_b", F.col("wj6").alias("wj6_global")),
                  ["id_a", "id_b"])
     p = proportion_num
@@ -305,35 +302,42 @@ def blended_weighted_jaccard(
 def information_gain(
     docs_tokens: DataFrame, id_col: str = "doc_id", min_count: int = 1
 ) -> DataFrame:
-    """(token, ig) over the corpus, lieu semantics: context = the other
-    distinct tokens co-occurring in a document.
+    """(token, ig) over the corpus — REFERENCE-PARITY formula
+    (lib/lieu/information_gain.py:47-102, InformationGainBuilder):
+    context = the other distinct tokens co-occurring in a document,
 
-    Reference (lib/lieu/information_gain.py:74-102): with N = total
-    token-pair observations and M = total token observations,
-      p(w)    = count(w) / M
-      p(w, c) = cooccur(w, c) / N
-      ig(w)   = sum_c max(0, p(w,c) * log2(p(w,c) / (p(w) * p(c))))
-      no co-occurrences at all -> ig(w) = -log2(p(w))
+      p(x)    = docfreq(x) / num_docs          (the context marginal)
+      n_y     = Σ_x co(y, x)                   (y's co-occurrence mass)
+      p(x|y)  = co(y, x) / n_y                 (row-normalized PER WORD)
+      ig(y)   = max(0, Σ_x p(x|y) * log2(p(x|y) / p(x)))   (SUM clamp)
+      never co-occurring -> ig(y) = -log2(p(y))
+
+    (An earlier revision normalized the joint by a GLOBAL pair total,
+    divided by p(w)*p(c), and clamped per term — a PMI variant, not the
+    reference's conditional-KL form; for any multi-doc corpus the two
+    diverge.) ``min_count`` (P7) prunes the vocabulary up front — a
+    pruned word is treated as nonexistent both as the scored word and
+    as context; min_count=1 is exactly the reference.
     """
     toks = docs_tokens.select(id_col, F.array_distinct("tokens").alias("toks"))
-    # marg feeds m / pw / pc / the lonely anti-join and pairs feeds the
-    # n scalar + the joint probe: both are persisted post-aggregation
-    # (vocab- and vocab-pair-bounded) so the corpus explodes — in
-    # pairs' case the |toks|^2 per-doc pair stream, the dominant cost —
-    # run exactly once instead of once per consumer (exchange reuse
-    # does not unify differently-pruned subtrees; measured on the
-    # bigram-LM chain).
+    # num_docs as a lazy broadcast scalar (coalesce guards the empty
+    # corpus) — no driver-side action during plan construction
+    nd = toks.agg(
+        F.coalesce(F.count("*"), F.lit(1)).cast("double").alias("_n_docs")
+    )
+    # marg feeds the pair prunes / p(x) / the lonely anti-join and
+    # pairs feeds n_y + the joint probe: both are persisted
+    # post-aggregation (vocab- and vocab-pair-bounded) so the corpus
+    # explodes — in pairs' case the |toks|^2 per-doc pair stream, the
+    # dominant cost — run exactly once instead of once per consumer
+    # (exchange reuse does not unify differently-pruned subtrees;
+    # measured on the bigram-LM chain).
     marg = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_count)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # totals as lazy broadcast scalars (coalesce(,1) guards the empty
-    # corpus) — no driver-side action during plan construction
-    m = marg.agg(
-        F.coalesce(F.sum("cnt"), F.lit(1)).cast("double").alias("_m_total")
     )
     pairs = (
         toks.select(F.explode("toks").alias("w"), F.col("toks"))
@@ -341,31 +345,26 @@ def information_gain(
         .filter(F.col("w") != F.col("c"))
         .groupBy("w", "c")
         .agg(F.count("*").alias("co"))
+        .join(marg.select("w"), "w")
+        .join(marg.select(F.col("w").alias("c")), "c")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = pairs.agg(
-        F.coalesce(F.sum("co"), F.lit(1)).cast("double").alias("_n_total")
-    )
-    pw = marg.crossJoin(F.broadcast(m)).select(
-        "w", (F.col("cnt") / F.col("_m_total")).alias("p_w")
+    ny = pairs.groupBy("w").agg(F.sum("co").cast("double").alias("n_y"))
+    pw = marg.crossJoin(F.broadcast(nd)).select(
+        "w", (F.col("df") / F.col("_n_docs")).alias("p_w")
     )
     pc = pw.select(F.col("w").alias("c"), F.col("p_w").alias("p_c"))
     joint = (
-        pairs.crossJoin(F.broadcast(n))
-        .withColumn("p_wc", F.col("co") / F.col("_n_total"))
-        .drop("_n_total")
-        .join(pw, "w")
+        pairs.join(ny, "w")
         .join(pc, "c")
+        .withColumn("p_xy", F.col("co") / F.col("n_y"))
         .withColumn(
-            "term",
-            F.greatest(
-                F.lit(0.0),
-                F.col("p_wc")
-                * F.log2(F.col("p_wc") / (F.col("p_w") * F.col("p_c"))),
-            ),
+            "term", F.col("p_xy") * F.log2(F.col("p_xy") / F.col("p_c"))
         )
     )
-    ig = joint.groupBy("w").agg(F.sum("term").alias("ig"))
+    ig = joint.groupBy("w").agg(
+        F.greatest(F.lit(0.0), F.sum("term")).alias("ig")
+    )
     # words never co-occurring (single-token docs): -log2(p(w))
     lonely = pw.join(ig, "w", "left_anti").select(
         "w", (-F.log2(F.col("p_w"))).alias("ig")

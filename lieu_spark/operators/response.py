@@ -53,8 +53,13 @@ def dedupe_responses(
         F.col("conv_id").alias("other_id"),
         (F.col("conv_id") == F.col("cluster_id")).alias("other_is_canonical"),
     )
+    # default True for neighbors absent from the clusters table — the
+    # SAME default the record-level is_canonical coalesce applies below
+    # for the same unclustered doc (an unclustered doc is its own
+    # canonical); False here made the nested flag contradict the
+    # neighbor's own top-level row for every REVIEW-only pair
     sym = sym.join(canon, "other_id", "left").withColumn(
-        "other_is_canonical", F.coalesce(F.col("other_is_canonical"), F.lit(False))
+        "other_is_canonical", F.coalesce(F.col("other_is_canonical"), F.lit(True))
     )
     entry = F.struct(
         # sim desc, id asc: negate sim for ascending array_sort

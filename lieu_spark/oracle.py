@@ -241,33 +241,42 @@ def tfidf_scores(docs: dict, min_df: int = 1) -> dict:
 
 
 def information_gain(docs: dict, min_count: int = 1) -> dict:
-    """{token: ig} — twin of functions/weighting.information_gain
-    (lieu lib/lieu/information_gain.py:74-102)."""
+    """{token: ig} — twin of functions/weighting.information_gain,
+    reference-parity formula (lieu lib/lieu/information_gain.py:47-102,
+    InformationGainBuilder): p(x) = docfreq/num_docs, joint normalized
+    per word over its co-occurrence mass, clamp on the SUM; pruned
+    words (docfreq < min_count) are nonexistent both as the scored word
+    and as context."""
     import math
 
     marg: Counter = Counter()
-    co: Counter = Counter()
+    co: dict = {}
     for toks in docs.values():
         ts = sorted(set(toks))
         marg.update(ts)
         for w in ts:
             for c in ts:
                 if w != c:
-                    co[(w, c)] += 1
+                    co.setdefault(w, Counter())[c] += 1
+    n_docs = len(docs) or 1
     marg = Counter({w: c for w, c in marg.items() if c >= min_count})
-    m_total = sum(marg.values()) or 1
-    n_total = sum(co.values()) or 1
     ig: dict = {}
-    for (w, c), cnt in co.items():
-        if w not in marg or c not in marg:
+    for w, ctx in co.items():
+        if w not in marg:
             continue
-        p_wc = cnt / n_total
-        p_w = marg[w] / m_total
-        p_c = marg[c] / m_total
-        ig[w] = ig.get(w, 0.0) + max(0.0, p_wc * math.log2(p_wc / (p_w * p_c)))
+        kept = {c: cnt for c, cnt in ctx.items() if c in marg}
+        if not kept:
+            continue
+        n_y = sum(kept.values())
+        s = 0.0
+        for c, cnt in kept.items():
+            p_xy = cnt / n_y
+            p_c = marg[c] / n_docs
+            s += p_xy * math.log2(p_xy / p_c)
+        ig[w] = max(0.0, s)
     for w, cnt in marg.items():
         if w not in ig:
-            ig[w] = -math.log2(cnt / m_total)
+            ig[w] = -math.log2(cnt / n_docs)
     return ig
 
 

@@ -1854,27 +1854,28 @@ FROM base b LEFT JOIN ka k USING (doc_id) ORDER BY conv_id
 # lexicographic order keys agree byte-for-byte)
 ORACLE["info_gain_terms"] = f"""
 WITH tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM tok),
 wt AS (SELECT doc_id, unnest(toks) AS w FROM tok),
-marg AS (SELECT w, count(*) AS cnt FROM wt GROUP BY w HAVING count(*) >= 5),
-m AS (SELECT CAST(sum(cnt) AS DOUBLE) AS m_total FROM marg),
+marg AS (SELECT w, count(*) AS df FROM wt GROUP BY w HAVING count(*) >= 5),
 prs AS (
     SELECT a.w AS w, b.w AS c, count(*) AS co
     FROM wt a JOIN wt b ON a.doc_id = b.doc_id AND a.w <> b.w
+    JOIN marg m1 ON a.w = m1.w
+    JOIN marg m2 ON b.w = m2.w
     GROUP BY a.w, b.w
 ),
-n AS (SELECT CAST(sum(co) AS DOUBLE) AS n_total FROM prs),
-pw AS (SELECT w, cnt / (SELECT m_total FROM m) AS p_w FROM marg),
+ny AS (SELECT w, CAST(sum(co) AS DOUBLE) AS n_y FROM prs GROUP BY w),
+px AS (SELECT w AS c, df / (SELECT n_docs FROM nd) AS p_c FROM marg),
 joint AS (
-    SELECT p.w, p.co / (SELECT n_total FROM n) AS p_wc,
-           w1.p_w AS p_w, w2.p_w AS p_c
-    FROM prs p JOIN pw w1 ON p.w = w1.w JOIN pw w2 ON p.c = w2.w
+    SELECT p.w, (p.co / ny.n_y) AS p_xy, px.p_c
+    FROM prs p JOIN ny USING (w) JOIN px ON p.c = px.c
 ),
 ig AS (
-    SELECT w, sum(greatest(0.0, p_wc * log2(p_wc / (p_w * p_c)))) AS ig
+    SELECT w, greatest(0.0, sum(p_xy * log2(p_xy / p_c))) AS ig
     FROM joint GROUP BY w
 ),
 lonely AS (
-    SELECT w, -log2(p_w) AS ig FROM pw
+    SELECT w, -log2(df / (SELECT n_docs FROM nd)) AS ig FROM marg
     WHERE w NOT IN (SELECT w FROM ig)
 ),
 allig AS (SELECT * FROM ig UNION ALL SELECT * FROM lonely)

@@ -1884,17 +1884,18 @@ def q_boilerplate_scrub(spark, sf_dir):
 
 def q_info_gain_terms(spark, sf_dir):
     """A8 closed (the last SURVEY §2 row without a SQL oracle):
-    information gain per token, lieu semantics (functions/weighting.
-    information_gain; reference lib/lieu/information_gain.py:74-102) —
-    context = the other distinct tokens co-occurring in a document,
-    ig(w) = sum_c max(0, p(w,c) * log2(p(w,c) / (p(w)*p(c)))), with
-    -log2(p(w)) for tokens that never co-occur. The joint/marginal/log2
-    chain is pure relational algebra over exact integer counts, so the
-    DuckDB twin replays it end to end; the output is 1e6-quantized
-    (same convention as tfidf score6) and restricted to ASCII tokens so
-    cross-engine string ordering cannot diverge. min_count prunes the
-    marginal table the same way the reference's min-count filter does
-    (P7)."""
+    information gain per token, reference-parity semantics
+    (functions/weighting.information_gain; reference
+    lib/lieu/information_gain.py:47-102) — context = the other distinct
+    tokens co-occurring in a document, p(x) = docfreq(x)/num_docs,
+    ig(y) = max(0, sum_x p(x|y) * log2(p(x|y) / p(x))) with the joint
+    row-normalized per word (p(x|y) = co(y,x)/n_y), and -log2(p(y)) for
+    tokens that never co-occur. The joint/marginal/log2 chain is pure
+    relational algebra over exact integer counts, so the DuckDB twin
+    replays it end to end; the output is 1e6-quantized (same convention
+    as tfidf score6) and restricted to ASCII tokens so cross-engine
+    string ordering cannot diverge. min_count prunes the vocabulary up
+    front, as the reference's min-count filter does (P7)."""
     from .functions.weighting import information_gain
 
     d = load(spark, sf_dir, "documents")

@@ -113,3 +113,23 @@ def test_match_empty_docs_and_boilerplate_groups(spark):
     assert pairs.get(("c9", "n2")) == ("exact_duplicate", True), pairs
     # and no spurious empty-vs-content pairs exist
     assert ("c9", "n1") not in pairs
+
+
+def test_response_nested_canonical_consistent_for_unclustered(spark):
+    # a REVIEW-only pair: neither doc is clustered, so the record-level
+    # is_canonical defaults True — the nested neighbor flag must agree
+    from lieu_spark.operators.response import dedupe_responses
+
+    convs = spark.createDataFrame([("a",), ("b",)], "conv_id string")
+    verified = spark.createDataFrame(
+        [("a", "b", "needs_review", 0.75, "stream")],
+        "id_a string, id_b string, status string, jaccard double, method string",
+    )
+    clusters = spark.createDataFrame(
+        [], "conv_id string, cluster_id string"
+    )
+    rows = {r.conv_id: r for r in
+            dedupe_responses(convs, verified, clusters).collect()}
+    assert rows["a"].is_canonical and rows["b"].is_canonical
+    assert rows["a"].possibly_same_as[0].is_canonical is True
+    assert rows["b"].possibly_same_as[0].is_canonical is True

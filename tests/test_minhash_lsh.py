@@ -109,3 +109,18 @@ def test_fused_dual_minhash_equals_two_passes(spark):
     for cid, (sig, alt_sig) in fused.items():
         assert sig == prim[cid], cid
         assert alt_sig == alt.get(cid), cid
+
+
+def test_minhash_dual_null_alt_array(spark):
+    # NULL alt array = "no alt family" (the documented contract);
+    # len(None) used to TypeError inside the fused Arrow pass
+    from lieu_spark.functions.minhash import with_minhash_dual
+
+    df = spark.createDataFrame(
+        [(1, [11, 22, 33], None), (2, [11, 22, 44], [5, 6])],
+        "doc_id long, shingle_hashes array<long>, alt_hashes array<long>",
+    )
+    out = {r.doc_id: r for r in with_minhash_dual(df, CFG).collect()}
+    assert out[1].alt_sig is None
+    assert out[2].alt_sig is not None
+    assert len(out[1].sig) == CFG.num_perm

@@ -77,3 +77,16 @@ def test_simhash_candidates_token_reorder(spark):
     got = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert got.get(("d000", "d001")) == 0
     assert all("d002" not in p for p in got)
+
+
+def test_config_rejects_hamming_max_at_or_above_chunks():
+    # pigeonhole blocking only guarantees a chunk collision for
+    # hamming <= chunks-1; accepting hamming_max == chunks silently
+    # loses pairs the filter claims to accept
+    import pytest
+
+    from lieu_spark.config import DedupeConfig
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DedupeConfig(simhash_hamming_max=4, simhash_chunks=4)
+    DedupeConfig(simhash_hamming_max=3, simhash_chunks=4)  # default ok

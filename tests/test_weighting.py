@@ -131,3 +131,48 @@ def test_bucket_aliases_semantics(spark):
         ("fr", "s1"): "s1",
         ("fr", "s2"): "s2",
     }
+
+
+def test_information_gain_reference_hand_values(spark):
+    # reference formula (lib/lieu/information_gain.py:47-102):
+    # docs {a,b},{a,b},{a,c},{c} -> p(a)=3/4, p(b)=1/2, p(c)=1/2
+    # ig(b) = 1 * log2(1 / (3/4)) = log2(4/3) (only context is a)
+    # ig(a) = (2/3)log2((2/3)/(1/2)) + (1/3)log2((1/3)/(1/2))
+    import math
+
+    from lieu_spark.functions.weighting import information_gain
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["a", "c"]), (4, ["c"])],
+        "doc_id long, tokens array<string>",
+    )
+    got = {r.token: r.ig for r in information_gain(df).collect()}
+    assert abs(got["b"] - math.log2(4 / 3)) < 1e-12
+    want_a = (2 / 3) * math.log2((2 / 3) / 0.5) + (1 / 3) * math.log2(
+        (1 / 3) / 0.5
+    )
+    assert abs(got["a"] - max(0.0, want_a)) < 1e-12
+    assert abs(got["c"] - math.log2(4 / 3)) < 1e-12
+
+
+def test_weighted_jaccard_keeps_pair_spine(spark):
+    # a pair whose one side has NO weighted tokens (empty text) must
+    # emit wj6=0, not silently vanish from the output
+    from lieu_spark.functions.weighting import (
+        idf_weights,
+        weighted_jaccard_for_pairs,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["x", "z"]), (3, [])],
+        "doc_id long, tokens array<string>",
+    )
+    weights = idf_weights(toks)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 2)], "id_a long, id_b long"
+    )
+    rows = {(r.id_a, r.id_b): r for r in
+            weighted_jaccard_for_pairs(pairs, toks, weights).collect()}
+    assert set(rows) == {(1, 2), (1, 3), (3, 2)}
+    assert rows[(1, 3)].wj6 == 0 and rows[(3, 2)].wj6 == 0
+    assert rows[(1, 2)].wj6 > 0
