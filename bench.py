@@ -325,7 +325,10 @@ def run_one(
             _sh.rmtree(sp_root)
         in_dir = sp_root / "in"
         in_dir.mkdir(parents=True)
-        chunk = (F.abs(F.xxhash64("conv_id")) % 3).alias("chunk")
+        # pmod, never abs(...)%: abs(Long.MIN_VALUE) overflows (ANSI
+        # throw / non-ANSI negative remainder matching no chunk) — same
+        # rule run_refresh_probe applies
+        chunk = F.pmod(F.xxhash64("conv_id"), F.lit(3)).alias("chunk")
         for c in range(3):
             tdf.withColumn("chunk", chunk).filter(F.col("chunk") == c).drop(
                 "chunk"
@@ -531,8 +534,20 @@ def submit(
     keep the fastest wall (shared-VM co-tenant noise is 1.5x+ run to
     run; min-of-k is the standard estimator for contended boxes)."""
     if repeats > 1:
+        # forward EVERY variant kwarg: dropping them would rerun the
+        # default shingles full run and label it as the caller's arm
         runs = [
-            submit(cores, sf_dir, corpus_parquet, f"{out_json}.{i}", repeats=1)
+            submit(
+                cores,
+                sf_dir,
+                corpus_parquet,
+                f"{out_json}.{i}",
+                repeats=1,
+                stream_parity=stream_parity,
+                verify_mode=verify_mode,
+                pipeline_only=pipeline_only,
+                refresh_probe=refresh_probe,
+            )
             for i in range(repeats)
         ]
         best = min(runs, key=lambda r: r["pipeline_wall_sec"])
@@ -649,11 +664,15 @@ def main() -> None:
         quarter = str(ensure_corpus(sf / (p2 // p1), max(100, n_convs * p1 // p2)))
         p2_runs, w_runs, s1_runs = [], [], []
         for i in range(max(1, reps)):
+            # pipeline_only: main() consumes only the pipeline-region
+            # fields from scaling runs, and the pipeline_only payload
+            # carries all of them — the recall/ANN secondary workloads
+            # were minutes of dead wall per run x ~14 runs per bench
             p2_runs.append(
-                submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json.{i}"))
+                submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}.json.{i}"), pipeline_only=True)
             )
             w_runs.append(
-                submit(p1, args.sf_dir, quarter, str(CACHE / f"run_w{p1}.json.{i}"))
+                submit(p1, args.sf_dir, quarter, str(CACHE / f"run_w{p1}.json.{i}"), pipeline_only=True)
             )
         # strong-scaling pair: its OWN interleave (p1-full, p2-full) x 2
         # with per-round ratios — the measurement-discipline rule (never
@@ -664,10 +683,10 @@ def main() -> None:
         strong_reps = int(os.environ.get("SPARK_GRAFT_BENCH_STRONG_REPEATS", "2"))
         for i in range(strong_reps):
             s1_runs.append(
-                submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json.{i}"))
+                submit(p1, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p1}.json.{i}"), pipeline_only=True)
             )
             s2_runs.append(
-                submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}s.json.{i}"))
+                submit(p2, args.sf_dir, corpus_parquet, str(CACHE / f"run_s{p2}s.json.{i}"), pipeline_only=True)
             )
         strong_ratios = [
             round(b["turns_per_sec"] / a["turns_per_sec"], 3)
@@ -681,7 +700,14 @@ def main() -> None:
         ]
         rp2 = min(p2_runs + s2_runs, key=lambda r: r["pipeline_wall_sec"])
         rw = min(w_runs, key=lambda r: r["pipeline_wall_sec"])
-        r1 = min(s1_runs, key=lambda r: r["pipeline_wall_sec"])
+        # STRONG_REPEATS=0 opts out of the strong pair: no s1 runs, so
+        # the p1-side fields degrade to None instead of a ValueError
+        # that would lose the whole bench after the weak phase
+        r1 = (
+            min(s1_runs, key=lambda r: r["pipeline_wall_sec"])
+            if s1_runs
+            else None
+        )
         # weak efficiency per interleave ROUND (adjacent runs see the
         # same co-tenant conditions); the headline is the MEDIAN round
         # (per the round-1 advisory), robust to 2-of-5 spiked rounds;
@@ -705,8 +731,8 @@ def main() -> None:
         )
         scaling = {
             "p1_cores": p1,
-            "p1_wall_sec": round(r1["pipeline_wall_sec"], 2),
-            "p1_turns_per_sec": round(r1["turns_per_sec"], 1),
+            "p1_wall_sec": round(r1["pipeline_wall_sec"], 2) if r1 else None,
+            "p1_turns_per_sec": round(r1["turns_per_sec"], 1) if r1 else None,
             "p2_cores": p2,
             "p2_wall_sec": round(rp2["pipeline_wall_sec"], 2),
             "p2_turns_per_sec": round(rp2["turns_per_sec"], 1),

@@ -120,6 +120,7 @@ def main() -> None:
     ]
 
     kept_count = None
+    ev_quarantined = None
     if args.eval_input:
         # same corrupt-payload policy as the train side: one bad eval
         # payload must not kill the decon stage after hashes/pairs/
@@ -129,7 +130,14 @@ def main() -> None:
                 max(spark.sparkContext.defaultParallelism, 8)
             ),
             on_error=args.on_error,
-        )
+        ).persist()
+        # quarantined eval rows have NULL hashes, never join, and so
+        # silently VACATE decontamination — count them like the train
+        # side so an all-corrupt eval set (kept == reps, nothing
+        # actually screened) is visible in the summary, not a silent
+        # no-op decon
+        ev_quarantined = ev.filter(F.col("format") == "error").count()
+        ev = ev.filter(F.col("format") != "error")
         kept = image_decon_keep(
             reps, ev, hamming_max=args.hamming_max, chunks=args.chunks
         )
@@ -149,6 +157,7 @@ def main() -> None:
         "reps": reps.count(),
         "kept_after_decon": kept_count,
         "quarantined": n_quarantined,
+        "eval_quarantined": ev_quarantined,
         "fingerprint": fingerprint,
     }
     print(json.dumps(summary))

@@ -86,10 +86,16 @@ def main() -> None:
     next_store = StageStore(f"{out}/stages")
     next_store.save(spark, "features", res.features, fp)
     next_store.save(spark, "bands", res.bands, fp)
-    next_store.save(spark, "verified", res.verified, fp)
+    # verified/clusters were JUST written above — save the state copies
+    # from the written parquet, not from res.* (the result frames are
+    # un-checkpointed shallow plans over the old state, so a second
+    # write from them re-runs the corpus-scale CDC anti-join/union —
+    # the exact once-per-consumer recompute the lineage note below
+    # exists to avoid)
+    next_store.save(spark, "verified", spark.read.parquet(f"{out}/pairs"), fp)
     # clusters in the chained store keep the NEXT refresh's connected
     # components incremental (affected-subgraph only)
-    next_store.save(spark, "clusters", res.clusters, fp)
+    next_store.save(spark, "clusters", spark.read.parquet(f"{out}/clusters"), fp)
 
     # Lineage + counts rescan the WRITTEN tables (shallow parquet reads),
     # never the refresh plans — re-running res.* here would recompute the

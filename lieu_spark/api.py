@@ -67,14 +67,31 @@ def match(
     # the exchange on its own). Lazy markers: populated at the caller's
     # first action, evicted LRU; long-lived drivers running many
     # match() calls can spark.catalog.clearCache() between them.
-    canon = build_features(assemble_conversations(canonical_transcripts), cfg)
-    inc = build_features(assemble_conversations(incoming_transcripts), cfg).persist()
+    # max_turns flows through exactly as in run_pipeline/refresh: a
+    # capped conv must get the SAME doc/text_sha here as in the
+    # pipeline-built state it is matched against, and the cap is also
+    # what bounds the collect_list buffer against a pathological conv
+    canon = build_features(
+        assemble_conversations(
+            canonical_transcripts, max_turns=cfg.max_turns_per_conv
+        ),
+        cfg,
+    )
+    inc = build_features(
+        assemble_conversations(
+            incoming_transcripts, max_turns=cfg.max_turns_per_conv
+        ),
+        cfg,
+    ).persist()
     rep_w = Window.partitionBy("text_sha")
     canon_tag = canon.withColumn("_rep", F.min("conv_id").over(rep_w)).persist()
     canon_reps = canon_tag.filter(F.col("conv_id") == F.col("_rep")).drop("_rep")
     cb = band_table_dual(canon_reps.filter(F.size("shingle_hashes") > 0), cfg)
     ib = band_table_dual(inc.filter(F.size("shingle_hashes") > 0), cfg)
-    lsh_cand = match_pairs(cb, ib, cfg).select(
+    # hot_cap: rep-dedup collapses byte-identical copies but NOT
+    # near-identical boilerplate (distinct shas, shared bands) — the
+    # same bound the refresh cross path applies
+    lsh_cand = match_pairs(cb, ib, cfg, hot_cap=cfg.hot_band_cap).select(
         F.col("canonical_id").alias("id_a"), F.col("incoming_id").alias("id_b")
     )
     sha_cand = (

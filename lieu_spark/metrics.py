@@ -38,21 +38,7 @@ def record_stage(
     wall_sec: float,
     fingerprint: str,
 ) -> None:
-    if metrics_dir is None:
-        return
-    lineage = (
-        partition_lineage(df)
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("stage", F.lit(stage))
-        .withColumn("wall_sec", F.lit(wall_sec))
-        .withColumn("fingerprint", F.lit(fingerprint))
-        .withColumn("created_unix", F.lit(time.time()))
-        .select(
-            "run_id", "stage", "partition_id", "rows",
-            "wall_sec", "fingerprint", "created_unix",
-        )
-    )
-    lineage.write.mode("append").parquet(os.path.join(metrics_dir, "stage_metrics"))
+    record_stages(spark, metrics_dir, run_id, [(stage, df, wall_sec)], fingerprint)
 
 
 def record_stages(
