@@ -115,6 +115,44 @@ def test_match_empty_docs_and_boilerplate_groups(spark):
     assert ("c9", "n1") not in pairs
 
 
+def test_match_caps_turns_like_the_pipeline(spark):
+    """max_turns_per_conv flows into BOTH of match()'s assembly calls:
+    a conversation longer than the cap must hash identically to the
+    pipeline-capped state it is matched against, so two convs that
+    agree on the first `cap` turns but diverge past it are the SAME
+    doc under the cap — and distinct docs without it."""
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+
+    class R:
+        def __init__(self, cid, idx, text):
+            self.conv_id, self.turn_idx = cid, idx
+            self.role = "user" if idx % 2 == 0 else "assistant"
+            self.text, self.tool, self.ts = text, None, ts
+
+    shared = [f"shared turn text number {i} zz" for i in range(10)]
+    canon = [R("c1", i, shared[i]) for i in range(10)] + [
+        R("c1", i, f"canonical tail {i}") for i in range(10, 40)
+    ]
+    inc = [R("n1", i, shared[i]) for i in range(10)] + [
+        R("n1", i, f"divergent tail {i}") for i in range(10, 40)
+    ]
+
+    capped = match(
+        spark, _tdf(spark, canon), _tdf(spark, inc),
+        DedupeConfig(max_turns_per_conv=10),
+    )
+    pairs = {(r.canonical_id, r.incoming_id): r.is_exact for r in capped.collect()}
+    assert pairs.get(("c1", "n1")) is True, pairs
+
+    # negative control: uncapped, the divergent tails dominate — no match
+    uncapped = match(spark, _tdf(spark, canon), _tdf(spark, inc), CFG)
+    assert not {
+        (r.canonical_id, r.incoming_id) for r in uncapped.collect()
+    }, "75%-divergent convs must not match without the cap"
+
+
 def test_response_nested_canonical_consistent_for_unclustered(spark):
     # a REVIEW-only pair: neither doc is clustered, so the record-level
     # is_canonical defaults True — the nested neighbor flag must agree
