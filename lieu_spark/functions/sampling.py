@@ -600,12 +600,20 @@ def unimax_expand(
     when-guarded sequence (Spark's sequence(1, 0) is a DESCENDING
     2-element array, never an empty one — the guard is load-bearing).
     """
-    a = alloc.select(group_col, "epochs6")
+    a = alloc.select(F.col(group_col).alias("__ux_g"), "epochs6")
     n_full = F.expr("CAST(epochs6 DIV 1000000 AS BIGINT)")
     frac = F.col("epochs6") % F.lit(1_000_000)
     extra = (hash_bucket(F.col(id_col), salt) < frac).cast("long")
     return (
-        df.join(F.broadcast(a), group_col)
+        # eqNullSafe: unimax_allocation counts a NULL group (missing
+        # metadata) like any other and assigns it budget — a plain
+        # equi-join would silently throw that allocation away (and the
+        # other groups were shrunk to fund it); NULL-group docs must
+        # expand at their allocated rate
+        df.join(
+            F.broadcast(a), F.col(group_col).eqNullSafe(F.col("__ux_g"))
+        )
+        .drop("__ux_g")
         .withColumn("__copies", n_full + extra)
         .withColumn(
             "epoch",

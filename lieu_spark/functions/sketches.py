@@ -43,6 +43,43 @@ def _require_k(k: int) -> None:
         raise ValueError(f"sketch k must be >= 2, got {k}")
 
 
+def _distinct_hashes(df: DataFrame, gcols: list, value_col: str) -> DataFrame:
+    """The shared KMV front end: distinct (group, hv) pairs with NULL
+    values dropped BEFORE ranking (NULL hashes to NULL, which Spark
+    windows rank FIRST asc while SQL engines default NULLS LAST — the
+    cross-engine divergence the whole family filters against)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, kmv_hash(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
+
+
+def _bottom_k_stats(
+    hashes: DataFrame, gcols: list, k: int, n_name: str
+) -> DataFrame:
+    """Shared bottom-k boundary row per group over a distinct
+    (group, hv) frame: group_cols + (<n_name>, kth_min, kmv_estimate)
+    with the exact-below-k branch. ONE copy of the boundary filter and
+    the (k-1)*M div h_k estimator — kmv_distinct and kmv_merge must
+    stay in lockstep (a fix applied to one silently missing the other
+    is exactly the drift this helper exists to prevent)."""
+    w = Window.partitionBy(*gcols).orderBy("hv")
+    ranked = hashes.select(
+        *gcols,
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(*gcols)).alias("nd"),
+    )
+    per_group = ranked.filter(
+        (F.col("rn") <= F.lit(k)) & (F.col("rn") == F.least(F.col("nd"), F.lit(k)))
+    ).select(*gcols, F.col("nd").alias(n_name), F.col("hv").alias("kth_min"))
+    est = F.when(
+        F.col(n_name) < F.lit(k), F.col(n_name)
+    ).otherwise(F.expr(f"{(k - 1) * KMV_MAX} div kth_min"))
+    return per_group.withColumn("kmv_estimate", est.cast("long"))
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -57,7 +94,11 @@ def kmv_distinct(
     Output: group_cols + (n_exact, kth_min, kmv_estimate) — n_exact rides
     along as the verification column (it falls out of the same ranked
     frame for free; a production caller at 100 TB would drop it and skip
-    the count).
+    the count). n_exact counts distinct values ON THE 40-BIT HASH GRID:
+    it equals the true distinct-value count only while collisions are
+    negligible (birthday bound ~1.5M distinct values per group); past
+    that it undercounts — treat it as a grid diagnostic, not as truth
+    against an independent COUNT(DISTINCT value).
 
     Plan shape: one distinct on (group, hash) then a per-group window
     rank over the DISTINCT hash stream — the same single exchange an
@@ -68,31 +109,7 @@ def kmv_distinct(
     """
     _require_k(k)
     gcols = list(group_cols)
-    # NULL values hash to NULL, which Spark windows rank FIRST (asc
-    # nulls-first) while SQL engines default NULLS LAST — drop them
-    # before they can corrupt the bottom-k
-    hashes = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*gcols, kmv_hash(F.col(value_col)).alias("hv"))
-        .distinct()
-    )
-    w = Window.partitionBy(*gcols).orderBy("hv")
-    ranked = hashes.select(
-        *gcols,
-        "hv",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy(*gcols)).alias("nd"),
-    )
-    per_group = (
-        ranked.filter(
-            (F.col("rn") <= F.lit(k)) & (F.col("rn") == F.least(F.col("nd"), F.lit(k)))
-        )
-        .select(*gcols, F.col("nd").alias("n_exact"), F.col("hv").alias("kth_min"))
-    )
-    est = F.when(
-        F.col("n_exact") < F.lit(k), F.col("n_exact")
-    ).otherwise(F.expr(f"{(k - 1) * KMV_MAX} div kth_min"))
-    return per_group.withColumn("kmv_estimate", est.cast("long"))
+    return _bottom_k_stats(_distinct_hashes(df, gcols, value_col), gcols, k, "n_exact")
 
 
 def kmv_synopses(
@@ -108,14 +125,10 @@ def kmv_synopses(
     kmv_merge without touching the raw stream again."""
     _require_k(k)
     gcols = list(group_cols)
-    hashes = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*gcols, kmv_hash(F.col(value_col)).alias("hv"))
-        .distinct()
-    )
     w = Window.partitionBy(*gcols).orderBy("hv")
     return (
-        hashes.withColumn("rn", F.row_number().over(w))
+        _distinct_hashes(df, gcols, value_col)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.lit(k))
         .select(*gcols, "hv")
     )
@@ -143,20 +156,7 @@ def kmv_merge(
     _require_k(k)
     gcols = list(group_cols)
     u = synopses.select(*gcols, "hv").distinct()
-    w = Window.partitionBy(*gcols).orderBy("hv")
-    ranked = u.select(
-        *gcols,
-        "hv",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy(*gcols)).alias("nd"),
-    )
-    per_group = ranked.filter(
-        (F.col("rn") <= F.lit(k)) & (F.col("rn") == F.least(F.col("nd"), F.lit(k)))
-    ).select(*gcols, F.col("nd").alias("n_syn"), F.col("hv").alias("kth_min"))
-    est = F.when(
-        F.col("n_syn") < F.lit(k), F.col("n_syn")
-    ).otherwise(F.expr(f"{(k - 1) * KMV_MAX} div kth_min"))
-    return per_group.withColumn("kmv_estimate", est.cast("long"))
+    return _bottom_k_stats(u, gcols, k, "n_syn")
 
 
 def cms_bucket(key: Column, row: Column, width: int) -> Column:
@@ -238,11 +238,7 @@ def theta_sketches(
     estimates between groups then run entirely on these synopses —
     O(k) rows per group regardless of group size."""
     _require_k(k)
-    hashes = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(group_col, kmv_hash(F.col(value_col)).alias("hv"))
-        .distinct()
-    )
+    hashes = _distinct_hashes(df, [group_col], value_col)
     w = Window.partitionBy(group_col).orderBy("hv")
     ranked = hashes.select(
         group_col,
@@ -382,9 +378,25 @@ def histogram_quantiles(
     )
     # no broadcast hint: stats is one row per GROUP, unbounded for
     # high-cardinality groupings — let AQE pick broadcast when small
-    # instead of forcing a driver-OOM-able build side
+    # instead of forcing a driver-OOM-able build side.
+    # eqNullSafe keys: a NULL group gets a stats row from groupBy, and
+    # a plain equi-join would silently drop every one of its rows on
+    # the way back — the NULL group must emit quantiles like any other
+    # (matching kmv_distinct/theta_sketches, which keep NULL groups);
+    # EqualNullSafe is still a hash-partitionable equi-join key.
+    s_src, s_st = src.alias("__hq_src"), stats.alias("__hq_st")
+    jcond = None
+    for c in gcols:
+        t = F.col(f"__hq_src.{c}").eqNullSafe(F.col(f"__hq_st.{c}"))
+        jcond = t if jcond is None else (jcond & t)
     withb = (
-        src.join(stats, gcols)
+        s_src.join(s_st, jcond)
+        .select(
+            *[F.col(f"__hq_src.{c}") for c in src.columns],
+            F.col("__hq_st.vmin"),
+            F.col("__hq_st.vmax"),
+            F.col("__hq_st.n"),
+        )
         .withColumn(
             "width",
             F.greatest(F.expr("(vmax - vmin) div " + str(nbuckets)) + 1, F.lit(1)),

@@ -57,8 +57,12 @@ def fingerprint_jaccard_pairs(
     # get exchange reuse. Null fps can never equi-join, so they are
     # excluded from the sets up front (a null would otherwise inflate
     # nfp and deflate every jaccard the id appears in).
+    # ids pass through with their NATIVE type: a cast("long") here threw
+    # CAST_INVALID_INPUT under ANSI for string conv-style ids, an
+    # undocumented numeric-only precondition — ordering (id_a < id_b),
+    # the per-id window, and the equi-join all work on any orderable id
     base = fps.select(
-        F.col(id_col).cast("long").alias("id"), F.col(fp_col).alias("fp")
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
     ).filter(F.col("fp").isNotNull()).distinct()
     if max_fp_df is not None:
         # stop-filter FIRST so nfp counts the surviving universe; this

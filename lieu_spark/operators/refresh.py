@@ -393,6 +393,18 @@ def refresh_dedupe(
         # set via the gone star-center's old cluster, which contains
         # every survivor of its sha group, not via the edge itself.)
         fresh_dupes = dupe_pairs(fresh_part).select("id_a", "id_b")
+        # the cdc-count gate does NOT bound this section: touched_ids
+        # carries the STANDING-side endpoints of fresh pairs, and a
+        # boilerplate template inside a small delta can fan out to
+        # hot_cap partners per band — |touched| <= |cdc| + 2|fresh
+        # pairs|, so gate the CC broadcasts on BOTH measured counts
+        # (fresh_part is localCheckpointed above: the count is a cheap
+        # scan, no lineage re-run)
+        cc_small = (
+            small_delta
+            and fresh_dupes.count() <= REFRESH_BROADCAST_CAP
+        )
+        cc_bc = F.broadcast if cc_small else (lambda df: df)
         touched_ids = (
             gone.select(idc)
             .unionByName(fresh_dupes.select(F.col("id_a").alias(idc)))
@@ -401,7 +413,7 @@ def refresh_dedupe(
         )
         oc = old_clusters.select(idc, "cluster_id")
         affected = (
-            oc.join(bc(touched_ids), idc, "left_semi")
+            oc.join(cc_bc(touched_ids), idc, "left_semi")
             .select("cluster_id")
             .distinct()
             .localCheckpoint()
@@ -409,7 +421,7 @@ def refresh_dedupe(
         # members of affected clusters: NOT force-broadcast — one
         # pathological mega-cluster in the delta's blast radius would
         # OOM a hinted broadcast; the optimizer picks per run
-        members = oc.join(bc(affected), "cluster_id", "left_semi").select(
+        members = oc.join(cc_bc(affected), "cluster_id", "left_semi").select(
             F.col(idc).alias("id_a")
         )
         # an old pair's endpoints share an old cluster => id_a ∈ members
@@ -418,7 +430,7 @@ def refresh_dedupe(
         comp_aff = connected_components(
             kept_affected.select("id_a", "id_b").unionByName(fresh_dupes)
         )
-        unaffected = oc.join(bc(affected), "cluster_id", "left_anti")
+        unaffected = oc.join(cc_bc(affected), "cluster_id", "left_anti")
         comp = unaffected.select(idc, "cluster_id").unionByName(
             comp_aff.select(idc, "cluster_id")
         )
@@ -477,15 +489,24 @@ def refresh_pipeline(
     # "no metadata, proceed" — a gate that silently skips itself on a
     # transient store error is no gate.
     meta = store.meta("features", spark, strict=True)
-    if meta and meta.get("fingerprint"):
-        stored = str(meta["fingerprint"]).split("-in")[0]
-        if stored != cfg.fingerprint():
-            raise ValueError(
-                "refresh_pipeline: store was written under a different "
-                f"DedupeConfig (stage fingerprint {stored!r} != "
-                f"{cfg.fingerprint()!r}); refusing to merge pairs "
-                "verified under different thresholds"
-            )
+    if not (meta and meta.get("fingerprint")):
+        # every store this engine writes carries the marker (save()'s
+        # atomic rename is the commit point) — a features stage with
+        # no/empty marker is a partial copy or a foreign tool's output,
+        # and proceeding would skip the very check this gate enforces
+        raise ValueError(
+            "refresh_pipeline: the store's 'features' stage has no "
+            "fingerprint marker; refusing to refresh unverifiable "
+            "state (partial store copy?)"
+        )
+    stored = str(meta["fingerprint"]).split("-in")[0]
+    if stored != cfg.fingerprint():
+        raise ValueError(
+            "refresh_pipeline: store was written under a different "
+            f"DedupeConfig (stage fingerprint {stored!r} != "
+            f"{cfg.fingerprint()!r}); refusing to merge pairs "
+            "verified under different thresholds"
+        )
     old_features = store.load(spark, "features")
     old_bands = store.load(spark, "bands")
     old_verified = store.load(spark, "verified")

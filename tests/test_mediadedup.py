@@ -22,6 +22,18 @@ def _mkfps(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, fp long")
 
 
+def test_jaccard_pairs_string_ids_pass_through(spark):
+    # ids keep their native type: a conv-style string id must work
+    # (the old cast("long") threw CAST_INVALID_INPUT under ANSI)
+    rows = [("conv_a", f) for f in (1, 2, 3, 4)]
+    rows += [("conv_b", f) for f in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "doc_id string, fp long")
+    got = fingerprint_jaccard_pairs(df, min_jaccard6=300000).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.jaccard6) == ("conv_a", "conv_b", 333333)
+
+
 def test_jaccard_pairs_exact_values(spark):
     # A={1,2,3,4}, B={3,4,5,6} -> shared 2, union 6 -> 333333
     # A vs C={1,2,3,4} -> 1e6 ; B vs C -> 333333

@@ -332,6 +332,25 @@ def test_refresh_pipeline_rejects_mismatched_config(spark, tmp_path):
         refresh_pipeline(spark, store, t1, off)
 
 
+def test_refresh_pipeline_rejects_markerless_store(spark, tmp_path):
+    """A features stage with no fingerprint marker (partial store copy,
+    foreign tool) must be a hard error — a gate that silently skips
+    itself on missing metadata is no gate."""
+    import os
+
+    from lieu_spark.checkpoint import StageStore
+    from lieu_spark.operators.refresh import refresh_pipeline
+    from lieu_spark.pipeline import run_pipeline
+    from lieu_spark import corpus
+
+    t1 = corpus.generate_df(spark, 3, 30)
+    store = StageStore(str(tmp_path / "store"))
+    run_pipeline(spark, t1, CFG, store=store, with_spans=False)
+    os.remove(store._meta_path("features"))
+    with pytest.raises(ValueError, match="no\\s+fingerprint marker"):
+        refresh_pipeline(spark, store, t1, CFG)
+
+
 def test_match_pairs_hot_cap_bounds_fanout(spark):
     """A hot canonical band group pairs each incoming row with ~cap
     members (sub-bucket rule), and capped output is a subset of the

@@ -523,6 +523,25 @@ def test_unimax_expand_copies_and_guard(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, got))
 
 
+def test_unimax_expand_null_group_materializes(spark):
+    from lieu_spark.functions.sampling import unimax_allocation, unimax_expand
+
+    # unimax_allocation counts a NULL group (missing metadata) and
+    # assigns it budget; the expansion's null-safe broadcast join must
+    # materialize that allocation instead of silently dropping it (and
+    # with it the budget the other groups were shrunk to fund)
+    data = [(i, None, 10) for i in range(5)] + [(100 + i, "b", 10) for i in range(5)]
+    df = spark.createDataFrame(data, "doc_id long, grp string, w long")
+    alloc = unimax_allocation(df, "grp", "w", budget=200, epochs_cap=4)
+    # both groups get 100 tokens over 50 available -> 2 epochs each
+    got = unimax_expand(df, alloc, "grp", "doc_id", salt="t").collect()
+    null_rows = [r for r in got if r["grp"] is None]
+    b_rows = [r for r in got if r["grp"] == "b"]
+    assert len(null_rows) == 10, "NULL group's allocation must expand"
+    assert len(b_rows) == 10
+    assert sorted(r["epoch"] for r in null_rows if r["doc_id"] == 0) == [1, 2]
+
+
 def test_soft_dedup_weights_semantics(spark):
     from pyspark.sql import functions as F
 

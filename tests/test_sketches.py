@@ -280,6 +280,26 @@ def test_histogram_quantiles_ignore_nulls(spark):
     assert a[50][0] == 100
 
 
+def test_histogram_quantiles_null_group_kept(spark):
+    from lieu_spark.functions.sketches import histogram_quantiles
+
+    # a NULL GROUP key (vs NULL values, dropped above) is a group like
+    # any other: the stats row exists, and the null-safe join-back must
+    # not silently vacate its rows — it emits the same quantiles a
+    # non-null group with identical values does
+    df = spark.createDataFrame(
+        [(None, v) for v in range(1, 101)] + [("g", v) for v in range(1, 101)],
+        "grp string, v long",
+    )
+    out = histogram_quantiles(df, ["grp"], "v", (50, 90))
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, {})[r.pct] = (r.n, r.est)
+    assert set(by_grp) == {None, "g"}
+    assert by_grp[None] == by_grp["g"]
+
+
 def test_sketch_k_must_be_at_least_two(spark):
     from lieu_spark.functions.sketches import (
         kmv_merge,
