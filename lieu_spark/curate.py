@@ -203,19 +203,39 @@ def curate(
     in_sig = input_signature(documents)
     if in_sig:
         fp = f"{fp}-in{in_sig}"
+    def _content_sig(df: DataFrame) -> str:
+        # content-address an IN-MEMORY input when a store is in play: a
+        # constant 'mem' marker let a store-backed resume with a
+        # DIFFERENT eval set silently serve the stale decontaminated
+        # stage (contaminated docs passing into training). One tiny
+        # order-insensitive agg job (the repo's bit_xor checksum
+        # recipe) — runs only for store-backed runs with file-less
+        # inputs; parquet-backed inputs keep the free file signature.
+        row = df.select(
+            F.bit_xor(
+                F.xxhash64(F.col("doc_id").cast("string"), F.col("text"))
+            ).alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return f"mem{(row['h'] or 0) & (2**64 - 1):016x}n{row['n']}"
+
     if holdout is not None:
         # the holdout is an input too: resuming with a different (or
         # newly added) eval set must recompute decontamination, not
-        # serve the stale stage. In-memory holdouts have no file
-        # signature — the presence marker still separates them from
-        # no-holdout runs (content changes then need a fresh store).
-        fp = f"{fp}-ho{input_signature(holdout) or 'mem'}"
+        # serve the stale stage
+        ho_sig = input_signature(holdout)
+        if not ho_sig and store is not None:
+            ho_sig = _content_sig(holdout)
+        fp = f"{fp}-ho{ho_sig or 'mem'}"
     if cfg.dsir_top_k is not None and dsir_target is None:
         raise ValueError("cfg.dsir_top_k is set but no dsir_target was given")
     if dsir_target is not None:
         # same reasoning as the holdout: the target corpus shapes the
         # selection, so it belongs in the resume fingerprint
-        fp = f"{fp}-dt{input_signature(dsir_target) or 'mem'}"
+        dt_sig = input_signature(dsir_target)
+        if not dt_sig and store is not None:
+            dt_sig = _content_sig(dsir_target)
+        fp = f"{fp}-dt{dt_sig or 'mem'}"
 
     def stage(name: str, build, cache: bool = False) -> DataFrame:
         # same recipe as pipeline.run_pipeline.stage (kept in sync):

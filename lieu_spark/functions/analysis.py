@@ -11,7 +11,6 @@ driver's value-hash comparison exact across engines.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -273,8 +272,17 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    dwc = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # localCheckpoint (lazy), NOT persist: the reuse story is the same
+    # (materialize once at first action, every consumer reads blocks)
+    # but persist() registers in the CacheManager, which holds the
+    # entry until an explicit unpersist — a function-local handle never
+    # escapes, so chained sessions leaked one corpus-scale cached
+    # table per call. localCheckpoint blocks are reference-tracked and
+    # freed when the plan is released (same reasoning as curate's
+    # stage() and refresh's internals; applied to every multi-consumer
+    # reduced frame in weighting.py too).
+    dwc = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("k")).localCheckpoint(
+        eager=False
     )
     bc = dwc.groupBy("w1", "w2").agg(F.sum("k").alias("c"))
     cc = bc.groupBy("w1").agg(F.sum("c").alias("c_ctx"))

@@ -39,7 +39,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 NB_BUCKETS = 4096
 _NB_SALT = "nbq:"
@@ -89,11 +88,14 @@ def nb_quality_scores(
     # tokenize + explode exactly once: the class model and the doc
     # scores are DIFFERENTLY-PRUNED consumers of the same subtree, so
     # exchange reuse will not unify them (measured on the bigram-LM
-    # chain) — persist the reduced per-(doc, bucket) counts.
+    # chain) — materialize the reduced per-(doc, bucket) counts.
+    # localCheckpoint (lazy), not persist: CacheManager holds persist
+    # entries until an explicit unpersist this local handle can never
+    # issue (the analysis.py/weighting.py leak-class fix).
     dbc = (
         feats.groupBy(id_col, "__lbl", "__bkt")
         .agg(F.count("*").alias("__c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     cls = dbc.groupBy("__bkt").agg(
         F.sum(F.when(F.col("__lbl") == 1, F.col("__c")).otherwise(0)).alias("np"),

@@ -117,17 +117,78 @@ def _bits(precision: int) -> tuple[int, int]:
 
 def quantize(lat: Column, lon: Column, precision: int) -> tuple[Column, Column]:
     """Cell indices (lat_q, lon_q) — floor of the unit position scaled
-    to 2^bits, clamped so lat=90 / lon=180 land in the top cell."""
+    to 2^bits, clamped so lat=90 / lon=180 land in the top cell.
+
+    NULL coordinates stay NULL: F.least SKIPS nulls (SQL GREATEST/LEAST
+    semantics), so without the guard a null axis silently became the
+    top cell index — every unparseable coordinate blocked into the
+    lat~90/lon~180 'zzzz' corner (bogus candidate pairs + a skew
+    hotspot; the reference filters `lat is not None` before hashing).
+    A null index propagates to a null geohash through the interleave
+    arithmetic, and null blocking keys never equi-join."""
     lon_bits, lat_bits = _bits(precision)
-    lat_q = F.least(
-        F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)).cast("long"),
-        F.lit((1 << lat_bits) - 1),
+    lat_q = F.when(
+        lat.isNotNull() & lon.isNotNull(),
+        F.least(
+            F.floor((lat + 90.0) / 180.0 * float(1 << lat_bits)).cast("long"),
+            F.lit((1 << lat_bits) - 1),
+        ),
     )
-    lon_q = F.least(
-        F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)).cast("long"),
-        F.lit((1 << lon_bits) - 1),
+    lon_q = F.when(
+        lat.isNotNull() & lon.isNotNull(),
+        F.least(
+            F.floor((lon + 180.0) / 360.0 * float(1 << lon_bits)).cast("long"),
+            F.lit((1 << lon_bits) - 1),
+        ),
     )
     return lat_q, lon_q
+
+
+def _positions(total: int):
+    """(lon_pos, lat_pos) bit-slot functions for the interleave — lon
+    leads from the MSB; the parity of the total bit count decides which
+    axis owns the even slots. ONE copy: the encode (geohash_from_ints)
+    and the decode (geo_aliases) must use the same layout or they
+    silently diverge."""
+    if total % 2 == 0:
+        return (lambda j: 2 * j + 1), (lambda j: 2 * j)
+    return (lambda j: 2 * j), (lambda j: 2 * j + 1)
+
+
+def _neighbor_offsets(include_center: bool) -> Column:
+    """The 3x3 (dlat, dlon) offset structs, optionally without (0,0)."""
+    return F.array(
+        *[
+            F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
+            for dlat in (-1, 0, 1)
+            for dlon in (-1, 0, 1)
+            if include_center or not (dlat == 0 and dlon == 0)
+        ]
+    )
+
+
+def _fan_out_neighbors(
+    staged: DataFrame, precision: int, include_center: bool
+) -> DataFrame:
+    """Explode the neighbor offsets over staged ``__lat_q``/``__lon_q``
+    index columns: longitude wraps mod 2^lon_bits (the antimeridian is
+    adjacent), latitude rows past the poles don't exist and are
+    filtered. Emits ``__nlat``/``__nlon`` as plain columns so callers
+    encode ONCE on the staged indices (encoding inside 8-9 branch
+    expressions inlines the 5p-bit interleave ~36x and the
+    codegen/analysis cost dominates small inputs). ONE copy of the
+    wrap/pole semantics shared by geohash_cells_exploded and
+    geo_aliases."""
+    lon_bits, lat_bits = _bits(precision)
+    return (
+        staged.select("*", F.explode(_neighbor_offsets(include_center)).alias("__o"))
+        .withColumn("__nlat", F.col("__lat_q") + F.col("__o.dlat"))
+        .withColumn(
+            "__nlon",
+            F.pmod(F.col("__lon_q") + F.col("__o.dlon"), F.lit(1 << lon_bits)),
+        )
+        .filter((F.col("__nlat") >= 0) & (F.col("__nlat") < (1 << lat_bits)))
+    )
 
 
 def geohash_from_ints(lat_q: Column, lon_q: Column, precision: int) -> Column:
@@ -139,8 +200,7 @@ def geohash_from_ints(lat_q: Column, lon_q: Column, precision: int) -> Column:
     z = F.lit(0).cast("long")
     # even total: lon bit j sits at position 2j+1, lat bit j at 2j;
     # odd total: lon at 2j, lat at 2j+1 (lon has one extra bit).
-    lon_pos = (lambda j: 2 * j + 1) if total % 2 == 0 else (lambda j: 2 * j)
-    lat_pos = (lambda j: 2 * j) if total % 2 == 0 else (lambda j: 2 * j + 1)
+    lon_pos, lat_pos = _positions(total)
     for j in range(lon_bits):
         z = z + F.shiftleft(F.shiftright(lon_q, j).bitwiseAND(F.lit(1)), lon_pos(j))
     for j in range(lat_bits):
@@ -202,29 +262,9 @@ def geohash_cells_exploded(
     runs once on the staged neighbor indices — same keys, ~9x smaller
     expression tree. Pole rows are skipped and longitude wraps, exactly
     like the Column form."""
-    lon_bits, lat_bits = _bits(precision)
     lat_q, lon_q = quantize(lat, lon, precision)
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
-            for dlat in (-1, 0, 1)
-            for dlon in (-1, 0, 1)
-        ]
-    )
-    staged = df.select(
-        "*",
-        lat_q.alias("__lat_q"),
-        lon_q.alias("__lon_q"),
-        F.explode(offsets).alias("__o"),
-    )
-    fanned = (
-        staged.withColumn("__nlat", F.col("__lat_q") + F.col("__o.dlat"))
-        .withColumn(
-            "__nlon",
-            F.pmod(F.col("__lon_q") + F.col("__o.dlon"), F.lit(1 << lon_bits)),
-        )
-        .filter((F.col("__nlat") >= 0) & (F.col("__nlat") < (1 << lat_bits)))
-    )
+    staged = df.select("*", lat_q.alias("__lat_q"), lon_q.alias("__lon_q"))
+    fanned = _fan_out_neighbors(staged, precision, include_center=True)
     return fanned.withColumn(
         out, geohash_from_ints(F.col("__nlat"), F.col("__nlon"), precision)
     ).drop("__lat_q", "__lon_q", "__o", "__nlat", "__nlon")
@@ -266,8 +306,7 @@ def geo_aliases(
         lambda acc, k: acc * 32
         + (F.instr(F.lit(BASE32), F.substring(F.col("geo"), k.cast("int"), 1)) - 1),
     )
-    lon_pos = (lambda j: 2 * j + 1) if total % 2 == 0 else (lambda j: 2 * j)
-    lat_pos = (lambda j: 2 * j) if total % 2 == 0 else (lambda j: 2 * j + 1)
+    lon_pos, lat_pos = _positions(total)
     # stage the decode aggregate as a COLUMN before the per-bit sums:
     # each sum term references __pos (a plain attribute), not the
     # F.aggregate tree — inlining the decode into ~5p shift terms is
@@ -291,28 +330,15 @@ def geo_aliases(
         ),
         F.lit(0).cast("long"),
     )
-    sp = spd.withColumn("__lat_q", lat_q).withColumn("__lon_q", lon_q)
-    # fan out the 8 offsets FIRST, stage the neighbor indices as plain
-    # columns, and encode ONCE on the staged columns — encoding inside
-    # 8 branch expressions inlines the 5p-bit interleave ~36x and the
-    # codegen/analysis cost dominates the (tiny) data
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dlat).alias("dlat"), F.lit(dlon).alias("dlon"))
-            for dlat in (-1, 0, 1)
-            for dlon in (-1, 0, 1)
-            if not (dlat == 0 and dlon == 0)
-        ]
+    sp = spd.select(
+        "geo",
+        lat_q.alias("__lat_q"),
+        lon_q.alias("__lon_q"),
     )
-    fanned = (
-        sp.select("geo", "__lat_q", "__lon_q", F.explode(offsets).alias("__o"))
-        .withColumn("__nlat", F.col("__lat_q") + F.col("__o.dlat"))
-        .withColumn(
-            "__nlon",
-            F.pmod(F.col("__lon_q") + F.col("__o.dlon"), F.lit(1 << lon_bits)),
-        )
-        .filter((F.col("__nlat") >= 0) & (F.col("__nlat") < (1 << lat_bits)))
-    )
+    # fan out the 8 offsets FIRST via the shared helper (no center —
+    # a sparse cell is not its own alias candidate), then encode ONCE
+    # on the staged neighbor indices
+    fanned = _fan_out_neighbors(sp, precision, include_center=False)
     fan = fanned.select(
         "geo",
         geohash_from_ints(F.col("__nlat"), F.col("__nlon"), precision).alias(

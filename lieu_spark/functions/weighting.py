@@ -22,7 +22,6 @@ tokens count more than shared boilerplate).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,7 +61,7 @@ def tfidf_scores(
         docs_tokens.select(id_col, F.explode("tokens").alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("token").agg(F.count("*").alias("df")).filter(
         F.col("df") >= min_df
@@ -70,7 +69,7 @@ def tfidf_scores(
     scored = tf.join(df, "token").crossJoin(F.broadcast(n)).withColumn(
         "score",
         F.log(F.col("tf") + 1.0) * F.log(F.col("_n_docs") / F.col("df")),
-    ).drop("_n_docs").persist(StorageLevel.MEMORY_AND_DISK)
+    ).drop("_n_docs").localCheckpoint(eager=False)
     norms = scored.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("score") * F.col("score"))).alias("l2"),
         F.count("*").alias("n_tokens_distinct"),
@@ -337,7 +336,7 @@ def information_gain(
         .groupBy("w")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_count)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     pairs = (
         toks.select(F.explode("toks").alias("w"), F.col("toks"))
@@ -347,7 +346,7 @@ def information_gain(
         .agg(F.count("*").alias("co"))
         .join(marg.select("w"), "w")
         .join(marg.select(F.col("w").alias("c")), "c")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     ny = pairs.groupBy("w").agg(F.sum("co").cast("double").alias("n_y"))
     pw = marg.crossJoin(F.broadcast(nd)).select(
@@ -454,7 +453,7 @@ def dsir_logweights(
     dbc = (
         feats.groupBy(id_col, "__tgt", "__bkt")
         .agg(F.count("*").alias("__c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     cnt = dbc.groupBy("__bkt").agg(
         F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(0)).alias("ct"),

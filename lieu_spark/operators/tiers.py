@@ -95,11 +95,19 @@ def tier_report(
         explode_lines(base.select(F.col("__id").alias(id_col), F.col("__lines").alias(lines_col)), id_col, lines_col),
         id_col,
     )
+    # n_units counts docs with >= 1 NON-BLANK surviving line: blank
+    # lines are dedup-exempt, so a doc whose real lines all dedup away
+    # still has its blanks in kept — counting it as a surviving unit
+    # overstated line-tier survival vs curate()'s line_dedup stage,
+    # which drops exactly those rebuilt-empty docs (blank lines
+    # tokenize to 0, so n_tokens is unaffected either way)
     line = kept.select(
-        F.col(id_col), F.size(T.tokenize(F.col("line"))).cast("long").alias("__t")
+        F.col(id_col),
+        F.size(T.tokenize(F.col("line"))).cast("long").alias("__t"),
+        F.when(F.trim(F.col("line")) != "", F.col(id_col)).alias("__nbid"),
     ).agg(
         F.lit("4_line").alias("tier"),
-        F.countDistinct(id_col).cast("long").alias("n_units"),
+        F.countDistinct("__nbid").cast("long").alias("n_units"),
         F.sum("__t").cast("long").alias("n_tokens"),
     )
 

@@ -2832,7 +2832,12 @@ keptall AS (
   SELECT doc_id, line FROM lined WHERE trim(line) = ''
 ),
 ln AS (
-  SELECT '4_line' AS tier, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units,
+  -- n_units: docs with >= 1 NON-BLANK surviving line (blank lines are
+  -- dedup-exempt and must not make a rebuilt-empty doc count as a
+  -- surviving unit) — in lockstep with operators/tiers.py
+  SELECT '4_line' AS tier,
+         CAST(count(DISTINCT CASE WHEN trim(text) <> '' THEN doc_id END)
+              AS BIGINT) AS n_units,
          CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
   FROM (SELECT doc_id, line AS text FROM keptall)
 ),

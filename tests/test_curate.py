@@ -124,6 +124,27 @@ def test_checkpoint_resume_recomputes_nothing(spark, tmp_path):
     assert sorted(map(tuple, r2.packed.collect())) == first
 
 
+def test_store_resume_with_changed_inmemory_holdout_recomputes(spark, tmp_path):
+    """In-memory holdouts are CONTENT-fingerprinted when a store is in
+    play: resuming with a different eval set must recompute
+    decontamination, never serve the stale stage (contaminated docs
+    passing into training)."""
+    store = StageStore(str(tmp_path / "curate_store2"))
+    cfg = CurateConfig(pack_capacity=64, pack_nshards=2)
+    r1 = curate(spark, _docs(spark), cfg, holdout=_holdout(spark), store=store)
+    kept1 = {r.doc_id for r in r1.kept.select("doc_id").collect()}
+    assert 5 in kept1
+    # new eval set containing doc 5's text verbatim -> 5 must now drop
+    target_text = {r.doc_id: r.text for r in _docs(spark).collect()}[5]
+    ho2 = spark.createDataFrame([(1, target_text)], "doc_id long, text string")
+    r2 = curate(spark, _docs(spark), cfg, holdout=ho2, store=store)
+    kept2 = {r.doc_id for r in r2.kept.select("doc_id").collect()}
+    assert 5 not in kept2, "stale decontaminated stage served from store"
+    # same in-memory content remains a store hit (resume still works)
+    r3 = curate(spark, _docs(spark), cfg, holdout=ho2, store=store)
+    assert r3.stage_wall["decontaminated"] == 0.0
+
+
 def test_mixture_stage_downsamples_kept(spark):
     docs = _docs(spark)
     cfg = CurateConfig(

@@ -210,3 +210,26 @@ def test_parse_latlon_nonfinite_lon_nulls_pair(spark):
     assert rows[0].p is None
     assert rows[1].p is None
     assert rows[2].p is not None and abs(rows[2].p.lat - 40.5) < 1e-9
+
+
+def test_null_coordinates_never_block(spark):
+    # F.least SKIPS nulls, so a null axis used to quantize to the TOP
+    # cell — every unparseable coordinate blocked into the 'zzzz'
+    # corner (bogus candidates + a skew hotspot). Null coords must
+    # yield a null geohash and an empty cell set.
+    df = spark.createDataFrame(
+        [("garbage", "junk"), ("45.5", "-122.6")], "lat_s string, lon_s string"
+    )
+    p = parse_latlon(F.col("lat_s"), F.col("lon_s"))
+    rows = df.withColumn("__p", p).select(
+        geohash_encode(F.col("__p.lat"), F.col("__p.lon"), 4).alias("gh"),
+        geohash_cells(F.col("__p.lat"), F.col("__p.lon"), 4).alias("cells"),
+    ).collect()
+    assert rows[0].gh is None and rows[0].cells == []
+    assert rows[1].gh is not None and len(rows[1].cells) == 9
+    # the exploded DataFrame form drops the row entirely (no keys)
+    ex = geohash_cells_exploded(
+        df.withColumn("__p", p), F.col("__p.lat"), F.col("__p.lon"), 4
+    )
+    assert ex.filter(F.col("geo").isNull()).count() == 0
+    assert ex.count() == 9
