@@ -207,6 +207,8 @@ def hyperplane_probes(
     multi-probe raises recall without growing the stored index — the
     standard trade against adding tables (which doubles BOTH sides of
     the collision join and the index footprint)."""
+    if nprobes < 1:
+        raise ValueError(f"nprobes must be >= 1, got {nprobes}")
     nprobes = min(nprobes, nbits + 1)  # same clamp as the UDF
     udf = _make_probes_udf(nbits, ntables, seed, nprobes)
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -239,9 +241,13 @@ def hyperplane_multiprobe_topk(
     by the probe factor. At equal recall this beats raising ntables,
     which multiplies the index, both join sides, AND the signature
     cost."""
+    # lazy localCheckpoint: the member filter and the query side are
+    # DIFFERENTLY-pruned consumers of the signature UDF subtree, so
+    # exchange reuse never unifies them (the repo-wide Catalyst lesson)
+    # — without it the dominant matmul UDF ran twice over the corpus
     probes = hyperplane_probes(
         embeddings, nbits, ntables, seed, nprobes, id_col, vec_col
-    )
+    ).localCheckpoint(eager=False)
     members = probes.filter(F.col("probe_rank") == 0).select(
         F.col("id").alias("id_b"), "table", "bucket"
     )
@@ -349,6 +355,11 @@ def ivf_centroids(
         .limit(sample_limit)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: embeddings frame is empty — nothing to train "
+            "the coarse quantizer on (fully-filtered upstream stage?)"
+        )
     x = np.stack([np.asarray(r.vec, dtype=np.float64) for r in rows])
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
@@ -429,7 +440,11 @@ def ivf_topk(
         centroids = ivf_centroids(
             embeddings, ncentroids, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    cells = ivf_cells(embeddings, centroids, nprobe, id_col, vec_col)
+    # lazy localCheckpoint: member filter + probe side would re-run
+    # the cell-assignment UDF twice (same reasoning as multiprobe)
+    cells = ivf_cells(
+        embeddings, centroids, nprobe, id_col, vec_col
+    ).localCheckpoint(eager=False)
     members = cells.filter(F.col("probe_rank") == 0).select(
         F.col("id").alias("id_b"), "cell"
     )
@@ -471,14 +486,27 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vectors (cosine >= threshold) via LSH buckets,
-    normalized (id_a < id_b)."""
+    normalized (id_a < id_b). BOUNDED at 50 candidate neighbors per
+    vector per side (the top-k cut) — in a dup clique wider than ~100
+    some cross-clique pairs exceed both endpoints' neighbor lists and
+    are not emitted; cluster via connected components downstream (one
+    surviving edge per clique member suffices) rather than relying on
+    the full pairwise set. Pairs found from EITHER side survive: the
+    pair is normalized with least/greatest BEFORE dedup (filtering
+    id_a < id_b after the rank cut used to drop a pair whose small-id
+    endpoint had 50 closer neighbors even when the large-id endpoint
+    found it)."""
     topk = hyperplane_lsh_topk(
         embeddings, k=50, nbits=nbits, ntables=ntables, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
     return (
         topk.filter(F.col("cosine") >= threshold)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "cosine")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cosine",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -68,7 +68,11 @@ def bloom_words(grams: DataFrame, gram_col: str = "g", m: int = 1 << 16,
     same (m, k) the bits were set with — a silent mismatch would
     produce FALSE NEGATIVES, breaking the one guarantee the exact
     verify stage downstream relies on."""
-    pos = grams.select(
+    # NULL grams out: probe_positions(NULL) yields k NULL positions,
+    # which become a (word_idx=NULL, word=NULL) bitmap row that makes
+    # bloom_screen's map_from_entries throw 'map key cannot be null'
+    # at runtime — same pre-sketch null policy as the KMV family
+    pos = grams.filter(F.col(gram_col).isNotNull()).select(
         F.explode(probe_positions(F.col(gram_col), m, k)).alias("__pos")
     )
     return (

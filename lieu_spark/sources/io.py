@@ -105,6 +105,17 @@ def coalesce_aliases(
             # value in a higher-priority column falls through to the
             # next alias rather than nulling the whole field.
             c = F.coalesce(*[F.col(n).try_cast(field.dataType) for n in present])
+        elif field.name in ("conv_id", "turn_idx"):
+            # a REQUIRED key field with no matching column would become
+            # an all-null literal, and the trailing null-key filter
+            # would then silently empty the whole corpus — the exact
+            # quiet failure the extra_aliases typo guard above exists
+            # to prevent; fail loudly with the columns we saw
+            raise ValueError(
+                f"coalesce_aliases: no column matches required field "
+                f"{field.name!r} (aliases {alias_map[field.name]}) in "
+                f"input columns {df.columns}; add an extra_aliases entry"
+            )
         else:
             c = F.lit(None).try_cast(field.dataType)
         out.append(c.alias(field.name))
@@ -120,9 +131,16 @@ def read_transcripts_json(
     spark: SparkSession, path: str, multi_line: bool = False
 ) -> DataFrame:
     """Line-delimited (default) or whole-file JSON arrays; .gz/.bz2
-    transparent. Explicit schema — no sampling pass, stable types."""
+    transparent. Explicit schema — no sampling pass, stable types.
+    Malformed rows (PERMISSIVE null keys) are dropped here, the SAME
+    policy parse_transcript_lines / coalesce_aliases / the CSV reader
+    enforce — a null sort key would land the turn at an arbitrary
+    position in the assembled doc, making text_sha depend on which
+    ingest path a conversation arrived through."""
     reader = spark.read.schema(TRANSCRIPT_SCHEMA).option("multiLine", multi_line)
-    return reader.json(path)
+    return reader.json(path).filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
 
 
 def parse_transcript_lines(lines: DataFrame, col: str = "value") -> DataFrame:

@@ -614,3 +614,30 @@ def test_bigram_lm_scores_hand_computed(spark):
         1: (3, round((2 * -559616 - 1098612) / 3)),  # -739281
         2: (2, (-559616 - 1098612) // 2),            # -829114
     }
+
+
+def test_embedding_neardup_pairs_survive_either_side(spark):
+    # 60 identical vectors: with the top-50 per-side cut, pair (0, 55)
+    # is outside 0's neighbor list but inside 55's — normalizing with
+    # least/greatest BEFORE dedup must keep it (the old id_a < id_b
+    # post-rank filter dropped every pair found only from the larger
+    # id's side: 1275 pairs instead of ~1725)
+    from lieu_spark.operators.ann import embedding_neardup_pairs
+
+    rows = [(i, [1.0, 0.5, 0.25, 0.125]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(df, threshold=0.99).collect()
+    }
+    assert all(a < b for a, b in pairs)
+    assert (0, 55) in pairs, "pair found only from the large-id side lost"
+    assert len(pairs) > 1275
+
+
+def test_ann_parameter_and_empty_guards(spark, embeddings):
+    with pytest.raises(ValueError, match="nprobes"):
+        hyperplane_probes(embeddings, nprobes=0).collect()
+    empty = embeddings.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        ivf_centroids(empty)

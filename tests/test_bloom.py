@@ -90,3 +90,16 @@ def test_bloom_screen_rejects_mismatched_build_params(spark):
     bad = bloom_screen(members, bloom, m=M, k=K + 1)
     with pytest.raises(Exception, match="does not match the bitmap"):
         bad.collect()
+
+
+def test_bloom_null_gram_does_not_crash(spark):
+    # a NULL gram used to produce a (NULL, NULL) bitmap word and kill
+    # bloom_screen with 'map key cannot be null' — nulls are filtered
+    # pre-sketch like the KMV family
+    mdf = _grams(spark, ["a", "b"]).unionByName(
+        spark.createDataFrame([(None,)], "g string")
+    )
+    bloom = bloom_words(mdf, m=M, k=K)
+    probes = _grams(spark, ["a", "zz"])
+    out = {r.g: r.might_contain for r in bloom_screen(probes, bloom, m=M, k=K).collect()}
+    assert out["a"] is True

@@ -200,3 +200,29 @@ def test_alias_map_case_insensitive_columns(spark):
     r = out[0]
     assert r.conv_id == "c1" and r.turn_idx == 0
     assert r.role == "user" and r.text == "hello"
+
+
+def test_json_reader_drops_malformed_rows(spark, tmp_path):
+    # the file reader enforces the SAME malformed-row policy as
+    # parse_transcript_lines/coalesce_aliases/CSV: a PERMISSIVE row
+    # with null keys must not survive one ingest path and not another
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"conv_id":"c1","turn_idx":0,"role":"user","text":"hi","tool":null,"ts":null}\n'
+        '{"conv_id":null,"turn_idx":0,"role":"user","text":"ghost"}\n'
+        '{"conv_id":"c2","turn_idx":null,"role":"user","text":"ghost2"}\n'
+    )
+    rows = read_transcripts_json(spark, str(p)).collect()
+    assert [r.conv_id for r in rows] == ["c1"]
+
+
+def test_alias_map_missing_required_key_raises(spark):
+    from lieu_spark.sources.io import coalesce_aliases
+
+    df = spark.createDataFrame(
+        [("x", 0, "user", "hi")], "convo_id string, turn_idx int, role string, text string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="conv_id"):
+        coalesce_aliases(df)
