@@ -33,8 +33,6 @@ from pyspark.sql import functions as F
 
 from ..functions.sampling import hash_bucket
 
-PACK_SCHEMA = "doc_id long, shard int, seq long, n_tokens long"
-
 
 def _pack_next_fit(n_tok: np.ndarray, capacity: int) -> np.ndarray:
     """Bin index per element for next-fit over ``n_tok`` in given order.

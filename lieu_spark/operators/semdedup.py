@@ -59,13 +59,30 @@ def _make_cell_cos_udf(centroids: np.ndarray):
     def cell_cos(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        nrm = np.linalg.norm(x, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        sims = (x / nrm) @ ct  # (n, nc); centroids are unit-norm
-        cell = np.argmax(sims, axis=1)
-        cos6 = np.round(sims[np.arange(len(x)), cell] * 1e6).astype(np.int64)
-        return pd.Series(list(np.stack([cell.astype(np.int64), cos6], axis=1)))
+        # null embeddings -> null output row: np.asarray(None) is a 0-d
+        # array, so ONE null row used to kill np.stack — and the whole
+        # stage — with an opaque shape error; every other operator
+        # family hardens nulls at its choke point (KMV filters values,
+        # the stateful assembler filters turns), so does this one.
+        # Callers treat a null cell as "not assignable" and skip it.
+        vals = list(vecs)
+        mask = np.array([v is not None for v in vals], dtype=bool)
+        out = [None] * len(vals)
+        if mask.any():
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, m in zip(vals, mask) if m]
+            )
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = (x / nrm) @ ct  # (n, nc); centroids are unit-norm
+            cell = np.argmax(sims, axis=1)
+            cos6 = np.round(sims[np.arange(len(x)), cell] * 1e6).astype(np.int64)
+            packed = np.stack([cell.astype(np.int64), cos6], axis=1)
+            j = 0
+            for pos in np.flatnonzero(mask):
+                out[pos] = packed[j]
+                j += 1
+        return pd.Series(out, dtype=object)
 
     return cell_cos
 
@@ -86,6 +103,10 @@ def semantic_cells(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
         )
         .withColumn("cc", udf(F.col("vec")))
+        # null embedding -> null cc (the UDF's null guard): such a row
+        # cannot be assigned to a cell, so it carries no assignment row
+        # — downstream keep-flag joins leave it unflagged (kept)
+        .filter(F.col("cc").isNotNull())
         .select(
             "id",
             F.col("cc")[0].alias("cell"),
@@ -153,9 +174,12 @@ def semantic_dedup_flags(
         eager=False
     )
 
+    # lazy localCheckpoint, same reasoning as `ranked` above: the a/b
+    # join sides are differently-aliased consumers (no exchange reuse),
+    # so without it the vector scan + O(dim) norm fold ran twice
     base = embeddings.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("nrm", norm(F.col("vec")))
+    ).withColumn("nrm", norm(F.col("vec"))).localCheckpoint(eager=False)
     lhs = ranked.select(
         *part_keys, F.col("id").alias("id_a"), F.col("rnk").alias("rnk_a")
     )

@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
-    StringType,
     StructField,
     StructType,
 )
@@ -48,8 +47,6 @@ def span_schema(id_type) -> StructType:
         ]
     )
 
-
-SPAN_SCHEMA = span_schema(StringType())
 
 
 _B = np.uint64(1099511628211)  # odd multiplier -> invertible mod 2**64

@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -35,10 +34,13 @@ from pyspark.sql.types import (
 
 from ..operators.assemble import TURN_SEP
 
+# n_turns is LONG, matching the batch assembler's F.size(...).cast
+# ("long") — an IntegerType here broke schema-merge/strict-append when
+# stream- and batch-assembled conversations land in one dataset
 OUTPUT_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),
-        StructField("n_turns", IntegerType()),
+        StructField("n_turns", LongType()),
         StructField("doc", StringType()),
         StructField("text_sha", StringType()),
     ]
@@ -54,8 +56,36 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _assemble_doc(turns: dict[int, str]) -> tuple[int, str, str]:
-    ordered = [turns[i] for i in sorted(turns)]
+def _turn_key(entry: list) -> tuple:
+    """Ordering key replaying the batch assembler's duplicate-turn
+    winner: array_sort on struct(turn_idx, role, text, tool, ts) keeps
+    the LOWEST struct per turn_idx, and Spark's struct ordering sorts a
+    NULL field FIRST ascending — mirror that with a (0, '') sentinel.
+    entry = [text, role, tool, ts_us]; text is post-coalesce (never
+    None), ts never null on this path (assemble_stream filters it)."""
+    text, role, tool, ts_us = entry
+    return (
+        (0, "") if role is None else (1, role),
+        text,
+        (0, "") if tool is None else (1, tool),
+        ts_us,
+    )
+
+
+def _parse_state_turns(idx_csv: str, texts_json) -> dict[int, list]:
+    """State decode, tolerant of the pre-struct format (plain text
+    strings) so an in-flight checkpoint survives the upgrade."""
+    import json
+
+    vals = json.loads(texts_json)
+    out: dict[int, list] = {}
+    for i, v in zip(idx_csv.split(","), vals):
+        out[int(i)] = v if isinstance(v, list) else [v, None, None, 0]
+    return out
+
+
+def _assemble_doc(turns: dict[int, list]) -> tuple[int, str, str]:
+    ordered = [turns[i][0] for i in sorted(turns)]
     doc = TURN_SEP.join(t if t is not None else "" for t in ordered)
     sha = hashlib.sha256(doc.encode("utf-8")).hexdigest()
     return len(ordered), doc, sha
@@ -71,10 +101,7 @@ def make_assembler(gap_ms: int = 60_000):
         (conv_id,) = key
         if state.hasTimedOut:
             (idx_csv, texts_json, _max_ts) = state.get
-            turns = {
-                int(i): t
-                for i, t in zip(idx_csv.split(","), json.loads(texts_json))
-            }
+            turns = _parse_state_turns(idx_csv, texts_json)
             n, doc, sha = _assemble_doc(turns)
             state.remove()
             yield pd.DataFrame(
@@ -83,31 +110,36 @@ def make_assembler(gap_ms: int = 60_000):
             )
             return
 
-        turns: dict[int, str] = {}
+        turns: dict[int, list] = {}
         max_ts_us = 0
         if state.exists:
             idx_csv, texts_json, max_ts_us = state.get
-            turns = {
-                int(i): t
-                for i, t in zip(idx_csv.split(","), json.loads(texts_json))
-            }
+            turns = _parse_state_turns(idx_csv, texts_json)
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             # zip over Series, not iterrows() — iterrows materializes a
             # Series object per row (measurable at high turn counts)
-            for i, t in zip(pdf["turn_idx"], pdf["text"]):
+            for i, t, role, tool, ts in zip(
+                pdf["turn_idx"], pdf["text"], pdf["role"], pdf["tool"], pdf["ts"]
+            ):
                 # null text -> '' mirrors the batch choke point
-                # (assemble.py coalesces before the struct); collision
-                # rule: keep the MIN text — deterministic regardless of
-                # file/batch arrival order. Re-deliveries (identical
-                # text) are idempotent under any rule; for genuinely
-                # conflicting texts the batch assembler's lowest-full-
-                # struct winner coincides with min(text) whenever the
-                # duplicate rows differ only in text.
-                t = "" if t is None else t
+                # (assemble.py coalesces before the struct). Collision
+                # rule: keep the LOWEST (role, text, tool, ts) — the
+                # SAME winner the batch assembler's min-struct dedupe
+                # picks (min(text) alone diverged whenever conflicting
+                # duplicate rows differed in role: different winner ->
+                # different doc/text_sha -> a conv ingested once per
+                # path escaped exact-dup detection).
+                entry = [
+                    "" if t is None else t,
+                    None if role is None or role != role else role,
+                    None if tool is None or tool != tool else tool,
+                    0 if ts is None else int(ts.value // 1000),
+                ]
                 i = int(i)
-                turns[i] = t if i not in turns else min(turns[i], t)
+                if i not in turns or _turn_key(entry) < _turn_key(turns[i]):
+                    turns[i] = entry
             max_ts_us = max(max_ts_us, int(pdf["ts"].max().value // 1000))
         idxs = sorted(turns)
         state.update(

@@ -150,3 +150,24 @@ def test_one_hot_cell_skew_stays_bounded(spark):
     # member is dropped -> survivors ~ number of subs
     keeps = sum(r.keep for r in out)
     assert keeps == len(sizes), (keeps, len(sizes))
+
+
+def test_null_embedding_rows_do_not_crash(spark):
+    # one NULL embedding used to kill the assignment UDF (np.stack on a
+    # 0-d array) — it must simply carry no assignment row, leaving the
+    # rest of the sweep intact
+    from lieu_spark.operators.ann import ivf_centroids
+
+    base = _emb_df(spark)
+    with_null = base.unionByName(
+        spark.createDataFrame([(9999, None)], "vec_id long, embedding array<float>")
+    )
+    cents = ivf_centroids(base, ncentroids=4, id_col="vec_id", vec_col="embedding")
+    cells = semantic_cells(with_null, cents)
+    ids = {r.id for r in cells.collect()}
+    assert 9999 not in ids
+    assert len(ids) == base.count()
+    flags = semantic_dedup_flags(with_null, cells)
+    # planted copies still pruned, originals kept
+    kept = {r.id for r in flags.filter(F.col("keep") == 1).collect()}
+    assert 0 in kept and 1000 not in kept

@@ -118,20 +118,23 @@ class _FakeState:
 
 def test_stateful_assembler_collision_and_null_text_deterministic():
     """Duplicate (conv_id, turn_idx) rows with conflicting text must
-    resolve identically regardless of arrival order (min text), and a
-    null text must assemble as '' (the batch choke-point convention)."""
+    resolve identically regardless of arrival order (the batch
+    assembler's min-struct winner), and a null text must assemble as ''
+    (the batch choke-point convention)."""
     import pandas as pd
 
     from lieu_spark.streaming.stateful import make_assembler
 
     asm = make_assembler()
 
-    def run(texts):
+    def run(texts, roles=None):
         st = _FakeState()
         pdf = pd.DataFrame(
             {
                 "turn_idx": [0, 1, 1],
                 "text": texts,
+                "role": roles or ["user"] * 3,
+                "tool": [None] * 3,
                 "ts": pd.to_datetime(["2026-01-01 00:00:00"] * 3),
             }
         )
@@ -145,3 +148,44 @@ def test_stateful_assembler_collision_and_null_text_deterministic():
     assert a.doc == b.doc == "\na"  # null turn -> '', collision -> min
     assert a.text_sha == b.text_sha
     assert a.n_turns == 2
+
+
+def test_stateful_collision_winner_matches_batch_struct_order(spark):
+    """Conflicting duplicates that differ in ROLE: the batch assembler
+    keeps the LOWEST struct(turn_idx, role, text, tool, ts) — role
+    compares BEFORE text, so the 'assistant' row wins even when its
+    text sorts higher. The stream used min(text) and diverged; the two
+    paths must emit the same doc/text_sha."""
+    import pandas as pd
+
+    from lieu_spark.streaming.stateful import make_assembler
+
+    rows = [
+        ("c", 0, "user", "hello", None, None),
+        ("c", 1, "assistant", "zzz wins on role", None, None),
+        ("c", 1, "user", "aaa loses on role", None, None),
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    batch = assemble_conversations(tdf).select("doc", "text_sha").collect()[0]
+    assert "zzz wins on role" in batch.doc
+
+    asm = make_assembler()
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "turn_idx": [0, 1, 1],
+            "text": ["hello", "zzz wins on role", "aaa loses on role"],
+            "role": ["user", "assistant", "user"],
+            "tool": [None] * 3,
+            "ts": pd.to_datetime(["2026-01-01 00:00:00"] * 3),
+        }
+    )
+    list(asm(("c",), iter([pdf]), st))
+    st.hasTimedOut = True
+    out = list(asm(("c",), iter([]), st))[0].iloc[0]
+    assert out.doc == batch.doc
+    assert out.text_sha == batch.text_sha
