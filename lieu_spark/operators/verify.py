@@ -61,10 +61,23 @@ def jaccard_on_shingles(col_a, col_b):
 
 
 def signature_agreement(col_a, col_b, num_perm: int):
+    # J(∅,∅) := 0 here too: a content-empty doc carries the ALL-SENTINEL
+    # signature (every bin MASK64, stored as long -1 — minhash.py), so
+    # two empty docs would otherwise agree 128/128 and byte-different
+    # empty-content convs would classify likely_duplicate under
+    # verify_mode='signatures' while the shingles mode (and the policy
+    # in jaccard_on_shingles above) says 0.0 for the identical input;
+    # empty docs pair only via the exact byte-hash path
+    sentinel = F.lit(-1).cast("long")
+    both_empty = F.forall(col_a, lambda x: x == sentinel) & F.forall(
+        col_b, lambda x: x == sentinel
+    )
     eq = F.size(
         F.filter(F.zip_with(col_a, col_b, lambda x, y: x == y), lambda b: b)
     )
-    return eq.cast("double") / F.lit(float(num_perm))
+    return F.when(both_empty, F.lit(0.0)).otherwise(
+        eq.cast("double") / F.lit(float(num_perm))
+    )
 
 
 def classify(jaccard_col, exact_col, cfg: DedupeConfig):

@@ -206,6 +206,10 @@ def multiset_jaccard(toks_a: list[str], toks_b: list[str]) -> float:
 
 def signature_agreement(sig_a: list[int], sig_b: list[int]) -> float:
     assert len(sig_a) == len(sig_b)
+    # J(empty, empty) := 0 — twin of the Spark-side all-sentinel guard
+    # (an empty doc's signature is all MASK64, stored as long -1)
+    if all(x == -1 for x in sig_a) and all(y == -1 for y in sig_b):
+        return 0.0
     eq = sum(1 for x, y in zip(sig_a, sig_b) if x == y)
     return eq / len(sig_a)
 

@@ -43,10 +43,13 @@ def windowed_event_counts(
 
     Works identically on a streaming or a batch DataFrame (the batch
     run is the correctness oracle for the streamed run: same input =>
-    same rows once the stream drains)."""
-    src = events
-    if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+    same rows once the stream drains). Null-ts rows are dropped on
+    BOTH paths — the watermark silently discards them on the stream,
+    so the batch oracle must apply the same policy (it would otherwise
+    emit a null-window row the stream never produces)."""
+    src = events.filter(F.col("ts").isNotNull())
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
@@ -78,6 +81,12 @@ def dedupe_turns_within_watermark(
     (the batch pipeline's assembly dedupe is the backstop — duplicated
     (conv_id, turn_idx) rows are idempotent there, tests/
     test_properties.py)."""
+    # null-ts rows are dropped on BOTH paths: the watermarked stream
+    # silently treats a null event time as late (the row vanishes), so
+    # the batch fallback must apply the same policy or the "batch run
+    # is the correctness oracle" claim breaks on exactly those rows —
+    # same convention as stateful.assemble_stream
+    turns = turns.filter(F.col("ts").isNotNull())
     if turns.isStreaming:
         return turns.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["conv_id", "turn_idx"]

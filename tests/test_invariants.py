@@ -202,3 +202,29 @@ def test_csv_ingest_verdict_parity(spark, tmp_path):
         (r.id_a, r.id_b, r.status) for r in df.verified.collect()
     )
     assert key(direct) == key(via_csv)
+
+
+def test_empty_docs_exact_only_signatures_mode(spark):
+    """The empty-doc policy holds under verify_mode='signatures' too:
+    two content-empty docs both carry the all-sentinel MinHash
+    signature (stored long -1) and used to agree 128/128, classifying
+    byte-DIFFERENT empty docs likely_duplicate. J(∅,∅) := 0 in every
+    verify mode; empties pair only via the exact byte-hash path."""
+    from datetime import datetime
+
+    from lieu_spark.api import dedupe
+    from lieu_spark.config import DedupeConfig
+
+    ts = datetime(2025, 1, 1)
+    rows = [
+        ("w1", 0, "user", None, "", ts),
+        ("w2", 0, "user", "", "", ts),
+        ("w3", 0, "user", "   \t\n ", "", ts),
+        ("w4", 0, "user", "short", "", ts),
+        ("w5", 0, "user", "short", "", ts),
+    ]
+    cfg = DedupeConfig(verify_mode="signatures")
+    res = dedupe(spark, spark.createDataFrame(rows, corpus.TRANSCRIPT_SCHEMA), cfg)
+    pairs = {(r.id_a, r.id_b): r.status for r in res.verified.collect()}
+    dupes = {p for p, s in pairs.items() if s in ("exact_duplicate", "likely_duplicate")}
+    assert dupes == {("w1", "w2"), ("w4", "w5")}
