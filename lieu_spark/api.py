@@ -109,7 +109,7 @@ def match(
     members = canon_tag.select(
         F.col("_rep").alias("id_a"), F.col("conv_id").alias("canonical_id")
     )
-    return v.join(members, "id_a").select(
+    out = v.join(members, "id_a").select(
         "canonical_id",
         F.col("id_b").alias("incoming_id"),
         "jaccard",
@@ -117,6 +117,22 @@ def match(
         "status",
         "method",
     )
+    # P8 guard / F10 revision applied AFTER member expansion: identical
+    # text does NOT imply identical auxiliary fields (two byte-equal
+    # convs can differ in tool usage), so each expanded member pair is
+    # judged on its OWN conversation's field signature, not its rep's.
+    from .operators.asymmetry import apply_aux_rules
+
+    if cfg.asymmetry_field is not None or cfg.revision_field is not None:
+        out = apply_aux_rules(
+            out,
+            canonical_transcripts.unionByName(incoming_transcripts),
+            cfg.asymmetry_field,
+            cfg.revision_field,
+            id_a="canonical_id",
+            id_b="incoming_id",
+        )
+    return out
 
 
 def responses(

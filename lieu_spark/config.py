@@ -110,6 +110,21 @@ class DedupeConfig:
     # (df, -tf, token) rank — bounds the per-pair O(k^2) JW cost)
     soft_theta6: int = 950_000
     soft_max_tokens: int = 64
+    # --- auxiliary-field pair rules (operators/asymmetry.py) ---
+    # P8 asymmetric-evidence guard (lib/lieu/dedupe.py:103-108): when set
+    # to a transcript column (e.g. "tool"), a pair where exactly one
+    # conversation carries any non-empty value of that column is
+    # classified `null_dupe` (refused) instead of scored. None = off.
+    asymmetry_field: str | None = None
+    # F10 verdict revision (PhoneNumberDeduper.revised_dupe_class,
+    # lib/lieu/dedupe.py:356-372): when set, needs_review pairs whose
+    # per-conv field signatures match upgrade to likely_duplicate, and
+    # likely_duplicate pairs with both-present-but-different signatures
+    # downgrade to needs_review. None = off.
+    # NOTE: adding these fields bumps every config fingerprint once
+    # (pre-r5 stage checkpoints recompute) — same policy as the
+    # with_simhash_path addition.
+    revision_field: str | None = None
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:

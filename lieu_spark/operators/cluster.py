@@ -26,35 +26,45 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    grouped = sym.groupBy("u").agg(
-        F.min("v").alias("minv"), F.collect_set("v").alias("nbrs")
+    # Bounded formulation (VERDICT r4 #2): per-node minimum via a
+    # constant-buffer min() aggregate joined back onto the symmetric
+    # edge list — never a collect_set that materializes O(|component|)
+    # neighbor arrays inside one aggregation buffer (a 50M-member
+    # boilerplate star OOMed an executor under the old shape; a min()
+    # buffer is one value and map-side combines). The join re-keys on u
+    # — the same hashpartitioning as the aggregate, so Catalyst reuses
+    # the exchange; a skewed hub group streams through the sort-merge
+    # join (disk-spillable) and AQE skew-split applies.
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    out = grouped.select(
-        F.least(F.col("minv"), F.col("u")).alias("m"),
-        F.explode(F.filter(F.col("nbrs"), lambda v: v > F.col("u"))).alias("w"),
-    ).select(F.col("w").alias("u"), F.col("m").alias("v"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
+    out = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("minv"), F.col("u")).alias("v"),
+        )
+    )
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    # orient edges high -> low, group by the high endpoint
+    # orient edges high -> low, group by the high endpoint; same
+    # bounded agg+join shape as _large_star (no neighbor arrays)
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    grouped = oriented.groupBy("u").agg(
-        F.min("v").alias("m"), F.collect_set("v").alias("nbrs")
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    from_nbrs = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    exploded = grouped.select(
-        "u",
-        "m",
-        F.explode(F.array_union(F.col("nbrs"), F.array(F.col("u")))).alias("w"),
-    )
-    return (
-        exploded.filter(F.col("w") != F.col("m"))
-        .select(F.col("w").alias("u"), F.col("m").alias("v"))
-        .distinct()
-    )
+    # the group anchor u itself links to m (u > v >= m, so u != m)
+    from_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return from_nbrs.union(from_self).distinct()
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:

@@ -97,6 +97,18 @@ def band_table_dual(
     return primary.unionByName(alt)
 
 
+def sub_bucket(id_col, size_col, cap: int):
+    """The shared hot-group sub-split rule: ceil(size/cap) xxhash64
+    sub-buckets; a group at/below ``cap`` lands in sub 0 (pmod(h, 1)
+    is 0 for every hash). ``salted_groups`` (self-join path) and
+    ``capped_group_join`` (cross-dataset path) both derive their salt
+    from THIS formula, so refresh/scratch sub-bucket parity is
+    structural — a pair dropped by one path's salt is dropped by the
+    other's, and below the cap both are lossless."""
+    nsplit = F.greatest(F.lit(1), F.ceil(size_col / F.lit(cap))).cast("long")
+    return F.pmod(F.xxhash64(id_col), nsplit)
+
+
 def salted_groups(
     df: DataFrame, key_cols: list[str], cap: int, id_col: str = "id"
 ) -> DataFrame:
@@ -117,18 +129,8 @@ def salted_groups(
     .explain-driven rewrite, see BENCH.md).
     """
     w = Window.partitionBy(*key_cols)
-    nsplit = F.greatest(F.lit(1), F.ceil(F.col("bsize") / F.lit(cap))).cast(
-        "long"
-    )
-    return (
-        df.withColumn("bsize", F.count("*").over(w))
-        .withColumn(
-            "sub",
-            F.when(
-                F.col("bsize") > cap,
-                F.pmod(F.xxhash64(F.col(id_col)), nsplit),
-            ).otherwise(F.lit(0).cast("long")),
-        )
+    return df.withColumn("bsize", F.count("*").over(w)).withColumn(
+        "sub", sub_bucket(F.col(id_col), F.col("bsize"), cap)
     )
 
 
@@ -143,6 +145,7 @@ def capped_group_join(
     cap: int | None,
     left_id: str,
     right_id: str,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """Equi-join with per-right-row fanout bounded on hot LEFT groups —
     the cross-dataset analog of salted_groups' self-join salting, shared
@@ -162,21 +165,37 @@ def capped_group_join(
     derives its own sub from its own id, so a 10M-member hot group
     never enumerates |group| x |incoming| rows inside one task only to
     filter them — the join itself produces only same-sub pairs. Output
-    is row-identical to the filter form (same rule, same nsplit)."""
+    is row-identical to the filter form (same rule, same nsplit).
+
+    ``broadcast_right=True`` is the streaming-ingest contract: |right|
+    is micro-batch-small and the LEFT side must never shuffle. The
+    naive composition (caller wraps right in F.broadcast) is a trap —
+    the hint attaches to the right-vs-sizes INNER join and the outer
+    keys+__sub join reverts to shuffling the full left band state per
+    micro-batch. Here the hint is re-applied where it matters: the
+    size table is pruned to right's groups (semantically free — left
+    rows in groups absent from right never match) and broadcast into
+    BOTH size joins, and the capped right side is re-broadcast into
+    the outer join, so left flows through broadcast hash joins in a
+    single scan (plus one narrow map-side-combined key agg for sizes).
+    """
     if cap is None:
-        return left.join(right, keys)
+        return left.join(F.broadcast(right) if broadcast_right else right, keys)
     sizes = left.groupBy(*keys).agg(F.count("*").alias("__gsize"))
-    nsplit = F.greatest(F.lit(1), F.ceil(F.col("__gsize") / F.lit(cap))).cast(
-        "long"
-    )
+    if broadcast_right:
+        sizes = F.broadcast(
+            sizes.join(F.broadcast(right.select(*keys).distinct()), keys)
+        )
     l2 = left.join(sizes, keys).withColumn(
-        "__sub", F.pmod(F.xxhash64(F.col(left_id)), nsplit)
+        "__sub", sub_bucket(F.col(left_id), F.col("__gsize"), cap)
     )
     r2 = (
         right.join(sizes, keys)
-        .withColumn("__sub", F.pmod(F.xxhash64(F.col(right_id)), nsplit))
+        .withColumn("__sub", sub_bucket(F.col(right_id), F.col("__gsize"), cap))
         .drop("__gsize")
     )
+    if broadcast_right:
+        r2 = F.broadcast(r2)
     return l2.join(r2, [*keys, "__sub"]).drop("__sub", "__gsize")
 
 
@@ -237,13 +256,20 @@ def match_pairs(
     ``hot_cap``: bound the per-incoming-row fanout on hot canonical
     band groups, mirroring candidate_pairs' salting — a boilerplate band
     with millions of standing members would otherwise emit
-    |group| x |incoming-in-group| pairs. See capped_group_join."""
+    |group| x |incoming-in-group| pairs. The broadcast hint composes
+    with the cap INSIDE capped_group_join (it must be re-applied to the
+    capped incoming side in the outer join — hinting here would defeat
+    it). See capped_group_join."""
     c = canonical_bands.select("band", "band_hash", F.col("id").alias("canonical_id"))
     i = incoming_bands.select("band", "band_hash", F.col("id").alias("incoming_id"))
-    if broadcast_incoming:
-        i = F.broadcast(i)
     joined = capped_group_join(
-        c, i, ["band", "band_hash"], hot_cap, "canonical_id", "incoming_id"
+        c,
+        i,
+        ["band", "band_hash"],
+        hot_cap,
+        "canonical_id",
+        "incoming_id",
+        broadcast_right=broadcast_incoming,
     )
     return (
         joined.select("canonical_id", "incoming_id")

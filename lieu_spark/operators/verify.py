@@ -31,6 +31,10 @@ STATUS_EXACT = "exact_duplicate"
 STATUS_LIKELY = "likely_duplicate"
 STATUS_REVIEW = "needs_review"
 STATUS_NON = "non_duplicate"
+# P8 refusal verdict (reference NULL_DUPE, lib/lieu/dedupe.py:103-108):
+# asymmetric auxiliary evidence — neither duplicate nor non-duplicate.
+# Never in dupe_pairs (clustering) nor review_pairs.
+STATUS_NULL = "null_dupe"
 
 
 def join_pair_features(

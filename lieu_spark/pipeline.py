@@ -247,8 +247,19 @@ def run_pipeline(
     candidates = stage("candidates", build_candidates)
 
     def build_verified() -> DataFrame:
-        return verify_pairs(
+        v = verify_pairs(
             candidates, feat_slim, cfg, method=f"jaccard_{cfg.verify_mode}"
+        )
+        # P8 guard / F10 revision (operators/asymmetry.py) run INSIDE the
+        # verified stage so downstream consumers (clustering via
+        # dupe_pairs, responses, refresh parity) all see the final
+        # verdicts, and the stage checkpoint fingerprint (cfg) captures
+        # whether the rules were active. Default-off: byte-identical
+        # verified frame when both fields are None.
+        from .operators.asymmetry import apply_aux_rules
+
+        return apply_aux_rules(
+            v, transcripts, cfg.asymmetry_field, cfg.revision_field
         )
 
     verified = stage("verified", build_verified, cache=True)

@@ -626,7 +626,13 @@ class IncrementalDeduper:
         from pyspark.sql import Window
 
         t0 = _time.time()
-        convs = assemble_conversations(batch_df)
+        # max_turns MUST flow here: a capped conversation's stream-side
+        # text_sha has to hash identically to pipeline-built stored
+        # state this deduper equi-joins against (and the cap bounds the
+        # per-conv collect_list buffer on the stream path too)
+        convs = assemble_conversations(
+            batch_df, max_turns=self.cfg.max_turns_per_conv
+        )
         feats = build_features(convs, self.cfg).persist()
         # gate the batch-side broadcasts on the MEASURED batch size
         # (refresh.py's REFRESH_BROADCAST_CAP rule): a trickle batch is
@@ -654,11 +660,19 @@ class IncrementalDeduper:
         index = self._load_index(before_batch=batch_id)
         if index is not None:
             stored_bands = self._band_state(before_batch=batch_id)
+            # hot_cap bounds the standing-boilerplate fanout: a stored
+            # band group that grows with stream age would otherwise emit
+            # |group| x |incoming-in-group| pairs per micro-batch. Below
+            # the cap the match is still full within-block pairing
+            # (lib/lieu/spark/dedupe.py:24-48 parity); the broadcast
+            # hint is re-applied inside capped_group_join so the stored
+            # side still never shuffles.
             cross_lsh = match_pairs(
                 self._prune_buckets(stored_bands, feat_bands),
                 feat_bands,
                 self.cfg,
                 broadcast_incoming=small_batch,
+                hot_cap=self.cfg.hot_band_cap,
             ).select(
                 F.col("canonical_id").alias("id_a"),
                 F.col("incoming_id").alias("id_b"),

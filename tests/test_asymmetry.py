@@ -1,0 +1,151 @@
+"""P8 asymmetric-evidence guard + F10 verdict revision
+(operators/asymmetry.py; reference lib/lieu/dedupe.py:103-108,166-169
+and 356-372)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lieu_spark.api import match
+from lieu_spark.config import DedupeConfig
+from lieu_spark.corpus import TRANSCRIPT_SCHEMA
+from lieu_spark.operators.asymmetry import (
+    apply_asymmetry_guard,
+    field_signatures,
+    revise_verdicts,
+)
+from lieu_spark.pipeline import run_pipeline
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def _turn(cid, idx, text, tool=None):
+    return (cid, idx, "user" if idx % 2 == 0 else "assistant", text, tool, TS)
+
+
+def test_field_signatures_trim_distinct_sorted_null(spark):
+    rows = [
+        _turn("a", 0, "x", " web "),
+        _turn("a", 1, "y", "calc"),
+        _turn("a", 2, "z", "web"),        # duplicate after trim
+        _turn("b", 0, "x", "   "),        # whitespace-only = absent
+        _turn("b", 1, "y", None),
+        _turn("c", 0, "x"),
+    ]
+    got = {r.conv_id: r.field_sig for r in field_signatures(_tdf(spark, rows)).collect()}
+    assert got == {"a": "calc|web", "b": None, "c": None}
+
+
+def test_guard_and_revision_rules_on_pair_frame(spark):
+    sigs = spark.createDataFrame(
+        [("p", "web"), ("q", "web"), ("r", "calc"), ("s", None)],
+        "conv_id string, field_sig string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("p", "q", "needs_review"),     # both present, same -> upgrade
+            ("p", "r", "likely_duplicate"), # both present, diff -> downgrade
+            ("p", "s", "likely_duplicate"), # one absent -> guard refuses
+            ("s", "s", "needs_review"),     # both absent -> untouched
+        ],
+        "id_a string, id_b string, status string",
+    )
+    guarded = {
+        (r.id_a, r.id_b): r.status
+        for r in apply_asymmetry_guard(pairs, sigs).collect()
+    }
+    assert guarded[("p", "s")] == "null_dupe"
+    assert guarded[("p", "q")] == "needs_review"  # guard never upgrades
+
+    revised = {
+        (r.id_a, r.id_b): (r.status, r.same_field)
+        for r in revise_verdicts(pairs, sigs, keep_same_field=True).collect()
+    }
+    assert revised[("p", "q")] == ("likely_duplicate", True)
+    assert revised[("p", "r")] == ("needs_review", False)
+    assert revised[("p", "s")] == ("likely_duplicate", False)  # absent: no-op
+    assert revised[("s", "s")] == ("needs_review", False)
+
+
+def test_pipeline_asymmetric_pairs_refused_and_not_clustered(spark):
+    """VERDICT r4 #3 done-criterion: byte-identical conversations where
+    exactly one side carries tool-call evidence must NOT cluster under
+    cfg.asymmetry_field — and must cluster without it (control)."""
+    body = " ".join(f"w{i:02d}" for i in range(40))
+    rows = [
+        _turn("a1", 0, body),
+        _turn("b1", 0, body, "web_search"),
+        _turn("c1", 0, body, "web_search"),  # symmetric with b1
+    ]
+    cfg = DedupeConfig(asymmetry_field="tool")
+    res = run_pipeline(spark, _tdf(spark, rows), cfg, with_spans=False)
+    st = {(r.id_a, r.id_b): r.status for r in res.verified.collect()}
+    cl = {r.conv_id: r.cluster_id for r in res.clusters.collect()}
+    assert st[("a1", "b1")] == "null_dupe"
+    assert st[("a1", "c1")] == "null_dupe"
+    assert st[("b1", "c1")] == "exact_duplicate"
+    assert cl["a1"] != cl["b1"]          # refused pair never clusters
+    assert cl["b1"] == cl["c1"]          # symmetric evidence still does
+
+    control = run_pipeline(spark, _tdf(spark, rows), DedupeConfig(), with_spans=False)
+    ccl = {r.conv_id: r.cluster_id for r in control.clusters.collect()}
+    assert ccl["a1"] == ccl["b1"] == ccl["c1"]
+
+
+def test_pipeline_revision_upgrade_and_downgrade(spark):
+    """F10 done-criterion, both directions through run_pipeline:
+    a review-band pair with matching tool signatures upgrades to
+    likely (and therefore clusters); a likely-band pair with
+    conflicting signatures downgrades (and stops clustering)."""
+    toks = [f"w{i:02d}" for i in range(40)]
+    base = " ".join(toks)
+    near_review = " ".join(toks[:36] + ["x0", "x1", "x2", "x3"])  # j = 0.8
+    near_likely = " ".join(toks[:39] + ["x9"])                    # j ~ 0.95
+    rows = [
+        # upgrade pair: review-band similarity, same tool sig
+        _turn("u1", 0, base, "web"),
+        _turn("u2", 0, near_review, "web"),
+        # downgrade pair: likely-band similarity, conflicting sigs
+        _turn("d1", 0, base + " tail00 tail01", "web"),
+        _turn("d2", 0, near_likely + " tail00 tail01", "calc"),
+    ]
+    cfg = DedupeConfig(revision_field="tool")
+    res = run_pipeline(spark, _tdf(spark, rows), cfg, with_spans=False)
+    st = {(r.id_a, r.id_b): r.status for r in res.verified.collect()}
+    cl = {r.conv_id: r.cluster_id for r in res.clusters.collect()}
+    assert st[("u1", "u2")] == "likely_duplicate", st
+    assert cl["u1"] == cl["u2"]
+    assert st[("d1", "d2")] == "needs_review", st
+    assert cl["d1"] != cl["d2"]
+
+    control = run_pipeline(spark, _tdf(spark, rows), DedupeConfig(), with_spans=False)
+    cst = {(r.id_a, r.id_b): r.status for r in control.verified.collect()}
+    assert cst[("u1", "u2")] == "needs_review"
+    assert cst[("d1", "d2")] == "likely_duplicate"
+
+
+def test_match_guard_uses_member_own_signature(spark):
+    """api.match applies the guard AFTER member expansion: two
+    byte-identical canonical members with different tool evidence get
+    DIFFERENT verdicts against the same incoming conversation."""
+    body = " ".join(f"m{i:02d}" for i in range(40))
+    canon = [
+        _turn("c1", 0, body, "web"),   # tool-bearing member
+        _turn("c2", 0, body),          # tool-less member (same text/sha)
+    ]
+    inc = [_turn("n1", 0, body)]       # tool-less incoming
+    got = {
+        (r.canonical_id, r.incoming_id): r.status
+        for r in match(
+            spark,
+            _tdf(spark, canon),
+            _tdf(spark, inc),
+            DedupeConfig(asymmetry_field="tool"),
+        ).collect()
+    }
+    assert got[("c1", "n1")] == "null_dupe"
+    assert got[("c2", "n1")] == "exact_duplicate"

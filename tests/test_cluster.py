@@ -1,6 +1,8 @@
 """Connected components: path/star/merge topologies vs union-find oracle,
 and partition-count independence."""
 
+import pytest
+
 from lieu_spark import oracle
 from lieu_spark.operators.cluster import (
     canonical_flags,
@@ -72,3 +74,37 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=0)
+
+
+@pytest.mark.slow
+def test_giant_star_bounded_memory_shape(spark):
+    """The star steps must never buffer a neighborhood array: a 200k-
+    spoke hub is the planted boilerplate-star shape that OOMs a
+    collect_set buffer at 100x scale (VERDICT r4 #2). Beyond completing,
+    the physical plan must contain NO collect_set/Generate (array agg +
+    explode) — per-node state is a constant-size min() buffer."""
+    from pyspark.sql import functions as F
+
+    from lieu_spark.operators.cluster import _large_star, connected_components
+
+    n = 200_000
+    pairs = spark.range(1, n + 1).select(
+        F.lit("hub").alias("id_a"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 7, "0")).alias(
+            "id_b"
+        ),
+    )
+    plan = _large_star(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "collect_set" not in plan, plan
+    assert "Generate" not in plan, plan
+    comp = connected_components(pairs)
+    agg = comp.agg(
+        F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (agg.k, agg.n) == (1, n + 1)

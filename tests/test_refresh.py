@@ -382,6 +382,41 @@ def test_match_pairs_hot_cap_bounds_fanout(spark):
     assert per_inc and all(n < 120 for n in per_inc.values()), per_inc
 
 
+def test_match_pairs_broadcast_composes_with_hot_cap(spark):
+    """broadcast_incoming=True + hot_cap together (the streaming-ingest
+    shape, r4 deferred trap): the canonical side must flow through
+    broadcast hash joins only — zero SortMergeJoin / zero wide-side
+    shuffle — AND produce exactly the same pairs as the non-broadcast
+    capped join (the hint is a physical annotation, never semantics)."""
+    from lieu_spark.operators.lsh import match_pairs
+
+    hot = [(f"h{i}", 0, 99) for i in range(400)]
+    cold = [(f"c{i}", 1, 7) for i in range(5)]
+    canon = spark.createDataFrame(hot + cold, "id string, band int, band_hash long")
+    inc = spark.createDataFrame(
+        [(f"i{k}", b, h) for k in range(3) for b, h in [(0, 99), (1, 7)]],
+        "id string, band int, band_hash long",
+    )
+    plain = match_pairs(canon, inc, CFG, hot_cap=50)
+    bcast = match_pairs(canon, inc, CFG, hot_cap=50, broadcast_incoming=True)
+    pset = {(r.canonical_id, r.incoming_id) for r in plain.collect()}
+    bset = {(r.canonical_id, r.incoming_id) for r in bcast.collect()}
+    assert bset == pset
+    plan = bcast._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # every join (sizes prune, both size joins, the outer keys+sub
+    # join) broadcasts the small side — the canonical side is never
+    # sort-merge- or shuffled-hash-joined (the only hashpartitioning
+    # exchange left is match_pairs' dropDuplicates over the BOUNDED
+    # pair output)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_refresh_simhash_autodetect(spark):
     """with_simhash_path=None is cfg.with_simhash_path gated on the
     old state actually carrying a simhash column (the capability

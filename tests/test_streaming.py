@@ -657,3 +657,108 @@ def test_compact_state_rejects_keep_last_below_one(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_last"):
         compact_state(spark, str(tmp_path / "work"), keep_last=0)
+
+
+def test_stream_assembly_caps_turns_like_the_pipeline(spark, tmp_path):
+    """ADVICE r4 (medium): max_turns_per_conv flows into the
+    foreachBatch assembly — a capped conversation arriving on the
+    stream must hash to the SAME text_sha as the pipeline-built stored
+    state it is matched against, so the exact-dup match fires (and the
+    cap bounds the stream-side collect_list buffer)."""
+    import datetime as dt
+
+    from lieu_spark.streaming.ingest import IncrementalDeduper
+
+    ts = dt.datetime(2026, 1, 1)
+    cfg = DedupeConfig(max_turns_per_conv=10)
+    shared = [f"shared turn text number {i} zz" for i in range(10)]
+
+    def rows(cid, tail):
+        return [
+            (cid, i, "user" if i % 2 == 0 else "assistant", shared[i], None, ts)
+            for i in range(10)
+        ] + [
+            (cid, i, "user", f"{tail} {i}", None, ts) for i in range(10, 40)
+        ]
+
+    work = tmp_path / "wcap"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", cfg,
+        bands_dir=f"{work}/bands",
+    )
+    ded.process_batch(_mini_batch(spark, rows("c1", "canonical tail")), 0)
+    ded.process_batch(_mini_batch(spark, rows("n1", "divergent tail")), 1)
+
+    pairs = spark.read.parquet(f"{work}/pairs")
+    got = {
+        (r.id_a, r.id_b): r.status
+        for r in pairs.filter("batch_id = 1").collect()
+    }
+    # agree on the first 10 (capped) turns, diverge on the next 30:
+    # identical docs under the cap -> stream-side sha equals stored sha
+    assert got.get(("c1", "n1")) == "exact_duplicate", got
+
+
+def test_stream_standing_hot_band_fanout_bounded(spark, tmp_path):
+    """VERDICT r4 #1: a standing boilerplate band group in stored state
+    (members >> hot_band_cap) must NOT fan out per-incoming-row to the
+    whole group — the capped match bounds candidates to ~cap per band,
+    while matches are still found (full within-block pairing below the
+    cap, lib/lieu/spark/dedupe.py:24-48 parity)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lieu_spark.streaming.ingest import IncrementalDeduper
+
+    ts = dt.datetime(2026, 1, 1)
+    cfg = DedupeConfig(hot_band_cap=16)
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    work = tmp_path / "whot"
+    ded = IncrementalDeduper(
+        spark, f"{work}/index", f"{work}/pairs", cfg,
+        bands_dir=f"{work}/bands",
+    )
+    ded.process_batch(
+        _mini_batch(spark, [("a0", 0, "user", body, None, ts)]), 0
+    )
+
+    # plant a standing boilerplate group: 300 distinct conv_ids carrying
+    # a0's exact feature row (same sig -> same band groups) written as a
+    # synthetic state batch through the deduper's own folds
+    base = spark.read.parquet(f"{work}/index/batch_id=0").filter(
+        "conv_id = 'a0'"
+    )
+    planted = (
+        spark.range(300)
+        .crossJoin(base.drop("conv_id"))
+        .withColumn(
+            "conv_id",
+            F.concat(F.lit("x"), F.lpad(F.col("id").cast("string"), 4, "0")),
+        )
+        .drop("id")
+        .select(*base.columns)
+    )
+    planted.write.parquet(f"{work}/index/batch_id=1")
+    ded._write_bands(planted, 1)
+    ded._write_shas(planted, 1)
+
+    # incoming: a near-variant (distinct sha, shares band groups)
+    ded.process_batch(
+        _mini_batch(
+            spark,
+            [("n1", 0, "user", body.replace("upsilon", "omega"), None, ts)],
+        ),
+        2,
+    )
+    got = [
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{work}/pairs")
+        .filter("batch_id = 2")
+        .collect()
+    ]
+    n_lsh = sum(1 for a, _ in got if a.startswith(("x", "a")))
+    # uncapped this is ~301 (every standing member pairs with n1);
+    # capped it is ~|group|/nsplit ~= hot_band_cap per band group
+    assert 0 < n_lsh <= 4 * cfg.hot_band_cap, (n_lsh, sorted(got)[:10])
