@@ -582,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-deriving per query."""
     base = {
         # --- group A: never driver-green / new / changed this round ---
+        "asymmetry_guard": Q.q_asymmetry_guard,
+        "verdict_revision": Q.q_verdict_revision,
         "sketch_rollup": Q.q_sketch_rollup,
         "soft_dedup": Q.q_soft_dedup,
         "kmv_distinct": Q.q_kmv_distinct,

@@ -62,6 +62,29 @@ def field_signatures(
     )
 
 
+def combined_field_signatures(
+    transcripts: DataFrame, fields: list[str], id_col: str = "conv_id"
+) -> DataFrame:
+    """(conv_id, aux_sig) — one string combining the per-field
+    signatures of every active auxiliary field (null-distinct sentinel
+    per absent field). Used by the pipeline's subgrouped exact star:
+    two conversations land in the same subgroup iff EVERY active rule
+    sees them identically."""
+    out = None
+    for i, f in enumerate(sorted(set(fields))):
+        s = field_signatures(transcripts, field=f, id_col=id_col).select(
+            "conv_id", F.col("field_sig").alias(f"_f{i}")
+        )
+        out = s if out is None else out.join(s, "conv_id", "outer")
+    sig_cols = [c for c in out.columns if c != "conv_id"]
+    return out.select(
+        "conv_id",
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in sig_cols]
+        ).alias("aux_sig"),
+    )
+
+
 def _join_sigs(
     pairs: DataFrame, sigs: DataFrame, id_a: str, id_b: str
 ) -> DataFrame:

@@ -3456,3 +3456,61 @@ SELECT doc_id, grp, csize, weight_ppm,
             < weight_ppm AS INT) AS kept
 FROM ww ORDER BY doc_id
 """
+
+
+_AUX_SIGS = """
+aux_turns AS (SELECT doc_id, gs.t FROM aug, generate_series(0, 2) gs(t)),
+aux_tools AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 AND t = 1 THEN 'web_search'
+                WHEN doc_id % 5 = 0 AND t = 2 THEN 'calculator' END AS tool
+    FROM aux_turns),
+aux_sigs AS (
+    SELECT doc_id AS conv_id,
+           string_agg(DISTINCT tool, '|' ORDER BY tool) AS sig
+    FROM aux_tools WHERE tool IS NOT NULL GROUP BY doc_id)
+"""
+
+ORACLE["asymmetry_guard"] = f"""
+WITH {_DOCS_AUG},
+g AS (SELECT doc_id, sha256(text) AS sha FROM aug),
+reps AS (SELECT sha, min(doc_id) AS rep FROM g GROUP BY sha),
+pairs AS (SELECT r.rep AS id_a, g.doc_id AS id_b
+          FROM g JOIN reps r USING (sha) WHERE g.doc_id != r.rep),
+{_AUX_SIGS}
+SELECT p.id_a, p.id_b,
+       CASE WHEN (sa.sig IS NOT NULL) != (sb.sig IS NOT NULL)
+            THEN 'null_dupe' ELSE 'exact_duplicate' END AS status,
+       sa.sig AS sig_a, sb.sig AS sig_b
+FROM pairs p
+LEFT JOIN aux_sigs sa ON sa.conv_id = p.id_a
+LEFT JOIN aux_sigs sb ON sb.conv_id = p.id_b
+ORDER BY id_a, id_b
+"""
+
+ORACLE["verdict_revision"] = f"""
+WITH {_DOCS_AUG},
+{_AUX_SIGS},
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3),
+st AS (SELECT id_a, id_b,
+              CASE WHEN id_a % 2 = 0 THEN 'needs_review'
+                   ELSE 'likely_duplicate' END AS status_before
+       FROM pairs)
+SELECT s.id_a, s.id_b, s.status_before,
+       CASE WHEN s.status_before = 'needs_review'
+                 AND sa.sig IS NOT NULL AND sb.sig IS NOT NULL
+                 AND sa.sig = sb.sig
+            THEN 'likely_duplicate'
+            WHEN s.status_before = 'likely_duplicate'
+                 AND sa.sig IS NOT NULL AND sb.sig IS NOT NULL
+                 AND sa.sig != sb.sig
+            THEN 'needs_review'
+            ELSE s.status_before END AS status,
+       CAST(sa.sig IS NOT NULL AND sb.sig IS NOT NULL AND sa.sig = sb.sig
+            AS INT) AS same_f
+FROM st s
+LEFT JOIN aux_sigs sa ON sa.conv_id = s.id_a
+LEFT JOIN aux_sigs sb ON sb.conv_id = s.id_b
+ORDER BY id_a, id_b
+"""

@@ -229,9 +229,28 @@ def run_pipeline(
     bands = stage("bands", lambda: band_table_dual(feat_reps, cfg))
     bstats = stage("band_stats", lambda: band_stats(bands, cfg))
 
+    aux_fields = sorted(
+        {f for f in (cfg.asymmetry_field, cfg.revision_field) if f is not None}
+    )
+
     def build_candidates() -> DataFrame:
         lsh_cand = candidate_pairs(bands, cfg).withColumn("source", F.lit("minhash_lsh"))
-        exact_cand = exact_star_pairs(feat_slim).withColumn("source", F.lit("exact_sha"))
+        if aux_fields:
+            # aux-rule mode: the plain star's closure argument breaks
+            # (identical text no longer implies identical verdicts), so
+            # star per (text_sha, combined aux signature) subgroup with
+            # hub-hub cross edges — see exact_star_pairs_grouped
+            from .operators.asymmetry import combined_field_signatures
+            from .operators.exact import exact_star_pairs_grouped
+
+            aux_sigs = combined_field_signatures(transcripts, aux_fields)
+            star_in = feat_slim.select("conv_id", "text_sha").join(
+                aux_sigs, "conv_id", "left"
+            )
+            exact_cand = exact_star_pairs_grouped(star_in, "aux_sig")
+        else:
+            exact_cand = exact_star_pairs(feat_slim)
+        exact_cand = exact_cand.withColumn("source", F.lit("exact_sha"))
         merged = lsh_cand.unionByName(exact_cand)
         # family toggle lives on cfg (not an argument) so the stage
         # fingerprint captures it — see DedupeConfig.with_simhash_path

@@ -2955,3 +2955,87 @@ def q_soft_dedup(spark, sf_dir):
     return grp.select(
         "doc_id", "grp", "csize", "weight_ppm", "kept"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# P8 asymmetric-evidence guard + F10 verdict revision (operators/asymmetry.py;
+# reference lib/lieu/dedupe.py:103-108,166-169 and 356-372)
+# ---------------------------------------------------------------------------
+
+
+def _aux_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-turn (conv_id, turn_idx, tool) rows over docs_aug
+    — the SQL-expressible tool-usage fixture for the auxiliary-field
+    rules: 'web_search' on turn 1 of doc_id % 3 == 0 convs,
+    'calculator' on turn 2 of doc_id % 5 == 0 convs."""
+    d = docs_aug(spark, sf_dir).select("doc_id")
+    t = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("turn_idx")
+    )
+    tool = F.when(
+        (F.col("doc_id") % 3 == 0) & (F.col("turn_idx") == 1),
+        F.lit("web_search"),
+    ).when(
+        (F.col("doc_id") % 5 == 0) & (F.col("turn_idx") == 2),
+        F.lit("calculator"),
+    )
+    return t.select(
+        F.col("doc_id").alias("conv_id"), "turn_idx", tool.alias("tool")
+    )
+
+
+def q_asymmetry_guard(spark, sf_dir):
+    """P8 (lib/lieu/dedupe.py:103-108): exact byte-duplicate pairs where
+    the tool-usage field is present in exactly one conversation are
+    refused (null_dupe) instead of classified — asymmetric evidence.
+    Pair set = the exact sha star over docs_aug (the exact_dup_pairs
+    fixture); signatures from the deterministic _aux_transcripts rule,
+    so DuckDB re-derives the whole chain."""
+    from .operators.asymmetry import apply_asymmetry_guard, field_signatures
+
+    d = docs_aug(spark, sf_dir).select(
+        F.col("doc_id").alias("conv_id"), F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    pairs = exact_star_pairs(d).withColumn("status", F.lit("exact_duplicate"))
+    sigs = field_signatures(_aux_transcripts(spark, sf_dir), "tool")
+    out = apply_asymmetry_guard(pairs, sigs)
+    sa = sigs.select(F.col("conv_id").alias("id_a"), F.col("field_sig").alias("sig_a"))
+    sb = sigs.select(F.col("conv_id").alias("id_b"), F.col("field_sig").alias("sig_b"))
+    return (
+        out.join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .select("id_a", "id_b", "status", "sig_a", "sig_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_verdict_revision(spark, sf_dir):
+    """F10 (PhoneNumberDeduper.revised_dupe_class,
+    lib/lieu/dedupe.py:356-372): needs_review pairs whose tool
+    signatures match upgrade to likely_duplicate; likely pairs with
+    both-present-but-different signatures downgrade. Pair set =
+    (doc_id, doc_id+3) so both directions fire (ids 3 apart share the
+    %3 'web_search' family but split on the %5 'calculator' one);
+    base verdicts alternate on id_a parity."""
+    from .operators.asymmetry import field_signatures, revise_verdicts
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = d.select(F.col("doc_id").alias("id_a")).join(
+        d.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 3,
+    )
+    status = F.when(
+        F.col("id_a") % 2 == 0, F.lit("needs_review")
+    ).otherwise(F.lit("likely_duplicate"))
+    verified = pairs.withColumn("status_before", status).withColumn(
+        "status", F.col("status_before")
+    )
+    sigs = field_signatures(_aux_transcripts(spark, sf_dir), "tool")
+    out = revise_verdicts(verified, sigs, keep_same_field=True)
+    return out.select(
+        "id_a",
+        "id_b",
+        "status_before",
+        "status",
+        F.col("same_field").cast("int").alias("same_f"),
+    ).orderBy("id_a", "id_b")
