@@ -518,6 +518,178 @@ def run_refresh_probe(cores: int, corpus_parquet: str, out_json: str) -> None:
     )
 
 
+def run_stateful_probe(
+    cores: int, sf_dir: str, corpus_parquet: str, out_json: str
+) -> None:
+    """§2.9 measured-beyond-parity evidence (VERDICT r4 #8): the two
+    pytest-only streaming surfaces get bench-scale numbers.
+
+    Arm 1 — applyInPandasWithState conversation assembly
+    (streaming/stateful.py): a ~5% conv slice of the bench corpus,
+    turn rows split across 4 landing files (cross-batch state), drained
+    availableNow with a far-future flush sentinel. Reports wall,
+    turns/sec, peak state rows, watermark-dropped rows, and sha parity
+    vs the batch assembler over the same rows.
+
+    Arm 2 — watermarked tumbling-window aggregation
+    (streaming/windows.py): the sf events table streamed from 4 files
+    plus a sentinel event that pushes the watermark past every real
+    window. Reports wall, emitted windows, state metrics, and row-set
+    parity vs the batch groupBy over the same events."""
+    sys.path.insert(0, str(REPO))
+    from pyspark.sql import functions as F
+
+    from lieu_spark.operators.assemble import assemble_conversations
+    from lieu_spark.session import build_session
+    from lieu_spark.streaming.stateful import assemble_stream
+    from lieu_spark.streaming.windows import stream_events, windowed_event_counts
+
+    spark = build_session(f"lieu_spark_stateful_probe_{cores}", cores=cores)
+    root = Path(out_json).with_suffix(".work")
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+
+    def _state_metrics(progresses):
+        peak_rows, dropped = 0, 0
+        for p in progresses:
+            for op in (p or {}).get("stateOperators", []):
+                peak_rows = max(peak_rows, op.get("numRowsTotal", 0) or 0)
+                dropped += op.get("numRowsDroppedByWatermark", 0) or 0
+        return peak_rows, dropped
+
+    # ---- arm 1: stateful assembly ----
+    t = spark.read.parquet(corpus_parquet)
+    sel = t.filter(F.pmod(F.xxhash64("conv_id"), F.lit(20)) == 0).persist()
+    n_turns = sel.count()
+    max_ts = sel.agg(F.max("ts")).collect()[0][0]
+    in1 = root / "turns"
+    # landing files follow EVENT TIME (a real feed's arrival order):
+    # ts-quartile ranges, written in order so the file source's
+    # modified-time ordering replays them as an in-order stream — a
+    # conversation straddling a quartile boundary exercises cross-batch
+    # state, and the 1-minute watermark drops nothing (out-of-order
+    # delivery beyond the watermark is out of the feed contract)
+    epoch = sel.withColumn("_e", F.col("ts").cast("double"))
+    q1, q2, q3 = epoch.approxQuantile("_e", [0.25, 0.5, 0.75], 0.01)
+    bounds = [None, q1, q2, q3, None]
+    for i in range(4):
+        part = epoch
+        if bounds[i] is not None:
+            part = part.filter(F.col("_e") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("_e") < bounds[i + 1])
+        part.drop("_e").coalesce(1).write.mode("overwrite").parquet(
+            str(in1 / f"b{i}")
+        )
+    flush = sel.limit(1).select(
+        F.lit("zzflush").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("flush").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit(max_ts) + F.expr("INTERVAL 6 HOURS")).alias("ts"),
+    )
+    flush.coalesce(1).write.mode("overwrite").parquet(str(in1 / "b9"))
+
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in1) + "/*")
+    )
+    t0 = time.time()
+    q = (
+        assemble_stream(stream, watermark="1 minute", gap_ms=60_000)
+        .writeStream.format("parquet")
+        .option("path", str(root / "out1"))
+        .option("checkpointLocation", str(root / "ck1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assemble_wall = time.time() - t0
+    peak1, dropped1 = _state_metrics([p for p in q.recentProgress])
+
+    got = spark.read.parquet(str(root / "out1")).select("conv_id", "text_sha")
+    want = assemble_conversations(sel).select(
+        "conv_id", F.col("text_sha").alias("want_sha")
+    )
+    n_convs = want.count()
+    n_match = (
+        got.join(want, "conv_id")
+        .filter(F.col("text_sha") == F.col("want_sha"))
+        .count()
+    )
+    sel.unpersist()
+
+    # ---- arm 2: watermarked windows ----
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_cols = ["event_id", "user_id", "event_type", "ts", "props"]
+    ev = ev.select(*[c for c in ev_cols if c in ev.columns])
+    n_events = ev.count()
+    ev_max = ev.agg(F.max("ts")).collect()[0][0]
+    in2 = root / "events"
+    ev.repartition(4).write.mode("overwrite").parquet(str(in2 / "b0"))
+    def _sentinel_col(c):
+        if c == "ts":
+            return (F.lit(ev_max) + F.expr("INTERVAL 365 DAYS")).alias(c)
+        if c == "event_type":
+            return F.lit("zzsentinel").alias(c)
+        return F.lit(None).cast(ev.schema[c].dataType).alias(c)
+
+    ev.limit(1).select(*[_sentinel_col(c) for c in ev.columns]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(in2 / "b1"))
+
+    t0 = time.time()
+    counts = windowed_event_counts(
+        stream_events(spark, str(in2) + "/*"), window="1 hour", watermark="2 hours"
+    )
+    q2 = (
+        counts.writeStream.format("parquet")
+        .option("path", str(root / "out2"))
+        .option("checkpointLocation", str(root / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    windows_wall = time.time() - t0
+    peak2, dropped2 = _state_metrics([p for p in q2.recentProgress])
+
+    stream_rows = {
+        tuple(r)
+        for r in spark.read.parquet(str(root / "out2"))
+        .filter(F.col("event_type") != "zzsentinel")
+        .collect()
+    }
+    batch_rows = {tuple(r) for r in windowed_event_counts(ev).collect()}
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    Path(out_json).write_text(
+        json.dumps(
+            {
+                "cores": cores,
+                "assemble_turns": n_turns,
+                "assemble_convs": n_convs,
+                "assemble_wall_sec": round(assemble_wall, 3),
+                "assemble_turns_per_sec": round(n_turns / assemble_wall, 1)
+                if assemble_wall
+                else None,
+                "assemble_sha_parity": n_match == n_convs,
+                "assemble_state_rows_peak": peak1,
+                "assemble_watermark_dropped": dropped1,
+                "windows_events": n_events,
+                "windows_wall_sec": round(windows_wall, 3),
+                "windows_emitted": len(stream_rows),
+                "windows_parity": stream_rows == batch_rows,
+                "windows_state_rows_peak": peak2,
+                "windows_watermark_dropped": dropped2,
+            }
+        )
+    )
+
+
 def submit(
     cores: int,
     sf_dir: str,
@@ -528,6 +700,7 @@ def submit(
     verify_mode: str = "shingles",
     pipeline_only: bool = False,
     refresh_probe: bool = False,
+    stateful_probe: bool = False,
 ) -> dict:
     """Launch one measured run via spark-submit --py-files (falls back to
     plain python if spark-submit is unavailable). repeats>1: rerun and
@@ -547,6 +720,7 @@ def submit(
                 verify_mode=verify_mode,
                 pipeline_only=pipeline_only,
                 refresh_probe=refresh_probe,
+                stateful_probe=stateful_probe,
             )
             for i in range(repeats)
         ]
@@ -558,9 +732,14 @@ def submit(
     if not Path(pyfiles).exists() or Path(pyfiles).stat().st_mtime < src_mtime:
         CACHE.mkdir(exist_ok=True)
         shutil.make_archive(pyfiles[:-4], "zip", REPO, "lieu_spark")
+    mode = "--run-one"
+    if refresh_probe:
+        mode = "--refresh-probe"
+    elif stateful_probe:
+        mode = "--stateful-probe"
     args = [
         str(REPO / "bench.py"),
-        "--refresh-probe" if refresh_probe else "--run-one",
+        mode,
         "--cores", str(cores),
         "--sf-dir", sf_dir,
         "--corpus", corpus_parquet,
@@ -607,10 +786,14 @@ def main() -> None:
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--store-dir", default=None)
     ap.add_argument("--refresh-probe", action="store_true")
+    ap.add_argument("--stateful-probe", action="store_true")
     args = ap.parse_args()
 
     if args.refresh_probe:
         run_refresh_probe(args.cores, args.corpus, args.out)
+        return
+    if args.stateful_probe:
+        run_stateful_probe(args.cores, args.sf_dir, args.corpus, args.out)
         return
     if args.run_one:
         run_one(
@@ -646,6 +829,36 @@ def main() -> None:
         native, args.sf_dir, corpus_parquet,
         str(CACHE / f"run_p{native}.json"), stream_parity=True,
     )
+
+    # incremental-refresh probe MOVED BEFORE the scaling/AB workloads
+    # (VERDICT r4 #6): at the old bench-tail position the refresh arm —
+    # a serial chain of short jobs — inflated super-linearly under the
+    # accumulated co-tenant load and reported sub-1.0 ratios that three
+    # adjacent standalone probes (1.17-1.33x) and the 10x ladder
+    # (2.05-3.01x, BENCH.md) contradicted. ~2-3 min;
+    # SPARK_GRAFT_BENCH_REFRESH=0 opts out.
+    refresh_probe = None
+    if os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "1") == "1":
+        refresh_probe = submit(
+            native, args.sf_dir, corpus_parquet,
+            str(CACHE / "run_refresh_probe.json"), refresh_probe=True,
+        )
+        refresh_probe["load_caveat"] = (
+            "refresh arm is a serial chain of short jobs; under co-tenant "
+            "load the ratio is noise-level at 1x scale — the measured "
+            "scale curve is BENCH.md's refresh ladder (2k 0.89x, 90k "
+            "~1.3x, 900k 2.05-3.01x, clusters_equal at every rung)"
+        )
+
+    # §2.9 stateful/windowed streaming probe (VERDICT r4 #8): measured
+    # numbers beyond pytest parity. SPARK_GRAFT_BENCH_STATEFUL=0 opts
+    # out.
+    stateful_probe = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STATEFUL", "1") == "1":
+        stateful_probe = submit(
+            native, args.sf_dir, corpus_parquet,
+            str(CACHE / "run_stateful_probe.json"), stateful_probe=True,
+        )
     # 3 rounds, not 2: the headline weak_efficiency is the MEDIAN of
     # 5 weak rounds: a 2-element median degenerates to the min, and
     # co-tenant spikes SHORTER than a round blow individual ratios both
@@ -806,16 +1019,6 @@ def main() -> None:
             ],
         }
 
-    # incremental-refresh probe: from-scratch vs refresh_pipeline on a
-    # ~4% CDC delta, adjacent arms, cluster-set parity asserted at bench
-    # scale. ~2-3 min; SPARK_GRAFT_BENCH_REFRESH=0 opts out.
-    refresh_probe = None
-    if os.environ.get("SPARK_GRAFT_BENCH_REFRESH", "1") == "1":
-        refresh_probe = submit(
-            native, args.sf_dir, corpus_parquet,
-            str(CACHE / "run_refresh_probe.json"), refresh_probe=True,
-        )
-
     queries = {"pipeline_total": round(r2["pipeline_wall_sec"], 3)}
     queries.update({k: round(v, 3) for k, v in r2["stage_sec"].items()})
     out = {
@@ -841,6 +1044,7 @@ def main() -> None:
         "ann_recall": r2.get("ann_recall"),
         "verify_mode_ab": soft_ab,
         "refresh_probe": refresh_probe,
+        "stateful_probe": stateful_probe,
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -136,22 +136,16 @@ def verify_pairs(
             theta6=cfg.soft_theta6,
             max_tokens=cfg.soft_max_tokens,
         ).select("id_a", "id_b", "soft6")
-        sha = features.select(
-            F.col("conv_id").alias("id_a"), F.col("text_sha").alias("text_sha_a")
-        )
-        shb = features.select(
-            F.col("conv_id").alias("id_b"), F.col("text_sha").alias("text_sha_b")
-        )
         # LEFT join + 0-fill: soft scores exist only for pairs where both
         # sides tokenize non-empty AND share >= 1 fuzzy token match; an
         # inner join would silently drop the rest — including exact-sha
         # pairs of token-less docs (punctuation-only text), which every
         # other mode classifies EXACT via the text_sha comparison below.
-        enriched = (
-            pairs.join(scored, ["id_a", "id_b"], "left")
-            .na.fill({"soft6": 0})
-            .join(sha, "id_a")
-            .join(shb, "id_b")
+        # The sha enrichment is the shared J2 double-join.
+        enriched = join_pair_features(
+            pairs.join(scored, ["id_a", "id_b"], "left").na.fill({"soft6": 0}),
+            features,
+            ["text_sha"],
         )
         j = F.col("soft6").cast("double") / F.lit(1e6)
     elif cfg.verify_mode == "signatures":
