@@ -35,6 +35,7 @@ import hashlib
 import json
 import time
 import uuid
+import weakref
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +62,10 @@ from .functions.sampling import (
 from .metrics import record_stage
 from .operators.packing import pack_sequences
 from .pipeline import run_pipeline
+
+# per-session memo for _content_sig (keyed by live DataFrame identity;
+# weakref guards against id() reuse after garbage collection)
+_CONTENT_SIG_CACHE: dict[int, tuple] = {}
 
 
 @dataclass
@@ -211,13 +216,27 @@ def curate(
         # order-insensitive agg job (the repo's bit_xor checksum
         # recipe) — runs only for store-backed runs with file-less
         # inputs; parquet-backed inputs keep the free file signature.
+        # NOTE: this is a DELIBERATE eager Spark action during plan
+        # construction (an exception to the repo's no-actions rule):
+        # staleness beats speed for a correctness fingerprint, and it
+        # fires even when every stage is a checkpoint hit. The result
+        # is memoized per live DataFrame object, so chained curate()
+        # calls in one session re-scan the holdout once, not per call
+        # (a MUTATED-in-place frame cannot exist — DataFrames are
+        # immutable plans, so object identity implies same content).
+        key = id(df)
+        hit = _CONTENT_SIG_CACHE.get(key)
+        if hit is not None and hit[0]() is df:
+            return hit[1]
         row = df.select(
             F.bit_xor(
                 F.xxhash64(F.col("doc_id").cast("string"), F.col("text"))
             ).alias("h"),
             F.count("*").alias("n"),
         ).collect()[0]
-        return f"mem{(row['h'] or 0) & (2**64 - 1):016x}n{row['n']}"
+        sig = f"mem{(row['h'] or 0) & (2**64 - 1):016x}n{row['n']}"
+        _CONTENT_SIG_CACHE[key] = (weakref.ref(df), sig)
+        return sig
 
     if holdout is not None:
         # the holdout is an input too: resuming with a different (or
