@@ -91,12 +91,18 @@ def _run_arm(edges: int, mem: str, cores: int, legacy: bool):
         repo=REPO, edges=edges, mem=mem, cores=cores, legacy=legacy
     )
     t0 = time.time()
-    p = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        # a GC lockup (the legacy arm's documented failure mode)
+        # manifests as a hang, not a crash — report it as the arm's
+        # error instead of losing the whole probe
+        return None, "timeout (GC lockup) after 3600s", round(time.time() - t0, 1)
     wall = None
     for ln in p.stdout.splitlines():
         if ln.startswith("PROBE_OK"):

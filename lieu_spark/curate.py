@@ -235,7 +235,12 @@ def curate(
             F.count("*").alias("n"),
         ).collect()[0]
         sig = f"mem{(row['h'] or 0) & (2**64 - 1):016x}n{row['n']}"
-        _CONTENT_SIG_CACHE[key] = (weakref.ref(df), sig)
+        # eviction on GC: without the callback a long-lived driver
+        # accumulates one dead entry per collected holdout frame
+        _CONTENT_SIG_CACHE[key] = (
+            weakref.ref(df, lambda _r, _k=key: _CONTENT_SIG_CACHE.pop(_k, None)),
+            sig,
+        )
         return sig
 
     if holdout is not None:

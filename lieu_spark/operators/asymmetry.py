@@ -46,19 +46,30 @@ def field_signatures(
     absent. collect_set skips nulls, so the WHEN guard both trims and
     filters in one expression; the buffer holds the conversation's
     DISTINCT tool names only (app-vocabulary-bounded, unlike a
-    neighborhood list)."""
+    neighborhood list).
+
+    Encoding is INJECTIVE: each value is length-prefixed ("3:web")
+    before the '|' join, so {'a|b'} and {'a','b'} produce different
+    signatures — a bare join would let distinct value sets collide
+    into equal sigs and silently upgrade verdicts on evidence that
+    does not match. Any canonical order works (set equality iff sig
+    equality), so both engines sort the PREFIXED strings."""
     vals = transcripts.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("conv_id"),
         F.trim(F.col(field)).alias("_v"),
     )
     agg = vals.groupBy("conv_id").agg(
-        F.array_sort(
-            F.collect_set(F.when(F.length("_v") > 0, F.col("_v")))
-        ).alias("_s")
+        F.collect_set(F.when(F.length("_v") > 0, F.col("_v"))).alias("_s0")
+    )
+    pref = F.array_sort(
+        F.transform(
+            F.col("_s0"),
+            lambda v: F.concat(F.length(v).cast("string"), F.lit(":"), v),
+        )
     )
     return agg.select(
         "conv_id",
-        F.when(F.size("_s") > 0, F.array_join("_s", "|")).alias("field_sig"),
+        F.when(F.size("_s0") > 0, F.array_join(pref, "|")).alias("field_sig"),
     )
 
 
@@ -66,10 +77,13 @@ def combined_field_signatures(
     transcripts: DataFrame, fields: list[str], id_col: str = "conv_id"
 ) -> DataFrame:
     """(conv_id, aux_sig) — one string combining the per-field
-    signatures of every active auxiliary field (null-distinct sentinel
-    per absent field). Used by the pipeline's subgrouped exact star:
-    two conversations land in the same subgroup iff EVERY active rule
-    sees them identically."""
+    signatures of every active auxiliary field. Used by the pipeline's
+    subgrouped exact star: two conversations land in the same subgroup
+    iff EVERY active rule sees them identically.
+
+    Injective like field_signatures: each component (the per-field sig,
+    or '\\x00' for absent) is itself length-prefixed before the '\\x1f'
+    join, so no value content can forge a component boundary."""
     out = None
     for i, f in enumerate(sorted(set(fields))):
         s = field_signatures(transcripts, field=f, id_col=id_col).select(
@@ -77,11 +91,14 @@ def combined_field_signatures(
         )
         out = s if out is None else out.join(s, "conv_id", "outer")
     sig_cols = [c for c in out.columns if c != "conv_id"]
+
+    def _component(c):
+        v = F.coalesce(F.col(c), F.lit("\x00"))
+        return F.concat(F.length(v).cast("string"), F.lit(":"), v)
+
     return out.select(
         "conv_id",
-        F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in sig_cols]
-        ).alias("aux_sig"),
+        F.concat_ws("\x1f", *[_component(c) for c in sig_cols]).alias("aux_sig"),
     )
 
 

@@ -129,6 +129,17 @@ def refresh_dedupe(
     Pass an explicit bool to override; callers doing so own the
     refresh-vs-scratch parity argument themselves.
 
+    Auxiliary-field pair rules (cfg.asymmetry_field / revision_field)
+    are REFUSED here: refresh's rep selection, star repair, and
+    promotion rules all key on per-sha minima, which is only
+    verdict-sound when identical text implies identical verdicts —
+    under aux rules the scratch pipeline subgroups by (sha, signature)
+    (pipeline.py / exact_star_pairs_grouped), and a refresh that kept
+    the per-sha shape would silently break refresh-vs-scratch cluster
+    parity (e.g. classify exact a pair the scratch run refuses as
+    null_dupe). Until the subgrouped shape is carried through refresh,
+    an aux-enabled config must run from scratch.
+
     ``old_clusters`` (optional, (conv_id, cluster_id) over the OLD
     corpus incl. singletons — run_pipeline's clusters stage table):
     enables INCREMENTAL connected components. Clusters untouched by the
@@ -141,6 +152,15 @@ def refresh_dedupe(
     the full merged pair set (still linear in dup pairs, not docs).
     """
     idc = "conv_id"
+    if cfg.asymmetry_field is not None or cfg.revision_field is not None:
+        raise ValueError(
+            "refresh_dedupe: auxiliary-field pair rules "
+            "(cfg.asymmetry_field/revision_field) are not supported on "
+            "the refresh path — per-sha rep/star/promotion rules are "
+            "verdict-unsound under per-pair aux signatures and would "
+            "break refresh-vs-scratch cluster parity. Run the pipeline "
+            "from scratch for aux-enabled configs."
+        )
     if "text_sha" not in new_conversations.columns:
         raise ValueError("new_conversations must carry text_sha")
     if with_simhash_path is None:

@@ -3466,8 +3466,13 @@ aux_tools AS (
                 WHEN doc_id % 5 = 0 AND t = 2 THEN 'calculator' END AS tool
     FROM aux_turns),
 aux_sigs AS (
+    -- length-prefixed injective encoding, ordered on the PREFIXED
+    -- string — must mirror operators/asymmetry.field_signatures
     SELECT doc_id AS conv_id,
-           string_agg(DISTINCT tool, '|' ORDER BY tool) AS sig
+           string_agg(DISTINCT (CAST(length(tool) AS VARCHAR) || ':' || tool),
+                      '|'
+                      ORDER BY (CAST(length(tool) AS VARCHAR) || ':' || tool))
+               AS sig
     FROM aux_tools WHERE tool IS NOT NULL GROUP BY doc_id)
 """
 

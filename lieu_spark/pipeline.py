@@ -219,19 +219,39 @@ def run_pipeline(
     # connected components. This keeps boilerplate-heavy corpora linear
     # — a 5k-copy group would otherwise flood every band (the 100 TB
     # version of lieu's two-pass star trick, spark/dedupe.py:63-88).
-    rep_w = Window.partitionBy("text_sha")
+    #
+    # Aux-rule mode: the rep (like the exact star) is per
+    # (text_sha, combined aux signature) SUBGROUP — under per-pair
+    # auxiliary rules a member's verdict against an external near-dup
+    # depends on the MEMBER's own signature, so a single per-sha rep
+    # would judge every member on the rep's signature and a refused
+    # hub edge could sever a member's only path to partners its own
+    # signature is compatible with. One extra rep per distinct
+    # signature per sha (tool-vocabulary-bounded, not corpus-bounded).
+    aux_fields = sorted(
+        {f for f in (cfg.asymmetry_field, cfg.revision_field) if f is not None}
+    )
+    aux_sigs = None
+    rep_keys = ["text_sha"]
+    if aux_fields:
+        from .operators.asymmetry import combined_field_signatures
+
+        aux_sigs = combined_field_signatures(transcripts, aux_fields)
+        feat_content = feat_content.join(
+            aux_sigs.select("conv_id", F.col("aux_sig").alias("_aux")),
+            "conv_id",
+            "left",
+        ).withColumn("_aux", F.coalesce(F.col("_aux"), F.lit("")))
+        rep_keys = ["text_sha", "_aux"]
+    rep_w = Window.partitionBy(*rep_keys)
     feat_reps = (
         feat_content.withColumn("_rep", F.min("conv_id").over(rep_w))
         .filter(F.col("conv_id") == F.col("_rep"))
-        .drop("_rep")
+        .drop("_rep", *(["_aux"] if aux_fields else []))
     )
 
     bands = stage("bands", lambda: band_table_dual(feat_reps, cfg))
     bstats = stage("band_stats", lambda: band_stats(bands, cfg))
-
-    aux_fields = sorted(
-        {f for f in (cfg.asymmetry_field, cfg.revision_field) if f is not None}
-    )
 
     def build_candidates() -> DataFrame:
         lsh_cand = candidate_pairs(bands, cfg).withColumn("source", F.lit("minhash_lsh"))
@@ -239,11 +259,10 @@ def run_pipeline(
             # aux-rule mode: the plain star's closure argument breaks
             # (identical text no longer implies identical verdicts), so
             # star per (text_sha, combined aux signature) subgroup with
-            # hub-hub cross edges — see exact_star_pairs_grouped
-            from .operators.asymmetry import combined_field_signatures
+            # hub-hub cross edges — see exact_star_pairs_grouped.
+            # aux_sigs is the frame the rep selection above also used.
             from .operators.exact import exact_star_pairs_grouped
 
-            aux_sigs = combined_field_signatures(transcripts, aux_fields)
             star_in = feat_slim.select("conv_id", "text_sha").join(
                 aux_sigs, "conv_id", "left"
             )

@@ -348,6 +348,16 @@ class IncrementalDeduper:
         bands_dir: str | None = None,
         shas_dir: str | None = None,
     ) -> None:
+        if cfg.asymmetry_field is not None or cfg.revision_field is not None:
+            raise ValueError(
+                "IncrementalDeduper: auxiliary-field pair rules "
+                "(cfg.asymmetry_field/revision_field) are not supported "
+                "on the streaming path — the stored index carries no "
+                "per-conversation field-signature state, so stream "
+                "verdicts would silently diverge from the batch "
+                "pipeline's under the same config. Use the batch "
+                "pipeline for aux-enabled configs."
+            )
         self.spark = spark
         self.index_dir = index_dir
         self.pairs_dir = pairs_dir

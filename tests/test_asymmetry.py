@@ -37,7 +37,19 @@ def test_field_signatures_trim_distinct_sorted_null(spark):
         _turn("c", 0, "x"),
     ]
     got = {r.conv_id: r.field_sig for r in field_signatures(_tdf(spark, rows)).collect()}
-    assert got == {"a": "calc|web", "b": None, "c": None}
+    assert got == {"a": "3:web|4:calc", "b": None, "c": None}
+
+
+def test_field_signatures_injective_no_separator_collision(spark):
+    # {'a|b'} vs {'a','b'}: a bare '|' join would make these EQUAL and
+    # silently upgrade verdicts on evidence that does not match
+    rows = [
+        _turn("p", 0, "x", "a|b"),
+        _turn("q", 0, "x", "a"),
+        _turn("q", 1, "y", "b"),
+    ]
+    got = {r.conv_id: r.field_sig for r in field_signatures(_tdf(spark, rows)).collect()}
+    assert got["p"] != got["q"], got
 
 
 def test_guard_and_revision_rules_on_pair_frame(spark):
@@ -153,3 +165,45 @@ def test_match_guard_uses_member_own_signature(spark):
     }
     assert got[("c1", "n1")] == "null_dupe"
     assert got[("c2", "n1")] == "exact_duplicate"
+
+
+def test_member_own_signature_reaches_external_neardup(spark):
+    """Review finding (r5): with a refused hub edge, a member must
+    still reach an external near-dup its OWN signature is compatible
+    with — reps are per (sha, signature) subgroup in aux mode, so the
+    tool-bearing member bands itself and the M-X pair materializes."""
+    toks = [f"v{i:03d}" for i in range(110)]
+    base = " ".join(toks)
+    near = " ".join(toks[:109] + ["x9"])  # j ~ 0.98, likely band
+    rows = [
+        _turn("a0", 0, base),               # rep of the no-tool subgroup (min id)
+        _turn("m1", 0, base, "web"),        # tool-bearing member, same text
+        _turn("x1", 0, near, "web"),        # external near-dup, same tool
+    ]
+    cfg = DedupeConfig(asymmetry_field="tool")
+    res = run_pipeline(spark, _tdf(spark, rows), cfg, with_spans=False)
+    st = {(r.id_a, r.id_b): r.status for r in res.verified.collect()}
+    cl = {r.conv_id: r.cluster_id for r in res.clusters.collect()}
+    assert st[("a0", "m1")] == "null_dupe"          # hub edge refused
+    assert st[("m1", "x1")] == "likely_duplicate"   # member's own pair
+    assert cl["m1"] == cl["x1"]
+    assert cl["a0"] != cl["m1"]
+
+
+def test_refresh_and_stream_refuse_aux_configs(spark, tmp_path):
+    """Review findings (r5): the refresh and streaming paths keep
+    per-sha rep/star shapes that are verdict-unsound under aux rules —
+    both must refuse loudly instead of silently breaking parity."""
+    import pytest as _pytest
+
+    from lieu_spark.operators.refresh import refresh_dedupe
+    from lieu_spark.streaming.ingest import IncrementalDeduper
+
+    cfg = DedupeConfig(asymmetry_field="tool")
+    with _pytest.raises(ValueError, match="aux"):
+        IncrementalDeduper(
+            spark, str(tmp_path / "i"), str(tmp_path / "p"), cfg
+        )
+    empty = spark.createDataFrame([], "conv_id string, text_sha string")
+    with _pytest.raises(ValueError, match="aux"):
+        refresh_dedupe(empty, empty, empty, empty, cfg, lambda df: df)
