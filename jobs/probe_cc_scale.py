@@ -90,34 +90,48 @@ def _run_arm(edges: int, mem: str, cores: int, legacy: bool):
     code = _ARM.format(
         repo=REPO, edges=edges, mem=mem, cores=cores, legacy=legacy
     )
+    import os as _os
+    import signal as _signal
+
     t0 = time.time()
+    # own process group: on timeout the WHOLE group is killed — killing
+    # only the python child would orphan the Spark driver JVM it
+    # spawned, and a GC-locked JVM (the legacy arm's documented failure
+    # mode) never notices stdin EOF, so it would keep pinning
+    # --cores/--mem on this shared box and contaminate every
+    # measurement that follows
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+    )
     try:
-        p = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
+        out, err = proc.communicate(timeout=3600)
     except subprocess.TimeoutExpired:
-        # a GC lockup (the legacy arm's documented failure mode)
-        # manifests as a hang, not a crash — report it as the arm's
-        # error instead of losing the whole probe
+        try:
+            _os.killpg(proc.pid, _signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
         return None, "timeout (GC lockup) after 3600s", round(time.time() - t0, 1)
+
     wall = None
-    for ln in p.stdout.splitlines():
+    for ln in out.splitlines():
         if ln.startswith("PROBE_OK"):
             wall = float(ln.split()[1])
-    if p.returncode != 0 or wall is None:
-        tail = (p.stderr or p.stdout).strip().splitlines()[-30:]
-        err = next(
+    if proc.returncode != 0 or wall is None:
+        tail = (err or out).strip().splitlines()[-30:]
+        msg = next(
             (
                 ln
                 for ln in tail
                 if "OutOfMemoryError" in ln or "SparkOutOfMemory" in ln
             ),
-            tail[-1] if tail else f"exit={p.returncode}",
+            tail[-1] if tail else f"exit={proc.returncode}",
         )
-        return None, err.strip()[:300], round(time.time() - t0, 1)
+        return None, msg.strip()[:300], round(time.time() - t0, 1)
     return wall, None, round(time.time() - t0, 1)
 
 

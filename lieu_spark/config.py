@@ -115,6 +115,11 @@ class DedupeConfig:
     # to a transcript column (e.g. "tool"), a pair where exactly one
     # conversation carries any non-empty value of that column is
     # classified `null_dupe` (refused) instead of scored. None = off.
+    # CONTRACT: aux fields must be LOW-CARDINALITY CATEGORICAL (tool
+    # names, role sets) — blocking reps are per (text_sha, signature)
+    # subgroup in aux mode, so a free-form field (session ids, text)
+    # would make every boilerplate copy its own banded rep and re-open
+    # the quadratic blowup the per-sha rep exists to prevent.
     asymmetry_field: str | None = None
     # F10 verdict revision (PhoneNumberDeduper.revised_dupe_class,
     # lib/lieu/dedupe.py:356-372): when set, needs_review pairs whose
@@ -148,8 +153,19 @@ class DedupeConfig:
     def fingerprint(self) -> str:
         """Content-address of the config — stamped into checkpoint stage
         metadata so a resume with a different config recomputes instead of
-        silently reusing stale stage tables (SURVEY.md §7.3 hard part e)."""
-        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        silently reusing stale stage tables (SURVEY.md §7.3 hard part e).
+
+        ``aux_semantics`` is an explicit schema revision for the
+        auxiliary-rule PLAN SHAPE (subgrouped reps/star, injective sig
+        encoding): a semantic fix to how aux mode blocks/classifies must
+        bump it so store-backed resumes of aux-enabled configs recompute
+        instead of serving stages built under the old semantics. Only
+        mixed in when a rule is active, so plain-config fingerprints
+        (and their stores) are untouched by aux revisions."""
+        d = asdict(self)
+        if self.asymmetry_field is not None or self.revision_field is not None:
+            d["aux_semantics"] = 2
+        payload = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
 

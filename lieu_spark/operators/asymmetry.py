@@ -74,31 +74,50 @@ def field_signatures(
 
 
 def combined_field_signatures(
-    transcripts: DataFrame, fields: list[str], id_col: str = "conv_id"
+    transcripts: DataFrame,
+    fields: list[str],
+    id_col: str = "conv_id",
+    presence_field: str | None = None,
 ) -> DataFrame:
-    """(conv_id, aux_sig) — one string combining the per-field
-    signatures of every active auxiliary field. Used by the pipeline's
-    subgrouped exact star: two conversations land in the same subgroup
-    iff EVERY active rule sees them identically.
+    """(conv_id, aux_sig[, aux_class]) — one string combining the
+    per-field signatures of every active auxiliary field. Used by the
+    pipeline's subgrouped exact star: two conversations land in the
+    same subgroup iff EVERY active rule sees them identically.
 
     Injective like field_signatures: each component (the per-field sig,
     or '\\x00' for absent) is itself length-prefixed before the '\\x1f'
-    join, so no value content can forge a component boundary."""
+    join, so no value content can forge a component boundary.
+
+    ``presence_field`` (must be one of ``fields``): adds ``aux_class``
+    — that field's presence flag ('1'/'0'), the verdict-equivalence
+    class the subgrouped star's hub-star keys on (the guard refuses on
+    presence XOR only; revision never touches EXACT). None → constant
+    '' (single class: no guard active, every same-sha pair is exact)."""
+    ordered = sorted(set(fields))
     out = None
-    for i, f in enumerate(sorted(set(fields))):
+    for i, f in enumerate(ordered):
         s = field_signatures(transcripts, field=f, id_col=id_col).select(
             "conv_id", F.col("field_sig").alias(f"_f{i}")
         )
         out = s if out is None else out.join(s, "conv_id", "outer")
-    sig_cols = [c for c in out.columns if c != "conv_id"]
 
     def _component(c):
         v = F.coalesce(F.col(c), F.lit("\x00"))
         return F.concat(F.length(v).cast("string"), F.lit(":"), v)
 
+    sig_cols = [f"_f{i}" for i in range(len(ordered))]
+    cls = F.lit("")
+    if presence_field is not None:
+        if presence_field not in ordered:
+            raise ValueError(
+                f"presence_field {presence_field!r} not in fields {ordered!r}"
+            )
+        pcol = f"_f{ordered.index(presence_field)}"
+        cls = F.when(F.col(pcol).isNotNull(), F.lit("1")).otherwise(F.lit("0"))
     return out.select(
         "conv_id",
         F.concat_ws("\x1f", *[_component(c) for c in sig_cols]).alias("aux_sig"),
+        cls.alias("aux_class"),
     )
 
 

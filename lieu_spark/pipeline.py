@@ -236,7 +236,15 @@ def run_pipeline(
     if aux_fields:
         from .operators.asymmetry import combined_field_signatures
 
-        aux_sigs = combined_field_signatures(transcripts, aux_fields)
+        # lazy localCheckpoint: the narrow (conv_id, aux_sig, aux_class)
+        # frame feeds rep selection, banding, simhash, winnowing AND the
+        # grouped star — unpersisted, each consumer would re-run the
+        # transcripts-wide signature aggregation (the multi-consumer
+        # trap in CLAUDE.md); checkpointing truncates the lineage to a
+        # one-pass materialization on first use
+        aux_sigs = combined_field_signatures(
+            transcripts, aux_fields, presence_field=cfg.asymmetry_field
+        ).localCheckpoint(eager=False)
         feat_content = feat_content.join(
             aux_sigs.select("conv_id", F.col("aux_sig").alias("_aux")),
             "conv_id",
@@ -258,15 +266,28 @@ def run_pipeline(
         if aux_fields:
             # aux-rule mode: the plain star's closure argument breaks
             # (identical text no longer implies identical verdicts), so
-            # star per (text_sha, combined aux signature) subgroup with
-            # hub-hub cross edges — see exact_star_pairs_grouped.
-            # aux_sigs is the frame the rep selection above also used.
+            # star per (text_sha, combined aux signature) subgroup, with
+            # hub edges STARRED per verdict-equivalence class (the
+            # asymmetry field's presence flag) — linear in subgroups,
+            # never quadratic in distinct signatures per sha. aux_sigs
+            # is the checkpointed frame the rep selection above used.
             from .operators.exact import exact_star_pairs_grouped
 
-            star_in = feat_slim.select("conv_id", "text_sha").join(
-                aux_sigs, "conv_id", "left"
+            star_in = (
+                feat_slim.select("conv_id", "text_sha")
+                .join(aux_sigs, "conv_id", "left")
+                .withColumn("aux_sig", F.coalesce(F.col("aux_sig"), F.lit("")))
+                .withColumn(
+                    "aux_class",
+                    F.coalesce(
+                        F.col("aux_class"),
+                        F.lit("0" if cfg.asymmetry_field else ""),
+                    ),
+                )
             )
-            exact_cand = exact_star_pairs_grouped(star_in, "aux_sig")
+            exact_cand = exact_star_pairs_grouped(
+                star_in, "aux_sig", class_col="aux_class"
+            )
         else:
             exact_cand = exact_star_pairs(feat_slim)
         exact_cand = exact_cand.withColumn("source", F.lit("exact_sha"))
@@ -310,10 +331,19 @@ def run_pipeline(
 
     def build_spans() -> DataFrame:
         # span blocking: winnowing inverted index ∪ mid-similarity verified
-        # pairs, minus pairs already classified whole-doc duplicates
+        # pairs, minus pairs already classified whole-doc duplicates.
+        # Refused (null_dupe) pairs are excluded with the dupes: in aux
+        # mode a refused pair is typically a byte-identical or near-
+        # identical text the guard declined to CLASSIFY — span-scanning
+        # it would push full-length identical docs through the
+        # quadratic LCS kernel for no signal (the whole doc is the span)
         winnow = winnow_span_candidates(feat_reps, cfg)
         mid = span_candidates(verified, cfg)
-        dupes = dupe_pairs(verified).select("id_a", "id_b")
+        from .operators.verify import STATUS_EXACT, STATUS_LIKELY, STATUS_NULL
+
+        dupes = verified.filter(
+            F.col("status").isin(STATUS_EXACT, STATUS_LIKELY, STATUS_NULL)
+        ).select("id_a", "id_b")
         cand = (
             winnow.unionByName(mid)
             .dropDuplicates(["id_a", "id_b"])

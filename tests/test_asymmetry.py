@@ -207,3 +207,50 @@ def test_refresh_and_stream_refuse_aux_configs(spark, tmp_path):
     empty = spark.createDataFrame([], "conv_id string, text_sha string")
     with _pytest.raises(ValueError, match="aux"):
         refresh_dedupe(empty, empty, empty, empty, cfg, lambda df: df)
+
+
+def test_grouped_star_hub_edges_linear_in_subgroups(spark):
+    """Review finding (r5 pass 2): a boilerplate sha with MANY distinct
+    signatures must cost O(subgroups) hub edges, not O(subgroups^2) —
+    the class-star shape. Also: clustering equivalence with the
+    all-pairs hub join on a small mixed case."""
+    from lieu_spark.operators.cluster import connected_components
+    from lieu_spark.operators.exact import exact_star_pairs_grouped
+
+    n = 4000
+    rows = [(f"c{i:05d}", "sha1", f"sig{i}", "1" if i % 2 else "0") for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, text_sha string, aux_sig string, aux_class string"
+    )
+    edges = exact_star_pairs_grouped(df, "aux_sig", class_col="aux_class")
+    cnt = edges.count()
+    # (n/2 - 1) per class star + 1 cross-class edge; all-pairs would be
+    # n*(n-1)/2 ~ 8M
+    assert cnt == (n // 2 - 1) * 2 + 1, cnt
+
+    # clustering parity with the all-pairs form on a small mixed case
+    small = spark.createDataFrame(
+        [
+            ("a", "s1", "x", "1"), ("b", "s1", "x", "1"),   # subgroup {a,b}
+            ("c", "s1", "y", "1"),                          # subgroup {c}
+            ("d", "s1", "", "0"),                           # absent class
+            ("e", "s2", "z", "1"), ("f", "s2", "z", "1"),
+        ],
+        "conv_id string, text_sha string, aux_sig string, aux_class string",
+    )
+    def clusters(edges_df):
+        comp = connected_components(edges_df)
+        return {
+            frozenset([r.conv_id, r.cluster_id])
+            for r in comp.collect()
+        }
+    e_class = exact_star_pairs_grouped(small, "aux_sig", class_col="aux_class")
+    e_full = exact_star_pairs_grouped(small, "aux_sig")
+    # same node set, same components once refused (cross-class) edges
+    # are dropped the same way downstream; here compare the RAW closure
+    # since every within-class edge is a dupe edge
+    ccls = connected_components(e_class).collect()
+    cfull = connected_components(e_full).collect()
+    m1 = {r.conv_id: r.cluster_id for r in ccls}
+    m2 = {r.conv_id: r.cluster_id for r in cfull}
+    assert m1 == m2, (m1, m2)
