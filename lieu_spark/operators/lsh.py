@@ -44,13 +44,19 @@ def band_table(
     hashing — the gram-family tag used by band_table_dual; the hash
     chain itself is offset-independent."""
     r = cfg.lsh_rows
+    # band hash via r element_at args instead of xxhash64(slice(...)):
+    # bit-identical chain (multi-child hash folds values exactly like
+    # one array child's elements) without allocating an r-element array
+    # per band per doc — the same measured-8x rewrite as
+    # text.shingle_hash_set.
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
         lambda i: F.struct(
             i.cast("long").alias("band"),
-            F.xxhash64(i.cast("long"), F.slice(F.col(sig_col), i * r + 1, r)).alias(
-                "band_hash"
-            ),
+            F.xxhash64(
+                i.cast("long"),
+                *[F.element_at(F.col(sig_col), i * r + j + 1) for j in range(r)],
+            ).alias("band_hash"),
         ),
     )
     off = band_offset if band_offset is not None else F.lit(0).cast("long")

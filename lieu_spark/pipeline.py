@@ -32,10 +32,11 @@ from .functions.minhash import with_minhash_dual
 from .functions.simhash import make_simhash_udf
 from .functions.text import (
     canon_nospace,
-    char_fallback_band,
-    char_fallback_cond,
+    char_fallback_band_len,
+    char_fallback_cond_len,
     char_kgram_hash_set,
     shingle_hash_set,
+    token_char_len,
     token_hashes,
     tokenize,
 )
@@ -84,13 +85,31 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
     df = df.withColumn("token_hashes", token_hashes(F.col("tokens")))
     # no-space-script (CJK) docs fall back to char k-grams — staged
     # column per the HOF re-evaluation rule; CASE WHEN evaluates only
-    # the taken branch, so latin rows never pay the char-gram pass
-    df = df.withColumn("_canon_ns", canon_nospace(F.col("doc")))
+    # the taken branch, so latin rows never pay the char-gram pass.
+    # The ratio tests use token_char_len (== length(canon_nospace(doc))
+    # character-for-character — see its docstring), so the canonical
+    # no-space STRING (two extra full-doc regex passes) is built only
+    # for the rows whose branch consumes it: char-primary docs and
+    # hysteresis-band docs, a tiny fraction of a latin corpus.
+    df = df.withColumn("_nchars", token_char_len(F.col("tokens")))
     df = df.withColumn(
         "char_primary",
-        char_fallback_cond(
-            F.col("_canon_ns"), F.col("tokens"), cfg.char_fallback_avg_len
+        char_fallback_cond_len(
+            F.col("_nchars"), F.col("tokens"), cfg.char_fallback_avg_len
         ),
+    )
+    df = df.withColumn(
+        "_in_band",
+        char_fallback_band_len(
+            F.col("_nchars"), F.col("tokens"),
+            cfg.char_fallback_avg_len, cfg.char_fallback_hysteresis,
+        ),
+    )
+    df = df.withColumn(
+        "_canon_ns",
+        F.when(
+            F.col("char_primary") | F.col("_in_band"), canon_nospace(F.col("doc"))
+        ).otherwise(F.lit("")),
     )
     df = df.withColumn(
         "shingle_hashes",
@@ -111,10 +130,7 @@ def build_features(conversations: DataFrame, cfg: DedupeConfig) -> DataFrame:
     df = df.withColumn(
         "alt_hashes",
         F.when(
-            char_fallback_band(
-                F.col("_canon_ns"), F.col("tokens"),
-                cfg.char_fallback_avg_len, cfg.char_fallback_hysteresis,
-            ),
+            F.col("_in_band"),
             F.when(
                 F.col("char_primary"),
                 shingle_hash_set(F.col("token_hashes"), cfg.shingle_k),
