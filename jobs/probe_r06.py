@@ -123,13 +123,18 @@ def main() -> None:
 
     bands = run("bands", band_table_dual(feat_reps, cfg))
 
-    lsh_cand = candidate_pairs(bands, cfg).withColumn("source", F.lit("minhash_lsh"))
+    try:  # distinct=False exists only on the optimized tree; the A/B
+        lsh_cand = candidate_pairs(bands, cfg, distinct=False)
+        sim_cand = simhash_candidate_pairs(feat_reps, cfg, distinct=False)
+    except TypeError:
+        lsh_cand = candidate_pairs(bands, cfg)
+        sim_cand = simhash_candidate_pairs(feat_reps, cfg)
+    lsh_cand = lsh_cand.withColumn("source", F.lit("minhash_lsh"))
     exact_cand = exact_star_pairs(feat_slim).withColumn("source", F.lit("exact_sha"))
     merged = lsh_cand.unionByName(exact_cand)
-    sim_cand = simhash_candidate_pairs(feat_reps, cfg).select("id_a", "id_b").withColumn(
-        "source", F.lit("simhash")
+    merged = merged.unionByName(
+        sim_cand.select("id_a", "id_b").withColumn("source", F.lit("simhash"))
     )
-    merged = merged.unionByName(sim_cand)
     candidates = run(
         "candidates",
         merged.groupBy("id_a", "id_b").agg(

@@ -214,12 +214,21 @@ def band_stats(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupeConfig, distinct: bool = True
+) -> DataFrame:
     """Within-band self-pairing -> distinct (id_a < id_b) candidates.
 
     Reference analog: lib/lieu/spark/dedupe.py:57-88 (block self-pairing
     with >1-member filter at :59-61 — groups of size 1 produce no pairs
     from the join naturally).
+
+    ``distinct=False`` skips the pair-dedup exchange and returns the raw
+    multi-band collisions (a pair appears once per colliding band) — for
+    callers that immediately re-aggregate on (id_a, id_b) anyway (the
+    pipeline's source-tag groupBy), where the inner dedup would be a
+    second full shuffle of the pair set for nothing. The distinct pair
+    SET is identical either way.
     """
     # materialize the salt via localCheckpoint-free projection barrier:
     # selecting concrete columns first keeps the self-join keys plain
@@ -239,7 +248,8 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     pairs = left.join(right, ["band", "band_hash", "sub"]).filter(
         F.col("id_a") < F.col("id_b")
     )
-    return pairs.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    pairs = pairs.select("id_a", "id_b")
+    return pairs.dropDuplicates(["id_a", "id_b"]) if distinct else pairs
 
 
 def match_pairs(

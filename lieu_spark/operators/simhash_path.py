@@ -20,11 +20,13 @@ from ..config import DedupeConfig
 from ..functions.simhash import hamming64
 
 
-def simhash_chunk_table(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") -> DataFrame:
-    """(id, simhash) -> (id, chunk, chunk_bits)."""
+def _chunk_structs(cfg: DedupeConfig):
+    """The shared chunk-split expression: array of (chunk, chunk_bits)
+    structs — ONE formula for the plain chunk table and the
+    simhash-carrying candidate path so the two can never drift."""
     width = cfg.simhash_bits // cfg.simhash_chunks
     mask = (1 << width) - 1
-    chunks = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(i).cast("long").alias("chunk"),
@@ -35,8 +37,12 @@ def simhash_chunk_table(features: DataFrame, cfg: DedupeConfig, id_col: str = "c
             for i in range(cfg.simhash_chunks)
         ]
     )
+
+
+def simhash_chunk_table(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") -> DataFrame:
+    """(id, simhash) -> (id, chunk, chunk_bits)."""
     return features.select(
-        F.col(id_col).alias("id"), F.explode(chunks).alias("ck")
+        F.col(id_col).alias("id"), F.explode(_chunk_structs(cfg)).alias("ck")
     ).select("id", F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_bits").alias("chunk_bits"))
 
 
@@ -55,10 +61,20 @@ def simhash_chunk_stats(features: DataFrame, cfg: DedupeConfig, id_col: str = "c
     )
 
 
-def simhash_candidate_pairs(features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id") -> DataFrame:
+def simhash_candidate_pairs(
+    features: DataFrame,
+    cfg: DedupeConfig,
+    id_col: str = "conv_id",
+    distinct: bool = True,
+) -> DataFrame:
     """Chunk-collision self-join filtered by exact hamming distance.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, distinct.
+    ``distinct=False`` keeps one row per colliding chunk (hamming is a
+    pure function of the pair, so duplicate rows are value-identical) —
+    for callers that re-aggregate on the pair key anyway (the pipeline's
+    source-tag groupBy) and would otherwise pay the dedup exchange
+    twice.
     """
     from .lsh import salted_groups
 
@@ -74,26 +90,40 @@ def simhash_candidate_pairs(features: DataFrame, cfg: DedupeConfig, id_col: str 
         if cfg.simhash_hot_chunk_cap is not None
         else (1 << 62)  # effectively "never split"; keeps one plan shape
     )
+    # the full simhash rides the chunk rows (+8 bytes/row), so the
+    # self-join yields BOTH sides' hashes directly and the hamming
+    # confirmation runs on the joined row — no post-dedup enrichment
+    # joins back onto the feature table, which cost two extra scans of
+    # the (often unmaterialized rep-window) feature lineage per run.
+    # Hamming is filtered BEFORE the pair dedup: duplicates of a pair
+    # (multi-chunk collisions) carry the identical hamming value, so
+    # the deduped output is row-identical to the old join-after-dedup
+    # shape.
+    chunk_tbl = features.select(
+        F.col(id_col).alias("id"), F.col("simhash"),
+        F.explode(_chunk_structs(cfg)).alias("ck"),
+    ).select(
+        "id", "simhash",
+        F.col("ck.chunk").alias("chunk"), F.col("ck.chunk_bits").alias("chunk_bits"),
+    )
     tbl = salted_groups(
-        simhash_chunk_table(features, cfg, id_col),
+        chunk_tbl,
         ["chunk", "chunk_bits"],
         cap,
-    ).filter(F.col("bsize") > 1).select("chunk", "chunk_bits", "sub", "id")
-    left = tbl.select("chunk", "chunk_bits", "sub", F.col("id").alias("id_a"))
-    right = tbl.select("chunk", "chunk_bits", "sub", F.col("id").alias("id_b"))
-    cand = (
+    ).filter(F.col("bsize") > 1).select("chunk", "chunk_bits", "sub", "id", "simhash")
+    left = tbl.select(
+        "chunk", "chunk_bits", "sub",
+        F.col("id").alias("id_a"), F.col("simhash").alias("simhash_a"),
+    )
+    right = tbl.select(
+        "chunk", "chunk_bits", "sub",
+        F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b"),
+    )
+    pairs = (
         left.join(right, ["chunk", "chunk_bits", "sub"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sh = features.select(F.col(id_col), F.col("simhash"))
-    fa = sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("simhash_a"))
-    fb = sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("simhash_b"))
-    return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
         .withColumn("hamming", hamming64(F.col("simhash_a"), F.col("simhash_b")))
         .filter(F.col("hamming") <= cfg.simhash_hamming_max)
         .select("id_a", "id_b", "hamming")
     )
+    return pairs.dropDuplicates(["id_a", "id_b"]) if distinct else pairs

@@ -278,7 +278,14 @@ def run_pipeline(
     bstats = stage("band_stats", lambda: band_stats(bands, cfg))
 
     def build_candidates() -> DataFrame:
-        lsh_cand = candidate_pairs(bands, cfg).withColumn("source", F.lit("minhash_lsh"))
+        # distinct=False on both similarity families: the source-tag
+        # groupBy below is itself a full (id_a, id_b) aggregation, so
+        # the families' internal pair-dedup exchanges would shuffle the
+        # pair set a second time for nothing — multi-band/multi-chunk
+        # duplicates are collapsed by collect_set's map-side partial.
+        lsh_cand = candidate_pairs(bands, cfg, distinct=False).withColumn(
+            "source", F.lit("minhash_lsh")
+        )
         if aux_fields:
             # aux-rule mode: the plain star's closure argument breaks
             # (identical text no longer implies identical verdicts), so
@@ -311,9 +318,9 @@ def run_pipeline(
         # family toggle lives on cfg (not an argument) so the stage
         # fingerprint captures it — see DedupeConfig.with_simhash_path
         if cfg.with_simhash_path:
-            sim_cand = simhash_candidate_pairs(feat_reps, cfg).select(
-                "id_a", "id_b"
-            ).withColumn("source", F.lit("simhash"))
+            sim_cand = simhash_candidate_pairs(
+                feat_reps, cfg, distinct=False
+            ).select("id_a", "id_b").withColumn("source", F.lit("simhash"))
             merged = merged.unionByName(sim_cand)
         return merged.groupBy("id_a", "id_b").agg(
             F.array_sort(F.collect_set("source")).alias("sources")
