@@ -202,6 +202,18 @@ def span_candidates(verified: DataFrame, cfg: DedupeConfig) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def sample_filter(hashes, cfg: DedupeConfig):
+    """The winnowing sample predicate applied to a hash array column:
+    keep h where pmod(h, span_sample_mod) == 0. IDEMPOTENT — applying
+    it to an already-sampled array is a no-op, which is what lets
+    callers pre-sample a narrow projection before an expensive shuffle
+    (pipeline build_spans) and still feed the result through
+    winnow_fingerprints unchanged."""
+    return F.filter(
+        hashes, lambda h: F.pmod(h, F.lit(cfg.span_sample_mod)) == 0
+    )
+
+
 def winnow_fingerprints(
     features: DataFrame, cfg: DedupeConfig, id_col: str = "conv_id"
 ) -> DataFrame:
@@ -211,12 +223,7 @@ def winnow_fingerprints(
     export it for the DuckDB oracle (lieu_spark.oracle_export)."""
     return features.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(
-                F.col("shingle_hashes"),
-                lambda h: F.pmod(h, F.lit(cfg.span_sample_mod)) == 0,
-            )
-        ).alias("h"),
+        F.explode(sample_filter(F.col("shingle_hashes"), cfg)).alias("h"),
     )
 
 

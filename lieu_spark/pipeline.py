@@ -372,6 +372,28 @@ def run_pipeline(
             .dropDuplicates(["id_a", "id_b"])
             .join(dupes, ["id_a", "id_b"], "left_anti")
         )
+        # byte-identical pairs never reach the LCS kernel, by KEY, not
+        # by materialized-verdict: under aux rules winnow runs over
+        # per-(sha, aux_sig) subgroup reps, so byte-identical texts can
+        # pair via shared fingerprints while verified materializes only
+        # the class-star hub edges — such a pair would survive the
+        # left_anti above and push two full-length identical docs
+        # through the quadratic kernel only to report the whole doc as
+        # a span (r5 advisory). The sha equi-check closes every such
+        # path; in plain mode it matches nothing (one rep per sha, and
+        # same-sha non-rep pairs are already excluded as exact dupes).
+        sha_a = feat_slim.select(
+            F.col("conv_id").alias("id_a"), F.col("text_sha").alias("_sha_a")
+        )
+        sha_b = feat_slim.select(
+            F.col("conv_id").alias("id_b"), F.col("text_sha").alias("_sha_b")
+        )
+        cand = (
+            cand.join(sha_a, "id_a")
+            .join(sha_b, "id_b")
+            .filter(F.col("_sha_a") != F.col("_sha_b"))
+            .drop("_sha_a", "_sha_b")
+        )
         docs = conversations.select("conv_id", "doc")
         pa = docs.select(F.col("conv_id").alias("id_a"), F.col("doc").alias("doc_a"))
         pb = docs.select(F.col("conv_id").alias("id_b"), F.col("doc").alias("doc_b"))

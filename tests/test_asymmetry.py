@@ -254,3 +254,42 @@ def test_grouped_star_hub_edges_linear_in_subgroups(spark):
     m1 = {r.conv_id: r.cluster_id for r in ccls}
     m2 = {r.conv_id: r.cluster_id for r in cfull}
     assert m1 == m2, (m1, m2)
+
+
+def test_aux_mode_same_sha_pairs_never_reach_span_kernel(spark):
+    """r5 advisory (pipeline spans exclusion): under aux rules winnow
+    runs over per-(sha, aux_sig) subgroup reps, so byte-identical texts
+    can pair via shared fingerprints while verified materializes only
+    the class-star hub edges — a cross-class rep pair where either rep
+    is not its class min used to slip past the left_anti on verified
+    and push two full-length identical docs through the LCS kernel,
+    emitting a whole-doc span for a pair the guard refused. The sha
+    equi-check must drop EVERY same-sha pair from span candidates."""
+    body = " ".join(f"w{i:02d}" for i in range(60))
+    rows = [
+        _turn("a1", 0, body),                   # tool-less subgroup
+        _turn("b1", 0, body, "web_search"),     # tool subgroup 1
+        _turn("d1", 0, body, "calc"),           # tool subgroup 2
+        # control pair: genuinely partial overlap across DIFFERENT shas
+        # keeps flowing to the kernel
+        _turn("p1", 0, body + " tail one zz"),
+        _turn("p2", 0, body + " tail two aa qq ffff gg hh iii jj kk"),
+    ]
+    cfg = DedupeConfig(asymmetry_field="tool")
+    res = run_pipeline(spark, _tdf(spark, rows), cfg, with_spans=True)
+    same_sha_ids = {"a1", "b1", "d1"}
+    spans = res.spans.collect()
+    offenders = [
+        (r.id_a, r.id_b)
+        for r in spans
+        if r.id_a in same_sha_ids and r.id_b in same_sha_ids
+    ]
+    assert offenders == [], offenders
+    # same-sha refusals are present (the guard fired), yet none leaked
+    # into spans — the by-key exclusion holds regardless of which
+    # refused pairs the candidate families happened to materialize
+    st = {
+        (r.id_a, r.id_b)
+        for r in res.verified.filter(F.col("status") == "null_dupe").collect()
+    }
+    assert ("a1", "b1") in st
