@@ -1318,7 +1318,7 @@ def q_dedupe_pairs_pipeline(spark, sf_dir):
     (LSH miss probability at J>=0.9 is ~1e-15 with b=32, r=4)."""
     feats = feats_minhash(spark, sf_dir)
     bands = band_table(feats, CFG)
-    cand = candidate_pairs(bands, CFG).unionByName(
+    cand = candidate_pairs(bands, CFG, distinct=False).unionByName(
         exact_star_pairs(feats.select("conv_id", "text_sha"))
     ).dropDuplicates(["id_a", "id_b"])
     v = verify_pairs(cand, feats, CFG)
@@ -1438,7 +1438,7 @@ def q_response_pairs_ranked(spark, sf_dir):
 
     feats = feats_minhash(spark, sf_dir)
     bands = band_table(feats, CFG)
-    cand = candidate_pairs(bands, CFG).unionByName(
+    cand = candidate_pairs(bands, CFG, distinct=False).unionByName(
         exact_star_pairs(feats.select("conv_id", "text_sha"))
     ).dropDuplicates(["id_a", "id_b"])
     v = verify_pairs(cand, feats, CFG)
@@ -2389,7 +2389,7 @@ def q_refresh_clusters(spark, sf_dir):
     feats = feats_minhash(spark, sf_dir)
     bands = band_table(feats.filter(F.size("shingle_hashes") > 0), CFG)
     cand = (
-        candidate_pairs(bands, CFG)
+        candidate_pairs(bands, CFG, distinct=False)
         .unionByName(exact_star_pairs(feats.select("conv_id", "text_sha")))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -664,7 +664,11 @@ class IncrementalDeduper:
         # pruned, so without this each re-runs the rep window + dual
         # band derivation over the cached feats per batch
         feat_bands = band_table_dual(feat_reps, self.cfg).persist()
-        within = candidate_pairs(feat_bands, self.cfg).unionByName(
+        # distinct=False: every candidate branch funnels into the batch's
+        # dropDuplicates below, so the band path's internal pair-dedup
+        # exchange would shuffle the same pair set twice (the pipeline's
+        # build_candidates rule)
+        within = candidate_pairs(feat_bands, self.cfg, distinct=False).unionByName(
             exact_star_pairs(feats)
         )
         index = self._load_index(before_batch=batch_id)
@@ -735,16 +739,38 @@ class IncrementalDeduper:
             .distinct()
         )
         new_uniques = feats.join(dupe_ids, "conv_id", "left_anti").persist()
+        # materialize ONCE before the fold writes: the three folds below
+        # run concurrently, and racing jobs over an unmaterialized cache
+        # would each recompute the anti-join instead of reading it
+        new_uniques.count()
         # S8 parity: fold this batch's uniques into the canonical index
         # (sorted within partitions by conv_id so parquet min/max stats
         # make later batches' In(conv_id, ...) verify pushdown prune row
         # groups), then fold their DERIVED band table (same subdir
-        # recipe) so no later batch ever re-bands the index
-        new_uniques.sortWithinPartitions("conv_id").write.mode("overwrite").parquet(
-            f"{self.index_dir}/batch_id={batch_id}"
-        )
-        self._write_bands(new_uniques, batch_id)
-        self._write_shas(new_uniques, batch_id)
+        # recipe) so no later batch ever re-bands the index.
+        # The three fold writes are INDEPENDENT jobs over the persisted
+        # new_uniques (different output dirs, no cross-reads), so they
+        # run from a small thread pool — the scheduler back-fills the
+        # tail of one write with the next one's tasks (guide-standard
+        # overlap of independent actions) instead of paying three full
+        # job latencies in sequence. Failure semantics unchanged: any
+        # write raising propagates out of process_batch and the batch
+        # replays (per-batch overwrite idempotence).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fold_index() -> None:
+            new_uniques.sortWithinPartitions("conv_id").write.mode(
+                "overwrite"
+            ).parquet(f"{self.index_dir}/batch_id={batch_id}")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(_fold_index),
+                pool.submit(self._write_bands, new_uniques, batch_id),
+                pool.submit(self._write_shas, new_uniques, batch_id),
+            ]
+            for f in futs:
+                f.result()
         t_fold_done = _time.time()
         if self.metrics_dir is not None:
             # per-batch, per-partition lineage (north_rule): one cheap
