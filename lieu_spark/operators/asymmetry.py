@@ -202,8 +202,17 @@ def apply_aux_rules(
     if asymmetry_field is None and revision_field is None:
         return verified
     fields = {f for f in (asymmetry_field, revision_field) if f is not None}
+    # lazy localCheckpoint per field: each signature frame feeds TWO
+    # join consumers (the id_a and id_b sides), which are differently
+    # projected subtrees — exchange reuse does not unify them (the
+    # repo-wide Catalyst lesson), so without the checkpoint every
+    # downstream action re-ran the transcripts-wide signature
+    # aggregation up to twice per field (r5 advisory). Values are
+    # unchanged; the checkpoint only truncates lineage to a one-pass
+    # materialization on first use.
     sig_by_field = {
-        f: field_signatures(transcripts, field=f) for f in sorted(fields)
+        f: field_signatures(transcripts, field=f).localCheckpoint(eager=False)
+        for f in sorted(fields)
     }
     out = verified
     if asymmetry_field is not None:

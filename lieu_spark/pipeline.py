@@ -257,7 +257,14 @@ def run_pipeline(
         # grouped star — unpersisted, each consumer would re-run the
         # transcripts-wide signature aggregation (the multi-consumer
         # trap in CLAUDE.md); checkpointing truncates the lineage to a
-        # one-pass materialization on first use
+        # one-pass materialization on first use.
+        # DELIBERATE: signatures aggregate over the RAW transcript rows,
+        # not the max_turns_per_conv-capped prefix the compared text is
+        # assembled from — auxiliary evidence on truncated turns still
+        # refuses/revises the pair (evidence the similarity tiers never
+        # saw is exactly what the guard exists for), and run_pipeline
+        # and api.match make the same choice so verdicts agree across
+        # entry points (r5 advisory: documented, not changed).
         aux_sigs = combined_field_signatures(
             transcripts, aux_fields, presence_field=cfg.asymmetry_field
         ).localCheckpoint(eager=False)
