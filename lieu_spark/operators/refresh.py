@@ -291,7 +291,12 @@ def refresh_dedupe(
     incoming_bands = band_table_dual(incoming_feats, cfg)
 
     # ---- candidates ------------------------------------------------
-    within = candidate_pairs(incoming_bands, cfg).select("id_a", "id_b")
+    # distinct=False: every branch funnels into the one dropDuplicates
+    # on the combined candidate union below — the family-internal pair
+    # dedup would shuffle the same pair set twice (pipeline rule)
+    within = candidate_pairs(incoming_bands, cfg, distinct=False).select(
+        "id_a", "id_b"
+    )
     # hot_cap bounds the standing-side fanout of boilerplate bands the
     # same way candidate_pairs salts the self-join (see match_pairs)
     cross = match_pairs(
@@ -322,7 +327,9 @@ def refresh_dedupe(
         from .simhash_path import simhash_candidate_pairs, simhash_chunk_table
         from ..functions.simhash import hamming64
 
-        sim_within = simhash_candidate_pairs(incoming_feats, cfg).select("id_a", "id_b")
+        sim_within = simhash_candidate_pairs(
+            incoming_feats, cfg, distinct=False
+        ).select("id_a", "id_b")
         standing_rep_ids = standing_bands.select("id").distinct()
         standing_rep_feats = old_features.join(
             standing_rep_ids.withColumnRenamed("id", idc), idc, "left_semi"
