@@ -673,7 +673,23 @@ class IncrementalDeduper:
         )
         index = self._load_index(before_batch=batch_id)
         if index is not None:
+            # state loads stay serial (they can backfill/write); the two
+            # PRUNE helpers each run a bounded read-only collect (the
+            # batch's touched buckets / the batch's distinct shas) —
+            # independent jobs, so they run concurrently and the shorter
+            # one hides inside the longer (the fold-write rule applied
+            # to the match phase's driver round-trips)
             stored_bands = self._band_state(before_batch=batch_id)
+            stored_shas = self._sha_state(before_batch=batch_id)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut_bands = pool.submit(
+                    self._prune_buckets, stored_bands, feat_bands
+                )
+                fut_shas = pool.submit(self._pruned_shas, stored_shas, feats)
+                pruned_bands = fut_bands.result()
+                pruned_shas = fut_shas.result()
             # hot_cap bounds the standing-boilerplate fanout: a stored
             # band group that grows with stream age would otherwise emit
             # |group| x |incoming-in-group| pairs per micro-batch. Below
@@ -682,7 +698,7 @@ class IncrementalDeduper:
             # hint is re-applied inside capped_group_join so the stored
             # side still never shuffles.
             cross_lsh = match_pairs(
-                self._prune_buckets(stored_bands, feat_bands),
+                pruned_bands,
                 feat_bands,
                 self.cfg,
                 broadcast_incoming=small_batch,
@@ -691,11 +707,10 @@ class IncrementalDeduper:
                 F.col("canonical_id").alias("id_a"),
                 F.col("incoming_id").alias("id_b"),
             )
-            stored_shas = self._sha_state(before_batch=batch_id)
             inc_shas = feats.select(F.col("conv_id").alias("id_b"), "text_sha")
             if small_batch:
                 inc_shas = F.broadcast(inc_shas)
-            cross_sha = self._pruned_shas(stored_shas, feats).select(
+            cross_sha = pruned_shas.select(
                 F.col("conv_id").alias("id_a"), "text_sha"
             ).join(inc_shas, "text_sha").select("id_a", "id_b")
             cand = within.unionByName(cross_lsh).unionByName(
