@@ -47,7 +47,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
             F.least(F.col("minv"), F.col("u")).alias("v"),
         )
     )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    # No trailing distinct: _small_star is the only consumer, its min()
+    # aggregate is duplicate-insensitive and its own final distinct
+    # dedupes the join output, so the per-iteration edge SET is
+    # unchanged while this step sheds a full exchange. Row count stays
+    # bounded at |E| (one direction of sym survives v > u per edge).
+    return out.filter(F.col("u") != F.col("v"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
